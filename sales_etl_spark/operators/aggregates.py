@@ -1,0 +1,123 @@
+"""Aggregate marts (reference §2.4 A1-A6, §2.5 J1, §2.6 W1-W4 parity).
+
+Shuffle budget per mart (the numbers that matter at 100 TB):
+
+- ``sales_summary``: ONE shuffle. The reference computes two groupbys
+  over the same keys and merges them (etl/transform.py:102-109) — a
+  pandas-API artifact. Here sum/sum/countDistinct run in a single
+  ``agg`` (partial aggregation map-side, one exchange on
+  (category, month)).
+- ``order_totals``: one shuffle on (order_id, customer_id).
+- ``avg_check_by_region``: order_totals' shuffle, then a broadcast join
+  against the customers dim (no shuffle of the fact), then one small
+  shuffle on region for the rollup.
+- ``product_ranking``: one shuffle on (product_id); the sort+limit
+  compiles to TakeOrderedAndProject (distributed top-k, never a full
+  sort).
+
+Money aggregates are DECIMAL(18,2) end-to-end and cast to double only
+at the output boundary, so distributed sums are exact and reproducible
+(see schemas.MONEY). The AOV division happens on the already-exact
+sums, hence identical on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sales_etl_spark.functions.scalars import month_str, period_date, safe_div
+
+
+def sales_summary(sales: DataFrame) -> DataFrame:
+    """category × month mart: total_sales, total_quantity, order_count,
+    average_order_value, period_date (etl/transform.py:100-117).
+
+    NULL groups are kept (reference dropna=False — Spark's default).
+    """
+    df = sales
+    if "month" not in df.columns:
+        df = df.withColumn("month", month_str("order_date"))
+    out = df.groupBy("category", "month").agg(
+        F.sum("total_price").cast("double").alias("total_sales"),
+        F.sum("quantity").cast("double").alias("total_quantity"),
+        F.countDistinct("order_id").alias("order_count"),
+    )
+    return (
+        out.withColumn(
+            "average_order_value",
+            safe_div(F.col("total_sales"), F.col("order_count")),
+        )
+        .withColumn("period_date", period_date("month"))
+        .drop("order_count")
+    )
+
+
+def order_totals(sales: DataFrame) -> DataFrame:
+    """Per-order totals: (order_id, customer_id) → order_total
+    (etl/transform.py:122-126)."""
+    return sales.groupBy("order_id", "customer_id").agg(
+        F.sum("total_price").alias("order_total")
+    )
+
+
+def avg_check_by_region(sales: DataFrame, customers: DataFrame) -> DataFrame:
+    """Average check per region (etl/transform.py:120-142).
+
+    order_totals LEFT JOIN customers[customer_id, region]; unmatched
+    customers → 'Unknown' (the reference's post-join fillna, :133).
+    The dim side is explicitly broadcast — at any realistic scale the
+    customer dim is orders of magnitude smaller than the per-order fact.
+    """
+    totals = order_totals(sales)
+    dim = customers.select("customer_id", "region")
+    joined = totals.join(F.broadcast(dim), "customer_id", "left").withColumn(
+        "region", F.coalesce(F.col("region"), F.lit("Unknown"))
+    )
+    return (
+        joined.groupBy("region")
+        .agg(
+            (
+                F.sum("order_total").cast("double")
+                / F.countDistinct("order_id")
+            ).alias("avg_check"),
+            F.countDistinct("order_id").alias("orders_count"),
+        )
+        .orderBy(F.desc("avg_check"))
+    )
+
+
+def product_ranking(
+    sales: DataFrame,
+    products: DataFrame | None = None,
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-N products by (total_sold, total_revenue) with 1..N ranks
+    (etl/transform.py:145-157).
+
+    orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps its local top-N, the driver merges N×partitions rows; no
+    global sort. The row_number window runs on ≤N rows post-limit, so
+    its single-partition window is free. product_id is the final
+    tiebreaker to make the cut deterministic under ties.
+    """
+    df = sales
+    if products is not None and "product_name" not in df.columns:
+        df = df.join(F.broadcast(products), "product_id", "left")
+    name_cols = ["product_name"] if "product_name" in df.columns else []
+    ranking = (
+        df.groupBy("product_id", *name_cols)
+        .agg(
+            F.sum("quantity").cast("double").alias("total_sold"),
+            F.sum("total_price").cast("double").alias("total_revenue"),
+        )
+        .orderBy(
+            F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
+        )
+        .limit(top_n)
+    )
+    w = Window.orderBy(
+        F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
+    )
+    return ranking.withColumn("rank_position", F.row_number().over(w))

@@ -1,0 +1,84 @@
+"""SparkSession construction and runtime-semantics pinning.
+
+The engine assumes a few session-level semantics (null-on-error casts,
+null on divide-by-zero, UTC session time) that Spark 4.x no longer
+guarantees by default (ANSI mode is on by default since 4.0). Every
+public query entry point calls :func:`pin_semantics` so results are
+identical no matter who built the session (our tests, the driver
+harness, or a production spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and required) to set on a live session.
+_RUNTIME_CONFS = {
+    # Reference-parity semantics: to_date/casts yield NULL on bad input
+    # (pandas errors="coerce", etl/transform.py:20,63 in the reference)
+    # and x/0 yields NULL (etl/transform.py:111-112).
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic date/timestamp rendering; testdata timestamps are NTZ.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+#: Confs that must be set at session build time.
+_BUILD_CONFS = {
+    # AQE: runtime partition coalescing, skew-join splitting, dynamic
+    # join-strategy switch — the main 100 TB levers that cost nothing
+    # locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the few pandas-UDF operators (multimodal stubs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/customer at test SFs) broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+
+def pin_semantics(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable semantics on an existing session.
+
+    Idempotent and cheap; called at the top of every query builder so
+    the engine behaves identically under any caller's session.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A locked-down session (static conf) — semantics then follow
+            # the caller; all engine code also uses try_* forms so the
+            # ANSI difference is still safe.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "sales-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` when no
+    cluster is configured. ``shuffle_partitions`` defaults to the
+    parallelism of the master in local mode; on a real cluster leave it
+    unset and let AQE coalesce from a high initial number.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for key, value in _BUILD_CONFS.items():
+        builder = builder.config(key, value)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
+    return pin_semantics(spark)

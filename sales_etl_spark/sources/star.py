@@ -1,0 +1,109 @@
+"""Loader for the driver's TPC-H-ish star schema (TESTDATA.md).
+
+One validated parquet reader per table, plus the column-mapped views
+that re-express the reference's sales/customers data model on the star
+schema (FIXTURES.md §4):
+
+- ``sales`` fact  = lineitem ⨝ orders (category = o_orderpriority)
+- ``customers`` dim = customer ⨝ nation ⨝ region (region = r_name)
+- ``products`` dim = part
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_etl_spark import schemas
+from sales_etl_spark.sources.readers import read_parquet
+
+
+@dataclass
+class StarSchema:
+    """Lazy handle on the star-schema tables under one sf directory."""
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in schemas.STAR_REQUIRED:
+                raise KeyError(f"unknown star table: {name}")
+            self._cache[name] = read_parquet(
+                self.spark,
+                f"{self.sf_dir}/{name}.parquet",
+                required=schemas.STAR_REQUIRED[name],
+            )
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in schemas.STAR_REQUIRED:
+            return self.table(name)
+        raise AttributeError(name)
+
+    # -- reference-model views (FIXTURES.md §4 column mapping) ---------
+
+    def sales(self) -> DataFrame:
+        """Reference sales-fact view: one row per order line.
+
+        ``total_price = quantity * unit_price`` is computed here in
+        DECIMAL(18,2) (see ``schemas.MONEY``) so downstream sums are
+        exact under any partitioning. The lineitem→orders join is a
+        pure equi-join on the order key; at scale orders is the smaller
+        side after pruning and AQE picks broadcast/shuffled-hash as
+        sizes dictate.
+        """
+        li = self.table("lineitem").select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("unit_price"),
+        )
+        orders = self.table("orders").select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority").alias("category"),
+        )
+        return li.join(orders, "order_id", "inner").withColumn(
+            "total_price",
+            (F.col("quantity") * F.col("unit_price")).cast(schemas.MONEY),
+        )
+
+    def customers(self) -> DataFrame:
+        """Reference customers-dim view: customer ⨝ nation ⨝ region.
+
+        nation (25 rows) and region (5 rows) always broadcast; the
+        two-hop snowflake flattens into one broadcast-joined dim.
+        """
+        c = self.table("customer").select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        n = self.table("nation").select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+        r = self.table("region").select(
+            F.col("r_regionkey").alias("regionkey"),
+            F.col("r_name").alias("region"),
+        )
+        return (
+            c.join(F.broadcast(n), "nationkey", "left")
+            .join(F.broadcast(r), "regionkey", "left")
+            .select("customer_id", "customer_name", "region")
+        )
+
+    def products(self) -> DataFrame:
+        return self.table("part").select(
+            F.col("p_partkey").alias("product_id"),
+            F.col("p_name").alias("product_name"),
+        )
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> StarSchema:
+    return StarSchema(spark, sf_dir)

@@ -1,0 +1,167 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle on the same
+parquet, then compares: row count, schema (column names), and values
+(columns sorted by name, rows sorted, floats compared BIT-EXACT first
+and with tolerance second). Bit-exact is the bar — the driver hashes
+values, so "close" is not good enough; any query reported as
+tolerance-only needs its arithmetic made order-independent (decimal
+sums, deterministic folds).
+
+Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, rows sorted by all columns — the
+    order-insensitive canonical form the driver hashes."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="last").reset_index(
+            drop=True
+        )
+    return df
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
+    out: dict = {"rows": (len(spark_df), len(oracle_df))}
+    out["rows_match"] = len(spark_df) == len(oracle_df)
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    out["schema_match"] = s_cols == o_cols
+    if not out["schema_match"]:
+        out["schema"] = (s_cols, o_cols)
+        return out
+    a, b = canon(spark_df), canon(oracle_df)
+    if not out["rows_match"]:
+        return out
+    exact = True
+    close = True
+    bad_cols = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            col_exact = (
+                (av.isna() & bv.isna()) | (av == bv)
+            ).all()
+        except Exception:
+            col_exact = False
+        if col_exact:
+            continue
+        exact = False
+        # float tolerance pass
+        try:
+            af = av.astype(float)
+            bf = bv.astype(float)
+            both_nan = af.isna() & bf.isna()
+            col_close = (
+                both_nan
+                | (abs(af - bf) <= 1e-9 + 1e-9 * abs(bf).fillna(0))
+            ).all()
+        except Exception:
+            col_close = False
+        if not col_close:
+            close = False
+        bad_cols.append(c)
+    out["values_exact"] = bool(exact)
+    out["values_close"] = bool(exact or close)
+    if bad_cols:
+        out["bad_cols"] = bad_cols
+        c = bad_cols[0]
+        merged = pd.DataFrame({"spark": a[c], "oracle": b[c]})
+        diff = merged[
+            ~(
+                (merged["spark"].isna() & merged["oracle"].isna())
+                | (merged["spark"] == merged["oracle"])
+            )
+        ]
+        out["sample_diff"] = diff.head(5).to_dict("records")
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[4]", shuffle_partitions=8)
+    con = duckdb_conn(sf_dir)
+
+    failures = []
+    warnings = []
+    for name, qd in sorted(QUERY_REGISTRY.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = qd.builder(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if qd.oracle is None:
+            status = "rows-only"
+            print(f"OK?   {name}: {len(sdf)} rows ({status}, no oracle)")
+            continue
+        try:
+            odf = con.execute(qd.oracle).fetchdf()
+        except Exception as e:
+            failures.append((name, f"oracle error: {e}"))
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        res = compare(sdf, odf)
+        if not (res.get("rows_match") and res.get("schema_match")):
+            failures.append((name, res))
+            print(f"FAIL  {name}: {res}")
+        elif not res.get("values_exact"):
+            if res.get("values_close"):
+                warnings.append((name, res))
+                print(
+                    f"WARN  {name}: close-not-exact cols={res.get('bad_cols')}"
+                )
+                print(f"      sample: {res.get('sample_diff')}")
+            else:
+                failures.append((name, res))
+                print(
+                    f"FAIL  {name}: value mismatch cols={res.get('bad_cols')} "
+                    f"sample={res.get('sample_diff')}"
+                )
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows bit-exact")
+    print(
+        f"\n{len(failures)} failures, {len(warnings)} close-not-exact "
+        f"warnings"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
