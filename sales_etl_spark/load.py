@@ -1,0 +1,108 @@
+"""Sinks (reference ``etl/load.py`` parity, Spark-native).
+
+The reference loads into PostgreSQL with psycopg2: DDL bootstrap,
+truncate-and-reload for facts/marts, ON CONFLICT upsert for the dim
+(etl/load.py:29-157). The Spark-native surface:
+
+- engine-native: partitioned parquet (the lake path — what the bench
+  and tests exercise; no DB in this environment);
+- JDBC append / truncate-overwrite via ``df.write.jdbc`` — same
+  semantics as the reference's batch INSERT and TRUNCATE+reload, with
+  per-partition parallel writers instead of one connection;
+- upsert = engine-side last-wins compaction (operators/upsert.py)
+  followed by truncate-overwrite; a true in-DB MERGE needs a staging
+  table + ``MERGE INTO`` statement, documented in ``jdbc_upsert``.
+
+Output typing is explicit: ``cast_for_sink`` replaces the reference's
+per-row Python coercions (etl/load.py:63-77) with one projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+
+
+def cast_for_sink(df: DataFrame, types: Mapping[str, str]) -> DataFrame:
+    """Explicit cast projection at the sink boundary — the declarative
+    form of etl/load.py:63-77's int()/float()/.date() loop."""
+    cols = [
+        (df[c].cast(t).alias(c) if c in types else df[c])
+        for c, t in ((c, types.get(c)) for c in df.columns)
+    ]
+    return df.select(*cols)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Iterable[str] = (),
+) -> None:
+    """Engine-native sink. ``partition_by`` on a low-cardinality column
+    (e.g. month) gives partition pruning to every downstream reader —
+    the 100 TB replacement for the reference's whole-table TRUNCATE:
+    dynamic partition overwrite rewrites only touched partitions."""
+    writer = df.write.mode(mode)
+    partition_by = list(partition_by)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    truncate: bool = False,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: Mapping[str, str] | None = None,
+) -> None:
+    """JDBC sink (reference etl/load.py:58-78 batch insert; 40-55
+    truncate). ``mode='overwrite', truncate=True`` is TRUNCATE+reload
+    without dropping DDL; ``batchsize`` is the executemany batch;
+    ``num_partitions`` caps concurrent connections."""
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("truncate", "true" if truncate else "false")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Iterable[str],
+    order_by: Iterable[str],
+    properties: Mapping[str, str] | None = None,
+) -> None:
+    """Upsert into a JDBC table (reference ON CONFLICT DO UPDATE,
+    etl/load.py:81-109).
+
+    Engine-side: compact to one winning row per key (deterministic
+    last-wins), then truncate-overwrite — idempotent like the
+    reference's upsert, and scales as a single shuffle + parallel
+    write. For incremental in-DB merges instead, write ``df`` to a
+    staging table with :func:`jdbc_write` and run
+    ``MERGE INTO target USING staging ON (keys) WHEN MATCHED THEN
+    UPDATE ... WHEN NOT MATCHED THEN INSERT ...`` via the DB's own
+    client — Spark's JDBC writer has no MERGE mode.
+    """
+    from sales_etl_spark.operators.upsert import upsert_last_wins
+
+    compacted = upsert_last_wins(df, keys=keys, order_by=order_by)
+    jdbc_write(
+        compacted, url, table, mode="overwrite", truncate=True,
+        properties=properties,
+    )
