@@ -1,0 +1,299 @@
+"""Deduplication operators for document-scale corpora.
+
+Four tiers, cheapest first — the standard LLM-data-pipeline ladder:
+
+1. exact: hash-groupBy on a content fingerprint — one shuffle of
+   (fingerprint, id), nothing else moves;
+2. n-gram Jaccard: exact set-overlap via shingle inverted index —
+   precise but pair-quadratic in the worst case; fine below ~10^6 docs
+   per shingle bucket, the verification stage for candidates;
+3. MinHash + LSH banding: near-dup at corpus scale — cost linear in
+   docs × signature width, candidate pairs only where a band bucket
+   collides;
+4. SimHash: 64-bit Hamming sketch — cheapest signature, banding on
+   16-bit quarters for candidate generation.
+
+All signatures use xxhash64 (seeded, JVM built-in) — deterministic
+across runs/partitions, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sales_etl_spark.functions.text import fingerprint, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """One survivor per identical (normalized) content: group by
+    fingerprint, keep the min/max id — deterministic, single shuffle
+    on the 128-bit fingerprint (uniform keys, no skew)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) over word n-gram sets.
+
+    Plan: distinct (id, shingle) → self-join on shingle (the inverted
+    index) → count common shingles per pair → join set sizes →
+    jaccard = common / (|A| + |B| − common).
+
+    Scale note: the self-join fans out per shingle bucket; a stopword
+    shingle shared by 10^5 docs creates 10^10 pairs. Production recipe:
+    drop shingles above a document-frequency cap (they carry no
+    discriminating power) — exposed as ``max_shingle_df``."""
+    sh = (
+        df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def dedup_by_df_cap(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap — the
+    skew guard for the inverted-index join at corpus scale."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = freq.filter(F.col("df") <= max_shingle_df).select("shingle")
+    return sh.join(F.broadcast(keep), "shingle")
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document.
+
+    One explode of shingles, then ``num_hashes`` seeded xxhash64
+    columns reduced by min in a single groupBy — one shuffle total,
+    signature width costs only map-side CPU. Seeds are the literal
+    hash-function index so the signature is a pure function of
+    content."""
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    mins = [
+        F.min(
+            F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    bands=8 × rows=4 over a 32-wide signature → collision probability
+    ≈ 1−(1−j⁴)⁸: ~0.97 at j=0.8, ~0.04 at j=0.2 — the usual S-curve.
+    Candidates are verified with the *estimated* Jaccard (fraction of
+    agreeing signature positions); swap in ngram_jaccard_pairs on the
+    candidate set when exactness matters.
+
+    Shuffles: signature groupBy, band-bucket self-join, pair distinct —
+    all on hashed (uniform) keys. No quadratic blowup unless a bucket
+    is hot, and hot buckets mean near-identical docs, which is the
+    signal itself."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc", "signature", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b",
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, each bit votes
+    ±1 weighted by term frequency, sign of the vote is the bit.
+
+    One explode + one groupBy with ``bits`` conditional sums — wide
+    but flat; everything stays in one shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    hashed = toks.withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup candidates: docs whose SimHashes agree on at least one
+    (64/bands)-bit band, verified by exact Hamming ≤ ``max_hamming``
+    via bit_count(xor).
+
+    Pigeonhole guarantee: a pair at Hamming distance ≤ bands−1 always
+    shares a band, so set ``bands > max_hamming`` for exhaustive
+    recall within the radius (defaults: 8 bands of 8 bits cover ≤7
+    exactly and ≤8 with high probability). More bands = more candidate
+    join fan-out — the recall/cost dial."""
+    band_width = 64 // bands
+    mask = (1 << band_width) - 1
+    sh = simhash(df, id_col, text_col)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("band"),
+                F.shiftright("simhash", q * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for q in range(bands)
+        ]
+    )
+    banded = sh.select(
+        "doc", "simhash", F.explode(band_arr).alias("bb")
+    ).select("doc", "simhash", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

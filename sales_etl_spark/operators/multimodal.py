@@ -1,0 +1,135 @@
+"""Multimodal columns: media as opaque binary + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column (or a reference into object storage), metadata is a
+typed struct, and decode/feature-extraction runs as Arrow-batched
+``mapInPandas`` — Spark moves bytes, Python touches each batch once.
+
+The decode kernels themselves are STUBBED here (no image/audio libs in
+this environment): ``decode_stub=True`` produces deterministic fake
+features so the plumbing — schema, batching, partition flow — is real
+and testable; ``decode_stub=False`` raises NotImplementedError at the
+exact point a real libjpeg/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of featurize_media — fixed regardless of stub/real.
+MEDIA_FEATURES_SCHEMA = (
+    "media_id long, media_type string, byte_length int, "
+    "content_hash string, width int, height int, n_frames int"
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: wrap the documents table as a media table (payload =
+    UTF-8 bytes of text) so the binary plumbing runs on real testdata.
+    A production ingest lands actual image/audio bytes in ``payload``
+    with the same shape."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real decoder: derive fake
+    dimensions/frame-count from the content hash. REPLACE with
+    PIL/libav calls when the libs exist."""
+    h = hashlib.sha256(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 64
+    return width, height, n_frames
+
+
+def featurize_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Per-item media features via Arrow-batched mapInPandas.
+
+    Each Python batch is a pandas DataFrame of ~10k rows (Arrow batch
+    size), so per-row Python overhead amortizes; the payload bytes
+    cross to Python exactly once. Partitioning is inherited — size
+    input partitions by bytes (maxPartitionBytes), not row count,
+    when payloads are large."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/libav; install and "
+                    "replace _fake_decode"
+                )
+            rows = []
+            for media_id, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                w, h, nf = _fake_decode(data, mtype)
+                rows.append(
+                    (
+                        media_id,
+                        mtype,
+                        len(data),
+                        hashlib.md5(data).hexdigest(),
+                        w,
+                        h,
+                        nf,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "byte_length",
+                    "content_hash",
+                    "width",
+                    "height",
+                    "n_frames",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, decode_stub: bool = True
+) -> DataFrame:
+    """Explode each video into sampled frame rows (frame_idx stride =
+    ``every_n``) — the row-multiplying half of the multimodal surface.
+    Frame payloads are stubbed as content-hash strings; a real decoder
+    yields JPEG bytes per frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError("real frame extraction needs libav")
+            out = []
+            for media_id, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                _, _, nf = _fake_decode(data, mtype)
+                for idx in range(0, nf, every_n):
+                    frame_id = hashlib.md5(
+                        data + idx.to_bytes(4, "big")
+                    ).hexdigest()
+                    out.append((media_id, idx, frame_id))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_hash"]
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches, schema="media_id long, frame_idx int, frame_hash string"
+    )

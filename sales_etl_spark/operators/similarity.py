@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query
+  set, one scan of the corpus, per-query top-k. The right baseline at
+  any scale where queries ≪ corpus: cost = one pass, no index.
+- ``lsh_topk`` — random-hyperplane LSH: bucketed candidate
+  generation, exact re-rank inside buckets. The scale path when the
+  corpus is huge AND the query set is itself large: candidates shrink
+  per-query work from N to bucket size.
+
+Hyperplanes are generated from a fixed seed (numpy RandomState) and
+shipped as array literals — pure deterministic expressions, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sales_etl_spark.functions.vectors import cosine_rounded, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Physical shape: broadcast-nested-loop of corpus × queries (queries
+    broadcast), cosine in codegen, then per-query top-k. The window
+    shuffles (query_id)-partitioned scored rows; with q queries and N
+    corpus rows that is q·N scored rows — for large q·N switch to the
+    LSH tier or aggregate per-partition local top-k first.
+
+    Self-matches (same id both sides) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).crossJoin(F.broadcast(q))
+    scored = scored.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
+        query_id_col,
+        "neighbor_id",
+        cosine_rounded("__qv", "__cv").alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def lsh_signature(vec_col, planes: np.ndarray):
+    """Bucket id = sign bits of dot(vec, plane_i), packed to a long."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(
+            F.when(dot(vec_col, lit_plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def _multi_table_buckets(vec_col, tables: int, planes: int, dim: int, seed: int):
+    """Array of (table, bucket) structs — one signature per hash table,
+    each table drawing its own hyperplanes from a derived seed."""
+    entries = []
+    for t in range(tables):
+        hp = _hyperplanes(dim, planes, seed + 1000 * t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(vec_col, hp).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    tables: int = 8,
+    planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Recall math (sign agreement per plane p = 1 − θ/π): one b-bit
+    table hits with ~p^b; with L tables + 1-bit multiprobe the miss
+    probability compounds to (1 − (p^b + b·p^(b−1)(1−p)))^L — at the
+    defaults (L=8, b=6) that is ≳0.9 recall even for ~0.3-cosine
+    neighbors, measured 0.9+ on the test corpus. L and b are THE
+    recall/cost dials: corpus is replicated L× into buckets (map-side
+    only), candidates per query shrink 2^b×.
+
+    Shuffles: one equi-join on (table, bucket) + per-query top-k —
+    the corpus is never broadcast or crossed, so this is the path
+    when both corpus and query set are large."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(
+            _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
+        ).alias("tb"),
+    ).select("neighbor_id", "__cv", F.col("tb.table").alias("table"),
+             F.col("tb.bucket").alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
+        ).alias("tb"),
+    ).select(
+        query_id_col, "__qv", F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("q_bucket"),
+    )
+    # 1-bit multiprobe: exact bucket + all single-bit flips
+    probes = F.array(
+        F.col("q_bucket"),
+        *[
+            F.col("q_bucket").bitwiseXOR(F.lit(2**i)).cast("long")
+            for i in range(planes)
+        ],
+    )
+    q = q.select(
+        query_id_col, "__qv", "table", F.explode(probes).alias("bucket")
+    )
+    joined = c.join(q, ["table", "bucket"]).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        "neighbor_id",
+        cosine_rounded("__qv", "__cv").alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) by embedding cosine ≥ threshold.
+
+    Multi-table LSH self-join (near-identical vectors share a full
+    sign signature in at least one table w.h.p.), exact cosine verify,
+    pair dedup across tables. The embedding-modality analogue of
+    minhash_lsh_pairs — no self-crossJoin at any scale."""
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("__v"),
+        F.explode(
+            _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
+        ).alias("tb"),
+    ).select("doc", "__v", F.col("tb.table").alias("table"),
+             F.col("tb.bucket").alias("bucket"))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            cosine_rounded(F.col("a.__v"), F.col("b.__v")).alias("cosine_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,8 +1,552 @@
-"""LLM-data-pipeline extension queries (SURVEY.md §7.7).
+"""LLM-data-pipeline extension queries (SURVEY.md §7.7) + connector
+round-trips + event-time windows — the beyond-the-reference surface,
+each with a DuckDB oracle wherever ANSI SQL can express the semantics.
 
-Populated alongside the operator modules: dedup (exact / MinHash-LSH /
-SimHash / n-gram Jaccard), similarity search, text analysis, multimodal
-columns, event-time windows.
+Rows-only entries (no oracle): the LSH-approximate operators — their
+output is defined by hash-bucket collisions, which a SQL oracle would
+have to replicate hash-for-hash; the exact counterparts of each are
+oracle-checked, and the tests assert LSH ⊆/≈ exact instead.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_etl_spark.functions import text as TX
+from sales_etl_spark.functions.vectors import cosine_rounded
+from sales_etl_spark.operators import dedup, multimodal, similarity
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+from sales_etl_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+#: DuckDB expression mirroring functions.text.normalize_text
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: DuckDB expression mirroring functions.text.tokens(normalize_text)
+_TOKS = f"regexp_extract_all({_NORM}, '\\w+')"
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(regexp_extract_all(text, '\\w+')) AS n_words,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+           CASE WHEN len(regexp_extract_all(text, '\\w+')) > 0
+                THEN CAST(list_sum(list_transform(
+                         regexp_extract_all(text, '\\w+'),
+                         t -> length(t))) AS DOUBLE)
+                     / len(regexp_extract_all(text, '\\w+'))
+                ELSE 0.0 END AS avg_word_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\w+')) > 0
+                THEN CAST(len(list_filter(
+                         regexp_extract_all(lower(text), '\\w+'),
+                         t -> t IN ('the','a','of','and','to','in','is')))
+                     AS DOUBLE)
+                     / len(regexp_extract_all(lower(text), '\\w+'))
+                ELSE 0.0 END AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature set per document: char/word/BPE-token
+    counts, mean word length, punctuation + stopword ratios — all
+    codegen'd regex/array expressions, zero UDFs."""
+    st = _star(spark, sf_dir)
+    return st.documents.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars_calc"),
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens_bpe"),
+        TX.avg_word_len("text").alias("avg_word_len"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"len(list_filter(regexp_extract_all(lower(text), '\\w+'), "
+    f"t -> t IN ({', '.join(repr(w) for w in words)}))) AS s_{code}"
+    for code, words in sorted(TX.LANG_MARKERS.items())
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang, {_LANG_SCORES_SQL}
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic: per-language hit score, argmax
+    with alphabetical-first tie-break, 'und' when nothing matches."""
+    st = _star(spark, sf_dir)
+    return st.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit content fingerprint of whitespace/case-normalized text."""
+    st = _star(spark, sf_dir)
+    return st.documents.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per identical normalized
+    content; single shuffle on the uniform 128-bit fingerprint."""
+    st = _star(spark, sf_dir)
+    return dedup.exact_dedup(st.documents, "doc_id", "text")
+
+
+_SHINGLES_SQL = f"""
+    shingled AS (
+        SELECT doc_id AS doc,
+               list_transform(
+                   generate_series(1, greatest(len({_TOKS}) - 2, 1)),
+                   i -> array_to_string(({_TOKS})[i:i+2], ' ')
+               ) AS sh
+        FROM documents
+        WHERE len({_TOKS}) > 0
+    ),
+    sh AS (SELECT DISTINCT doc, unnest(sh) AS shingle FROM shingled)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT c.doc_a, c.doc_b, c.common,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(c.common AS DOUBLE)
+               / (sa.set_size + sb.set_size - c.common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc
+    JOIN sizes sb ON c.doc_b = sb.doc
+    WHERE CAST(c.common AS DOUBLE)
+          / (sa.set_size + sb.set_size - c.common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via shingle inverted index —
+    the precise verifier for near-dup candidates."""
+    st = _star(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        st.documents, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH near-dup candidates (est. Jaccard ≥
+    0.5). Approximate by construction → rows-only driver check; tested
+    against the exact Jaccard query in tests/test_dedup.py."""
+    st = _star(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        st.documents, "doc_id", "text",
+        num_hashes=32, bands=8, min_est_jaccard=0.5,
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidates (Hamming ≤ 8 via 16-bit band
+    collisions). Rows-only; recall vs exact checked in tests."""
+    st = _star(spark, sf_dir)
+    return dedup.simhash_pairs(st.documents, "doc_id", "text", max_hamming=8)
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / nullif(sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 0),
+               6) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / nullif(sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 0),
+               6) >= 0.5
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.5, a < b) — the
+    brute-force ground truth the LSH variant approximates. Sequential
+    fold = deterministic doubles; rounded to 1e-6 for hash parity."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_rounded(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= 0.5)
+    )
+
+
+@query("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (threshold 0.9) — the
+    scale path (no self-crossJoin). Rows-only; recall vs the exact
+    pairs query asserted in tests."""
+    st = _star(spark, sf_dir)
+    return similarity.embedding_cosine_dedup(st.embeddings, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(
+                   {_DOT_SQL.format(a='q.qv', b='e.embedding')}
+                   / nullif(sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})
+                          * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}), 0),
+                   6) AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast
+    queries, one corpus scan, per-query top-k. The ANN baseline."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    return similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane buckets + 1-bit
+    multiprobe — corpus never broadcast/crossed. Rows-only; recall vs
+    exact asserted in tests."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 6)
+               AS l2_norm
+    FROM embeddings
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (embedding hygiene check before cosine ops)."""
+    st = _star(spark, sf_dir)
+    from sales_etl_spark.functions.vectors import norm
+
+    return st.embeddings.select(
+        "vec_id", "label", F.round(norm("embedding"), 6).alias("l2_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_length,
+           md5(text) AS content_hash,
+           CAST(16 + CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) % 240
+                AS INTEGER) AS width,
+           CAST(16 + CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 240
+                AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                ELSE 1 + CAST('0x' || substr(sha256(text), 5, 2) AS INTEGER) % 64
+                END AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column featurization through Arrow-batched mapInPandas:
+    payload bytes cross to Python once per batch, fixed output schema.
+    The decode kernel is the deterministic stub (no media libs here);
+    the oracle replicates it byte-for-byte from the content hash —
+    so this checks the whole Arrow/pandas plumbing, not just SQL."""
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_media(st.documents)
+    return multimodal.featurize_media(media, decode_stub=True)
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id AS media_id,
+               1 + CAST('0x' || substr(sha256(text), 5, 2) AS INTEGER) % 64
+                   AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 10))
+                          AS INTEGER) AS frame_idx
+    FROM vids
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per (video, every-10th-frame) via
+    mapInPandas explode — the row-multiplying multimodal op."""
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_media(st.documents)
+    return multimodal.sample_frames(media, every_n=10).select(
+        "media_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch forms; streaming twins in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction (semi-structured column surface)."""
+    st = _star(spark, sf_dir)
+    return st.events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "events_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type — identical
+    expression serves batch and streaming (streaming/windows.py)."""
+    st = _star(spark, sf_dir)
+    return tumbling_agg(st.events, "1 hour")
+
+
+@query(
+    "events_window_sliding",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               value
+        FROM events
+    )
+    SELECT w AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY w
+    """,
+)
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event in exactly two
+    windows; the oracle expands the two buckets explicitly)."""
+    st = _star(spark, sf_dir)
+    return sliding_agg(st.events, "1 hour", "30 minutes")
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)
+                    < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-min inactivity gap. Session end =
+    last event + gap (Spark session_window half-open semantics; the
+    oracle sessionizes with lag + cumulative flag — merge iff the gap
+    is strictly less than 30 min)."""
+    st = _star(spark, sf_dir)
+    return session_agg(st.events, "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Connector round-trips
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round-trip (reference S1: CSV scan with explicit
+    schema): write a CSV projection of documents to scratch, read it
+    back typed. Proves the schema-first CSV path end-to-end."""
+    from pyspark.sql import types as T
+
+    st = _star(spark, sf_dir)
+    out = SCRATCH / "scan_csv"
+    st.documents.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).option("header", True).csv(str(out))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.csv(str(out), header=True, schema=schema)
+
+
+@query(
+    "sink_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           l_shipdate
+    FROM lineitem
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip (reference S4's batch load as a lake
+    write): full-fidelity write + re-read of lineitem, including NTZ
+    timestamps."""
+    from sales_etl_spark.load import write_parquet
+
+    st = _star(spark, sf_dir)
+    out = str(SCRATCH / "sink_roundtrip")
+    write_parquet(st.lineitem, out)
+    return spark.read.parquet(out)

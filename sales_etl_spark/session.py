@@ -22,6 +22,10 @@ _RUNTIME_CONFS = {
     "spark.sql.ansi.enabled": "false",
     # Deterministic date/timestamp rendering; testdata timestamps are NTZ.
     "spark.sql.session.timeZone": "UTC",
+    # The driver's events.parquet carries TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read as long nanos and normalize in
+    # sources/star.py (exact integer µs division, no double rounding).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 #: Confs that must be set at session build time.

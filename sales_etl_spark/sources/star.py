@@ -32,11 +32,23 @@ class StarSchema:
         if name not in self._cache:
             if name not in schemas.STAR_REQUIRED:
                 raise KeyError(f"unknown star table: {name}")
-            self._cache[name] = read_parquet(
+            df = read_parquet(
                 self.spark,
                 f"{self.sf_dir}/{name}.parquet",
                 required=schemas.STAR_REQUIRED[name],
             )
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # TIMESTAMP(NANOS) parquet read as long nanos (see
+                # session._RUNTIME_CONFS): truncate to µs with exact
+                # integer division (DuckDB truncates identically), then
+                # to NTZ under the pinned UTC session.
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.expr("CAST(ts AS BIGINT) div 1000")
+                    ).cast("timestamp_ntz"),
+                )
+            self._cache[name] = df
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

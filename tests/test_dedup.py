@@ -1,0 +1,100 @@
+"""Dedup tier: controlled synthetic corpora with known duplicates,
+plus recall-vs-exact checks on the driver testdata (all deterministic
+— seeded hashes, no randomness at runtime)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sales_etl_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old oak door"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact duplicate
+        Row(doc_id=3, text="The  Quick  Brown fox jumps over the lazy dog "
+                           "while the cat sleeps on the warm mat near the "
+                           "old oak door"),  # case/space variant → exact dup
+        Row(doc_id=4, text=BASE.replace("dog", "wolf")),  # near-dup
+        Row(doc_id=5, text="completely different content about spark "
+                           "catalyst optimizer rules and shuffle exchanges "
+                           "in distributed query plans"),
+        Row(doc_id=6, text=""),  # empty doc edge case
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups_normalized_content(docs):
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r.doc_id: r.dup_count for r in out}
+    # 1,2,3 collapse (normalization folds case+whitespace); 4,5,6 unique
+    assert groups[1] == 3
+    assert groups[4] == 1
+    assert groups[5] == 1
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    # exact dups share all shingles
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0
+    # one-word substitution keeps most 3-grams
+    assert got[(1, 4)] > 0.7
+    # unrelated docs below threshold
+    assert (1, 5) not in got
+
+
+def test_minhash_lsh_recovers_known_pairs(docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, min_est_jaccard=0.5
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert (1, 4) in got  # near-dup caught
+    assert (1, 5) not in got
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs(docs, "doc_id", "text", max_hamming=7)
+             .collect()}
+    assert pairs[(1, 2)] == 0  # identical content → identical sketch
+    assert pairs[(1, 3)] == 0  # normalization-equal tokens (lowercased)
+    # near-dup measured at hamming 4 — within the ≤7 pigeonhole
+    # guarantee of 8-band bucketing, so it MUST be found
+    assert pairs[(1, 4)] <= 7
+    assert (1, 5) not in pairs  # hamming 32, far outside radius
+
+
+def test_minhash_recall_of_exact_high_jaccard_on_testdata(spark):
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    exact = QUERY_REGISTRY["dedup_ngram_jaccard"].builder(spark, SF_DIR)
+    approx = QUERY_REGISTRY["dedup_minhash_lsh"].builder(spark, SF_DIR)
+    hi = {(r.doc_a, r.doc_b) for r in exact.collect() if r.jaccard >= 0.8}
+    cand = {(r.doc_a, r.doc_b) for r in approx.collect()}
+    assert hi, "testdata should contain high-jaccard near-dups"
+    recall = len(hi & cand) / len(hi)
+    assert recall >= 0.9, f"minhash recall {recall} too low"

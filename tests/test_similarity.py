@@ -1,0 +1,76 @@
+"""Similarity tier: exact top-k sanity on synthetic vectors with known
+geometry + LSH recall floor on the driver testdata (deterministic —
+seeded hyperplanes)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import Row
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sales_etl_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_cosine_topk_orders_by_known_geometry(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=_vec(1, 0, 0, 0)),
+            Row(vec_id=2, embedding=_vec(0.9, 0.1, 0, 0)),   # closest to 1
+            Row(vec_id=3, embedding=_vec(0.5, 0.5, 0, 0)),   # next
+            Row(vec_id=4, embedding=_vec(0, 1, 0, 0)),       # orthogonal
+            Row(vec_id=5, embedding=_vec(-1, 0, 0, 0)),      # opposite
+        ]
+    )
+    queries = corpus.filter("vec_id = 1")
+    out = cosine_topk(corpus, queries, k=3).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine_sim > 0.99
+
+
+def test_cosine_topk_excludes_self_and_respects_k(spark):
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=_vec(i, 1, 0, 0)) for i in range(1, 8)]
+    )
+    out = cosine_topk(corpus, corpus.filter("vec_id = 1"), k=4).collect()
+    assert len(out) == 4
+    assert all(r.neighbor_id != 1 for r in out)
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    exact = QUERY_REGISTRY["ann_cosine_topk"].builder(spark, SF_DIR)
+    approx = QUERY_REGISTRY["ann_lsh_topk"].builder(spark, SF_DIR)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # deterministic with seeded hyperplanes; measured 0.90 at defaults
+    assert recall >= 0.85, f"LSH recall {recall} below floor"
+
+
+def test_lsh_topk_exact_match_for_identical_vectors(spark):
+    v = _vec(*([0.5] * 64))
+    corpus = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v), Row(vec_id=2, embedding=v)]
+        + [
+            Row(vec_id=i, embedding=_vec(*([0.1 * (i % 7 - 3)] * 32 + [1.0] * 32)))
+            for i in range(3, 10)
+        ]
+    )
+    out = lsh_topk(corpus, corpus.filter("vec_id = 1"), k=1).collect()
+    # an identical vector always shares every bucket → rank 1, sim 1.0
+    assert out[0].neighbor_id == 2
+    assert abs(out[0].cosine_sim - 1.0) < 1e-6
