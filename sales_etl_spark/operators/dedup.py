@@ -22,7 +22,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sales_etl_spark.functions.text import fingerprint, shingles, tokens
+from sales_etl_spark.functions.text import (
+    WORD_RE,
+    fingerprint,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (doc, shingle) pairs, tokenizing once per document:
+    tokens materialize in their own projection so the shingle lambda
+    slices a concrete array instead of re-running the regex per gram
+    (see functions.text.shingles_from_tokens)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalize_text(text_col), WORD_RE).alias("__toks"),
+        )
+        .select(
+            "doc",
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
 
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
@@ -65,11 +89,9 @@ def ngram_jaccard_pairs(
     shingle shared by 10^5 docs creates 10^10 pairs. Production recipe:
     drop shingles above a document-frequency cap (they carry no
     discriminating power) — exposed as ``max_shingle_df``."""
-    sh = (
-        df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
-        .select("doc", F.explode("sh").alias("shingle"))
-        .distinct()
-    )
+    # reused three times (index sides a/b + set sizes): cache the
+    # exploded index instead of re-scanning + re-shingling per use
+    sh = _exploded_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -113,22 +135,39 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per document.
 
-    One explode of shingles, then ``num_hashes`` seeded xxhash64
-    columns reduced by min in a single groupBy — one shuffle total,
-    signature width costs only map-side CPU. Seeds are the literal
-    hash-function index so the signature is a pure function of
-    content."""
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(text_col, shingle_n)).alias("shingle"),
-    ).distinct()
+    One explode of shingles, ONE xxhash64 per shingle, then
+    ``num_hashes`` universal-hash variants (h_i = a_i·h + b_i over the
+    wrapping 64-bit ring — 32 multiply-adds instead of 32 string
+    hashes) reduced by min in a single groupBy. No distinct before the
+    min: min is duplicate-insensitive, so deduplicating shingles first
+    would buy nothing and cost a full extra shuffle. Total: one
+    shuffle, map-side CPU linear in shingles."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # odd multipliers → bijections on the 64-bit ring
+    mult = [int(a) | 1 for a in rng.randint(1, 2**62, size=num_hashes)]
+    add = [int(b) for b in rng.randint(0, 2**62, size=num_hashes)]
+
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalize_text(text_col), WORD_RE).alias("__toks"),
+        )
+        .select(
+            "doc",
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .select("doc", F.xxhash64("shingle").alias("h"))
+    )
     mins = [
-        F.min(
-            F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))
-        ).alias(f"h{i}")
+        F.min(F.lit(mult[i]) * F.col("h") + F.lit(add[i])).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = exploded.groupBy("doc").agg(*mins)
@@ -179,6 +218,9 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", "signature", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc", "signature", "bb.band", "bb.bucket")
+    # signatures are tiny (num_hashes longs/doc); cache so the shingle
+    # explode + min-agg pipeline runs once, not once per join side
+    banded = banded.cache()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -277,7 +319,7 @@ def simhash_pairs(
     )
     banded = sh.select(
         "doc", "simhash", F.explode(band_arr).alias("bb")
-    ).select("doc", "simhash", "bb.band", "bb.bucket")
+    ).select("doc", "simhash", "bb.band", "bb.bucket").cache()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -191,7 +191,7 @@ def embedding_cosine_dedup(
             _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
         ).alias("tb"),
     ).select("doc", "__v", F.col("tb.table").alias("table"),
-             F.col("tb.bucket").alias("bucket"))
+             F.col("tb.bucket").alias("bucket")).cache()
     a = sig.alias("a")
     b = sig.alias("b")
     return (
