@@ -1,0 +1,140 @@
+"""Temporal join operators: as-of join and time-range window aggregates.
+
+The reference has no temporal joins (SURVEY.md §2.5: "not present:
+... theta/range/as-of/interval joins"); these are the Spark-native
+extension the ``events`` table (event-time ``ts``) is designed for.
+
+Scale design
+------------
+``asof_join`` is the union/sort-merge formulation: tag both sides,
+union on the key columns, and carry the right side's payload forward
+with ``last(..., ignorenulls=True)`` over a (key, time)-ordered
+window. Cost is ONE shuffle of |L|+|R| rows on the join key — no row
+explosion, no per-row binary search, no broadcast requirement. This is
+the plan that survives 100 TB: a naive ``L JOIN R ON key AND r.ts <=
+l.ts`` + max-per-group explodes to |L|·|R_key| intermediate rows,
+while the window form stays linear and sorts within partitions
+(spillable ExternalSort).
+
+``time_range_agg`` expresses "aggregate the trailing T seconds per
+row" as a RANGE window frame over the event-time axis — again one
+shuffle + one in-partition sort, versus the self-join's quadratic
+blowup per hot key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of
+    the LATEST right row with ``right.ts <= left.ts`` and equal ``by``
+    keys (inclusive on ties, like DuckDB/pandas ``ASOF JOIN``).
+
+    Right rows that tie exactly on (by, ts) must be pre-deduplicated
+    by the caller (keep-one-per-key, e.g. ``dedup_keep_first``) — the
+    carry-forward picks an arbitrary one otherwise.
+
+    With ``tolerance_seconds`` set, matches older than the tolerance
+    are nulled out (pandas ``merge_asof(tolerance=...)`` semantics).
+
+    Output: all left columns + ``right_payload`` columns (null when no
+    prior right row exists).
+    """
+    by = list(by)
+    payload = list(right_payload)
+    left_cols = left.columns
+
+    # Aligned union schema: keys, event time, side tag, both payloads.
+    # Right sorts before left on equal timestamps (side 0 < 1) so the
+    # carry-forward is inclusive of ts-equal right rows.
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
+    )
+    lhs = left.select(
+        *by,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(r.select(*lhs.columns)).select(
+        "__t",
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__matched_t"),
+        *[F.col(f"__l_{c}") for c in left_cols],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        in_tol: Column = F.col("__matched_t").cast("double") >= (
+            F.col("__t").cast("double") - F.lit(float(tolerance_seconds))
+        )
+        out = out.select(
+            "__t",
+            "__side",
+            "__matched_t",
+            *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
+            *[F.col(f"__l_{c}") for c in left_cols],
+        )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *payload,
+    )
+
+
+def time_range_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts: str,
+    aggs: dict[str, Column],
+    lookback_seconds: int,
+) -> DataFrame:
+    """Trailing time-window aggregate per row: for each row, aggregate
+    all same-key rows with ``ts in [row.ts - lookback, row.ts]``
+    (inclusive both ends, self included).
+
+    Expressed as a RANGE frame over microsecond epoch — one shuffle on
+    the key, one in-partition sort, linear state; the equivalent
+    range self-join materializes every (row, neighbor) pair.
+
+    ``aggs`` maps output column name -> aggregate Column (built from
+    the caller's value columns).
+    """
+    # unix_micros requires an instant; NTZ event time is reinterpreted
+    # under the engine's pinned UTC session (session.py), so the cast
+    # is a pure relabel — wall-clock arithmetic is unchanged.
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
+        .rangeBetween(-int(lookback_seconds) * 1_000_000, 0)
+    )
+    return df.select(
+        "*", *[expr.over(w).alias(name) for name, expr in aggs.items()]
+    )

@@ -12,5 +12,6 @@ from sales_etl_spark.plans.registry import QUERY_REGISTRY, query
 # Importing these modules populates the registry.
 from sales_etl_spark.plans import core  # noqa: F401
 from sales_etl_spark.plans import extensions  # noqa: F401
+from sales_etl_spark.plans import temporal  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "query"]

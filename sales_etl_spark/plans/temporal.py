@@ -1,0 +1,263 @@
+"""Temporal joins + statistical aggregates (extension surface).
+
+SURVEY.md §2.5 lists as-of/range/interval joins and §2.4 lists
+stddev/median/percentile as "not present" in the reference — these
+queries close that gap Spark-first:
+
+- as-of join: union/sort-merge carry-forward (operators/temporal.py),
+  ONE shuffle, linear — the 100 TB plan (no row explosion);
+- trailing time-range aggregate: RANGE window frame, not a self-join;
+- stats: decimal-exact sums + an explicit sum-of-squares stddev so the
+  distributed result is bit-identical to the single-threaded oracle;
+- discrete median: distributed order statistic via row_number — exact,
+  interpolation-free, and identically defined in both engines;
+- pivot: conditional decimal sums over a fixed status domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sales_etl_spark.functions.scalars import month_str
+from sales_etl_spark.operators import temporal
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+@query(
+    "join_asof_prior_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts,
+               event_id AS purchase_event_id,
+               value    AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_event_id, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click event gets the same user's most
+    recent purchase at-or-before it (null if none yet). Oracle is
+    DuckDB's native ASOF LEFT JOIN; the Spark side is the union/
+    sort-merge carry-forward (operators/temporal.py:asof_join) — one
+    shuffle on user_id, no |clicks|x|purchases| blowup. (user_id, ts)
+    is unique in events, so the match is deterministic."""
+    st = _star(spark, sf_dir)
+    ev = st.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return temporal.asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_event_id", "purchase_value"],
+    )
+
+
+@query(
+    "window_time_range",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           COUNT(*) AS n_events_1h,
+           CAST(SUM(CAST(e2.value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value_1h
+    FROM events e
+    JOIN events e2
+      ON e.user_id = e2.user_id
+     AND e2.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity (count + exact value sum,
+    self-inclusive) as a RANGE window frame over microsecond epoch —
+    one shuffle + in-partition sort, versus the oracle's range
+    self-join that materializes every (event, neighbor) pair. The
+    frame is the formulation that survives hot keys at 100 TB."""
+    st = _star(spark, sf_dir)
+    out = temporal.time_range_agg(
+        st.events.select("event_id", "user_id", "ts", "value"),
+        partition_by=["user_id"],
+        ts="ts",
+        aggs={
+            "n_events_1h": F.count(F.lit(1)),
+            "total_value_1h": F.sum(F.col("value").cast("decimal(18,6)")),
+        },
+        lookback_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "n_events_1h",
+        F.col("total_value_1h").cast("double").alias("total_value_1h"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority AS category,
+               o_totalprice,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(12,0)) AS c
+        FROM orders
+    ),
+    sums AS (
+        SELECT category,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(c) AS DOUBLE) AS s1c,
+               CAST(SUM(c * c) AS DOUBLE) AS s2c
+        FROM cents
+        GROUP BY category
+    )
+    SELECT category, n_orders, min_price, max_price,
+           s1 AS total_price,
+           s1 / n_orders AS avg_price,
+           sqrt((s2c - s1c * s1c / n_orders) / (n_orders - 1)) / 100
+               AS stddev_price
+    FROM sums
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category order statistics with a distributed-safe stddev:
+    both moments accumulate as exact integer-cent DECIMALs
+    (order-independent under any partitioning, and a scale-0 integer
+    converts to double with ONE identical rounding in both engines —
+    a fractional-scale decimal does not: int128→double→/10^s double-
+    rounds in DuckDB), then the stddev is the identical double
+    expression sqrt((Σc² - (Σc)²/n)/(n-1))/100 on both sides.
+    Native stddev_samp would be partitioning-order dependent."""
+    st = _star(spark, sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    c = (dec * F.lit(100)).cast("decimal(12,0)")
+    sums = st.orders.groupBy(
+        F.col("o_orderpriority").alias("category")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(c).cast("double").alias("s1c"),
+        F.sum(c * c).cast("double").alias("s2c"),
+    )
+    n = F.col("n_orders")
+    s1, s1c, s2c = F.col("s1"), F.col("s1c"), F.col("s2c")
+    return sums.select(
+        "category",
+        "n_orders",
+        "min_price",
+        "max_price",
+        s1.alias("total_price"),
+        (s1 / n).alias("avg_price"),
+        (F.sqrt((s2c - s1c * s1c / n) / (n - F.lit(1))) / 100).alias(
+            "stddev_price"
+        ),
+    )
+
+
+@query(
+    "agg_median_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS category,
+               o_totalprice AS price,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_orders
+        FROM orders
+    )
+    SELECT category, n_orders, price AS median_price
+    FROM ranked
+    WHERE rn = FLOOR((n_orders + 1) / 2.0)
+    """,
+)
+def agg_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median per group as a distributed order
+    statistic: row_number over the value order, pick rank
+    floor((n+1)/2). Interpolation-free (returns an actual data value),
+    so there is no float-arithmetic ambiguity between engines; ties in
+    the value column cannot change the selected value. At 100 TB this
+    is one shuffle per group column — versus collect-and-sort, which
+    does not exist at that scale."""
+    st = _star(spark, sf_dir)
+    w_rank = Window.partitionBy("category").orderBy("price")
+    w_all = Window.partitionBy("category")
+    ranked = st.orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").alias("price"),
+    ).select(
+        "category",
+        "price",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_orders"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("n_orders") + 1) / 2.0)
+    ).select("category", "n_orders", F.col("price").alias("median_price"))
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × order-status pivot over a FIXED status domain (F/O/P).
+    Explicit pivot values keep the plan single-pass — omitting them
+    costs an extra distinct-scan job to discover the domain, which is
+    the difference between one and two full-table passes at scale."""
+    st = _star(spark, sf_dir)
+    df = st.orders.select(
+        month_str(F.col("o_orderdate")).alias("month"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    out = df.groupBy("month").pivot("o_orderstatus", ["F", "O", "P"]).agg(
+        F.sum("p")
+    )
+    return out.select(
+        "month",
+        F.col("F").cast("double").alias("f_total"),
+        F.col("O").cast("double").alias("o_total"),
+        F.col("P").cast("double").alias("p_total"),
+    )
