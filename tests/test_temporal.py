@@ -1,0 +1,127 @@
+"""Unit tier for temporal operators (as-of join, time-range frames).
+
+Mirrors the reference's inline-golden-fixture style
+(tests/test_transform.py in /root/reference) on tiny literal frames —
+the oracle tier (test_queries_oracle.py) covers the same operators on
+real testdata vs DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sales_etl_spark.operators.temporal import asof_join, time_range_agg
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark):
+    rows = [
+        # (user, ts, side-payload)
+        (1, _ts("2024-01-01T10:00:00"), 100, 5.0),
+        (1, _ts("2024-01-01T12:00:00"), 101, 7.0),
+        (2, _ts("2024-01-01T11:00:00"), 200, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, purchase_id long, amount double"
+    )
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), "a"),  # before any purchase
+            (1, _ts("2024-01-01T11:30:00"), "b"),  # after 10:00, before 12:00
+            (1, _ts("2024-01-01T12:00:00"), "c"),  # tie → inclusive
+            (2, _ts("2024-01-01T23:00:00"), "d"),  # user 2's only purchase
+            (3, _ts("2024-01-01T10:00:00"), "e"),  # user with no purchases
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left,
+        _events(spark),
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id", "amount"],
+    )
+    got = {r["tag"]: (r["purchase_id"], r["amount"]) for r in out.collect()}
+    assert got == {
+        "a": (None, None),
+        "b": (100, 5.0),
+        "c": (101, 7.0),  # ts-equal right row matches (inclusive)
+        "d": (200, 9.0),
+        "e": (None, None),
+    }
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T13:30:00"), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    # 12:00 purchase is 90 min old: within 2h, outside 1h.
+    kwargs = dict(
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id", "amount"],
+    )
+    wide = asof_join(
+        left, _events(spark), tolerance_seconds=7200, **kwargs
+    ).collect()[0]
+    tight = asof_join(
+        left, _events(spark), tolerance_seconds=3600, **kwargs
+    ).collect()[0]
+    assert wide["purchase_id"] == 101
+    assert tight["purchase_id"] is None and tight["amount"] is None
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a")] * 3,
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left,
+        _events(spark),
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id"],
+    )
+    assert out.count() == 3  # left join: never drops or duplicates left rows
+
+
+def test_time_range_agg_trailing_window_inclusive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1.0),
+            (1, _ts("2024-01-01T10:30:00"), 2.0),
+            (1, _ts("2024-01-01T11:00:00"), 4.0),  # 10:00 still in [-1h, now]
+            (1, _ts("2024-01-01T12:30:00"), 8.0),  # all others aged out
+            (2, _ts("2024-01-01T10:15:00"), 16.0),  # other key: isolated
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = time_range_agg(
+        df,
+        partition_by=["user_id"],
+        ts="ts",
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("value")},
+        lookback_seconds=3600,
+    )
+    got = {
+        (r["user_id"], r["ts"].isoformat()): (r["n"], r["s"])
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-01T10:00:00")] == (1, 1.0)
+    assert got[(1, "2024-01-01T10:30:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01T11:00:00")] == (3, 7.0)  # inclusive both ends
+    assert got[(1, "2024-01-01T12:30:00")] == (1, 8.0)
+    assert got[(2, "2024-01-01T10:15:00")] == (1, 16.0)
