@@ -27,7 +27,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "agg_sales_summary",
     "agg_avg_check_by_region",
+    "agg_stats",
     "topk_product_ranking",
+    "join_asof_prior_purchase",
     "upsert_last_wins",
     "window_running_sum",
     "dedup_exact_docs",

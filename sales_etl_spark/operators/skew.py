@@ -1,0 +1,96 @@
+"""Skew mitigation: salted aggregation and salted broadcast-fragment join.
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime; these explicit operators cover the two cases AQE cannot:
+
+- **salted aggregation**: a groupBy whose key distribution is so hot
+  that single final-agg tasks become stragglers even after partial
+  aggregation (e.g. 3-value status keys over billions of rows). The
+  two-phase form bounds any task's input at ~1/n_salts of a hot key.
+- **salted join**: replicate the small side n_salts times instead of
+  relying on AQE's split (useful when the skewed side feeds a
+  downstream op that must keep the salted partitioning).
+
+Correctness note: sums/counts/min/max decompose over salt groups, and
+the engine's DECIMAL money sums are exact, so the salted result is
+bit-identical to the unsalted one under any partitioning — which is
+how the oracle tier can check a distributed-only rewrite against
+plain ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Aggregates that decompose as agg(agg(partial)) over salt groups.
+_MERGEABLE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
+    """Uniform row salt in [0, n_salts). Derived from a seeded
+    per-row rand — any uniform source works because downstream
+    aggregates are salt-invariant by construction."""
+    return df.withColumn(
+        col_name, F.floor(F.rand(seed=42) * n_salts).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name -> (kind, input column) with kind in
+    {sum, count, min, max}. Phase 1 aggregates by (keys + salt) —
+    splitting every hot key across ``n_salts`` reducers — phase 2
+    merges the per-salt partials by ``keys`` (tiny input:
+    |groups| × n_salts rows).
+    """
+    unknown = {k for k, _ in aggs.values()} - set(_MERGEABLE)
+    if unknown:
+        raise ValueError(f"non-mergeable aggregate kinds: {sorted(unknown)}")
+    salted = with_salt(df, n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[
+            (F.count(col) if kind == "count" else _MERGEABLE[kind](col)).alias(
+                f"__p_{name}"
+            )
+            for name, (kind, col) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            _MERGEABLE[kind](F.col(f"__p_{name}")).alias(name)
+            for name, (kind, _) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, explode the small side
+    across all salt values, join on (keys + salt). The small side grows
+    n_salts×, the hot key's rows spread over n_salts tasks.
+    """
+    on = list(on)
+    big = with_salt(skewed, n_salts)
+    replicated = small.withColumn(
+        "__salt", F.explode(F.lit(list(range(n_salts))))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return big.join(replicated, on + ["__salt"], how).drop("__salt")

@@ -550,3 +550,78 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = str(SCRATCH / "sink_roundtrip")
     write_parquet(st.lineitem, out)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation + JSON connector
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically hot key
+    (l_returnflag has 3 values → 3 reducers unsalted, regardless of
+    cluster size). The salt splits each hot key across 16 reducers;
+    DECIMAL partials make the merged result bit-identical to the
+    oracle's plain GROUP BY — the distributed-only rewrite is fully
+    hash-checkable (operators/skew.py)."""
+    from sales_etl_spark.operators import skew
+
+    st = _star(spark, sf_dir)
+    out = skew.salted_agg(
+        st.lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.col("l_quantity").alias("qty"),
+        ),
+        keys=["returnflag"],
+        aggs={
+            "n_lines": ("count", F.lit(1)),
+            "total_price": ("sum", F.col("price")),
+            "max_qty": ("max", F.col("qty")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "returnflag",
+        "n_lines",
+        F.col("total_price").cast("double").alias("total_price"),
+        "max_qty",
+    )
+
+
+@query(
+    "scan_jsonl",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round-trip: write a documents projection
+    as JSONL, read it back with an explicit schema (no inference pass
+    — at scale schema inference is a full extra read of the corpus)."""
+    from pyspark.sql import types as T
+
+    st = _star(spark, sf_dir)
+    out = SCRATCH / "scan_jsonl"
+    st.documents.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(str(out))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.json(str(out), schema=schema)

@@ -40,6 +40,9 @@ _BUILD_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimension tables (region/nation/customer at test SFs) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Managed-table warehouse for bucketed tables (sources/bucketed.py);
+    # out of the repo tree so test runs never dirty the working copy.
+    "spark.sql.warehouse.dir": "/tmp/sales_etl_spark_warehouse",
 }
 
 
