@@ -83,3 +83,68 @@ def test_stream_dedup_drops_replayed_events(spark, events_dir, tmp_path):
     assert n.total == n.n, "duplicates survived the watermark dedup"
     assert n.n == base.count()
     q.stop()
+
+
+def test_stateful_user_profile_final_state_equals_batch(spark, events_dir):
+    """applyInPandasWithState running profile: after the stream drains,
+    the last emission per user must equal the batch groupBy over the
+    same files (state correctly accumulated across micro-batches —
+    maxFilesPerTrigger forces >1 batch)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.streaming.stateful import user_profile_stream
+    from sales_etl_spark.streaming.windows import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .select("user_id", "ts", "value")
+    )
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("profile_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    emitted = spark.sql("SELECT * FROM profile_test")
+    # >1 micro-batch ⇒ at least one user emitted more than once
+    assert emitted.count() > emitted.select("user_id").distinct().count()
+    final = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts_micros)
+        for r in emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    batch = {
+        r.user_id: (
+            r.n_events,
+            round(r.total_value, 6),
+            r.last_ts_micros,
+        )
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.unix_micros(F.max("ts")).alias("last_ts_micros"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid in batch:
+        assert final[uid][0] == batch[uid][0], uid  # exact counts
+        assert final[uid][2] == batch[uid][2], uid  # exact last ts
+        assert abs(final[uid][1] - batch[uid][1]) < 1e-6, uid
