@@ -261,3 +261,90 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("double").alias("o_total"),
         F.col("P").cast("double").alias("p_total"),
     )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT o.o_orderkey AS order_id,
+           COUNT(l.l_linenumber) AS n_shipped_90d,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS shipped_value_90d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (equi + range) join: line items shipped within 90 days
+    of their order's date. The equality key keeps this a hash join with
+    the range as a post-join predicate — O(matches), never the
+    quadratic keyless range join. A keyless interval join at scale
+    needs time-bucket prefactoring (join on overlapping buckets, then
+    exact filter); the equi-keyed form here is the shape to prefer
+    whenever a key exists. COUNT(l.l_linenumber) counts only matched
+    rows, preserving orders with zero in-window shipments."""
+    st = _star(spark, sf_dir)
+    o = st.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    li = st.lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    joined = o.join(
+        li,
+        (o.order_id == li.order_id)
+        & (li.ship_date >= o.order_date)
+        & (li.ship_date < F.date_add(o.order_date, 90)),
+        "left",
+    )
+    return joined.groupBy(o.order_id.alias("order_id")).agg(
+        F.count("line_number").alias("n_shipped_90d"),
+        F.sum("price").cast("double").alias("shipped_value_90d"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INTEGER) AS grouping_level
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority): all 4 grouping sets in one
+    pass — Spark expands the grouping sets before the single shuffle
+    (each input row feeds its 4 set-projections map-side), versus 4
+    separate scans+unions."""
+    st = _star(spark, sf_dir)
+    return (
+        st.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping_id().cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders",
+            "total_price",
+            "grouping_level",
+        )
+    )
