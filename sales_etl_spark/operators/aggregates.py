@@ -75,14 +75,18 @@ def avg_check_by_region(sales: DataFrame, customers: DataFrame) -> DataFrame:
     joined = totals.join(F.broadcast(dim), "customer_id", "left").withColumn(
         "region", F.coalesce(F.col("region"), F.lit("Unknown"))
     )
+    # order_totals' grain IS order_id (unique in the orders dim), so the
+    # reference's nunique(order_id) (etl/transform.py:137) reduces to a
+    # plain count — same value, without the distinct-expand's two extra
+    # exchanges. That rewrite is grain knowledge Catalyst cannot infer.
     return (
         joined.groupBy("region")
         .agg(
             (
                 F.sum("order_total").cast("double")
-                / F.countDistinct("order_id")
+                / F.count("order_id")
             ).alias("avg_check"),
-            F.countDistinct("order_id").alias("orders_count"),
+            F.count("order_id").alias("orders_count"),
         )
         .orderBy(F.desc("avg_check"))
     )

@@ -625,3 +625,21 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.json(str(out), schema=schema)
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip (columnar alternative to parquet,
+    native vectorized reader): write a documents projection as ORC,
+    read it back — schema travels in the file footer, so unlike
+    CSV/JSONL no explicit StructType is needed and pruning/pushdown
+    still reach the scan."""
+    st = _star(spark, sf_dir)
+    out = SCRATCH / "scan_orc"
+    st.documents.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).orc(str(out))
+    return spark.read.orc(str(out))
