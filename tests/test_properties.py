@@ -1,0 +1,164 @@
+"""Property tier (hypothesis): randomized cross-validation of the
+custom distributed operators against independent single-node
+implementations — the test class the reference lacks entirely
+(SURVEY.md §5.1 "no property-based/randomized tests").
+
+Deliberately small example counts + deadline=None: each example runs
+Spark jobs, so the value is in the randomized *shapes* (dup keys,
+empty sides, all-matching, none-matching), not in thousands of cases.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sales_etl_spark.operators.skew import salted_agg, salted_join
+from sales_etl_spark.operators.temporal import asof_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+# Small key/time domains force collisions: duplicate keys, shared
+# timestamps across sides, keys present on only one side.
+_keys = st.integers(min_value=0, max_value=3)
+_times = st.integers(min_value=0, max_value=50)
+
+_left_rows = st.lists(st.tuples(_keys, _times), min_size=0, max_size=15)
+_right_rows = st.lists(st.tuples(_keys, _times), min_size=0, max_size=15)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # unique (key, ts) per side — the documented precondition (the
+    # operator requires a pre-deduplicated right side).
+    left = list({(k, t) for k, t in left})
+    right = list({(k, t) for k, t in right})
+
+    lpdf = pd.DataFrame(
+        {
+            "user_id": pd.array([k for k, _ in left], dtype="int64"),
+            "ts": pd.to_datetime(
+                [BASE + dt.timedelta(minutes=t) for _, t in left]
+            ),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "user_id": pd.array([k for k, _ in right], dtype="int64"),
+            "ts": pd.to_datetime(
+                [BASE + dt.timedelta(minutes=t) for _, t in right]
+            ),
+            "payload": pd.array(
+                [k * 1000 + t for k, t in right], dtype="int64"
+            ),
+        }
+    )
+
+    schema_l = "user_id long, ts timestamp"
+    schema_r = "user_id long, ts timestamp, payload long"
+    ldf = spark.createDataFrame(lpdf, schema_l) if len(lpdf) else (
+        spark.createDataFrame([], schema_l)
+    )
+    rdf = spark.createDataFrame(rpdf, schema_r) if len(rpdf) else (
+        spark.createDataFrame([], schema_r)
+    )
+
+    got = {
+        (r["user_id"], r["ts"]): r["payload"]
+        for r in asof_join(
+            ldf,
+            rdf,
+            by=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["payload"],
+        ).collect()
+    }
+
+    if len(lpdf):
+        expected_df = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="user_id",
+            direction="backward",  # latest right.ts <= left.ts, inclusive
+        )
+        expected = {
+            (r.user_id, r.ts.to_pydatetime()): (
+                None if pd.isna(r.payload) else int(r.payload)
+            )
+            for r in expected_df.itertuples()
+        }
+    else:
+        expected = {}
+    assert got == expected
+
+
+_vals = st.lists(
+    st.tuples(_keys, st.integers(min_value=-1000, max_value=1000)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_vals, n_salts=st.integers(min_value=1, max_value=5))
+def test_salted_agg_equals_plain_agg(spark, rows, n_salts):
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k long, v long"
+    )
+    salted = salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "s": ("sum", F.col("v")),
+            "mn": ("min", F.col("v")),
+            "mx": ("max", F.col("v")),
+        },
+        n_salts=n_salts,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    big=_vals,
+    small=st.lists(_keys, min_size=0, max_size=6, unique=True),
+    n_salts=st.integers(min_value=1, max_value=4),
+)
+def test_salted_join_equals_plain_join(spark, big, small, n_salts):
+    if not big or not small:
+        return
+    bdf = spark.createDataFrame([(k, v) for k, v in big], "k long, v long")
+    sdf = spark.createDataFrame([(k, -k) for k in small], "k long, tag long")
+    a = salted_join(bdf, sdf, on=["k"], n_salts=n_salts)
+    b = bdf.join(sdf, "k")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
