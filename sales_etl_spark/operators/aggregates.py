@@ -30,11 +30,25 @@ from pyspark.sql.window import Window
 from sales_etl_spark.functions.scalars import month_str, period_date, safe_div
 
 
+def _finish_summary(out: DataFrame) -> DataFrame:
+    return (
+        out.withColumn(
+            "average_order_value",
+            safe_div(F.col("total_sales"), F.col("order_count")),
+        )
+        .withColumn("period_date", period_date("month"))
+        .drop("order_count")
+    )
+
+
 def sales_summary(sales: DataFrame) -> DataFrame:
     """category × month mart: total_sales, total_quantity, order_count,
     average_order_value, period_date (etl/transform.py:100-117).
 
     NULL groups are kept (reference dropna=False — Spark's default).
+    Generic form over an already-joined sales fact; when the order dim
+    is available separately, prefer :func:`sales_summary_grained` —
+    same result, no distinct-expand.
     """
     df = sales
     if "month" not in df.columns:
@@ -44,14 +58,43 @@ def sales_summary(sales: DataFrame) -> DataFrame:
         F.sum("quantity").cast("double").alias("total_quantity"),
         F.countDistinct("order_id").alias("order_count"),
     )
-    return (
-        out.withColumn(
-            "average_order_value",
-            safe_div(F.col("total_sales"), F.col("order_count")),
+    return _finish_summary(out)
+
+
+def sales_summary_grained(line_items: DataFrame, orders: DataFrame) -> DataFrame:
+    """Grain-rewritten summary mart — identical output to
+    :func:`sales_summary`, better plan at every scale.
+
+    Because (category, month) are functions of the ORDER, the
+    count-distinct over the joined fact reduces to: pre-aggregate
+    line items per order_id (the fact shrinks to order grain BEFORE
+    the join), join the order attributes, then a plain count per
+    (category, month). Kills the distinct-expand AND shrinks the join
+    input ~4× — grain knowledge Catalyst cannot infer.
+
+    ``line_items``: order_id, quantity, unit_price (line grain).
+    ``orders``: order_id, category, order_date (order grain, unique).
+    """
+    per_order = (
+        line_items.withColumn(
+            "total_price",
+            (F.col("quantity") * F.col("unit_price")).cast("decimal(18,2)"),
         )
-        .withColumn("period_date", period_date("month"))
-        .drop("order_count")
+        .groupBy("order_id")
+        .agg(
+            F.sum("total_price").alias("__tp"),
+            F.sum("quantity").alias("__q"),
+        )
     )
+    o = orders.withColumn("month", month_str("order_date")).select(
+        "order_id", "category", "month"
+    )
+    out = per_order.join(o, "order_id").groupBy("category", "month").agg(
+        F.sum("__tp").cast("double").alias("total_sales"),
+        F.sum("__q").cast("double").alias("total_quantity"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    return _finish_summary(out)
 
 
 def order_totals(sales: DataFrame) -> DataFrame:
@@ -107,20 +150,23 @@ def product_ranking(
     tiebreaker to make the cut deterministic under ties.
     """
     df = sales
-    if products is not None and "product_name" not in df.columns:
-        df = df.join(F.broadcast(products), "product_id", "left")
-    name_cols = ["product_name"] if "product_name" in df.columns else []
-    ranking = (
-        df.groupBy("product_id", *name_cols)
-        .agg(
-            F.sum("quantity").cast("double").alias("total_sold"),
-            F.sum("total_price").cast("double").alias("total_revenue"),
-        )
-        .orderBy(
-            F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
-        )
-        .limit(top_n)
+    # Aggregate at product grain FIRST, attach names after: the name
+    # strings never travel through the shuffle and the dim join runs
+    # on |products| rows instead of |fact| rows. When the fact already
+    # carries product_name (reference-shaped input), group by both.
+    name_in_fact = "product_name" in df.columns
+    name_cols = ["product_name"] if name_in_fact else []
+    ranking = df.groupBy("product_id", *name_cols).agg(
+        F.sum("quantity").cast("double").alias("total_sold"),
+        F.sum("total_price").cast("double").alias("total_revenue"),
     )
+    if products is not None and not name_in_fact:
+        ranking = ranking.join(
+            F.broadcast(products), "product_id", "left"
+        ).select("product_id", "product_name", "total_sold", "total_revenue")
+    ranking = ranking.orderBy(
+        F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
+    ).limit(top_n)
     w = Window.orderBy(
         F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
     )
