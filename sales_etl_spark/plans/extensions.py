@@ -643,3 +643,17 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).orc(str(out))
     return spark.read.orc(str(out))
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF-flat (sample-trained spherical
+    k-means lists, n_probe nearest lists per query, exact re-rank
+    inside) — candidates shrink to ~n_probe/n_centroids of the
+    corpus. Rows-only; recall vs exact asserted in tests."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10,
+        n_centroids=16, n_probe=4,
+    )

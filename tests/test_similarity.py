@@ -11,10 +11,13 @@ from pyspark.sql import Row
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from sales_etl_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     lsh_topk,
 )
+from sales_etl_spark.sources.star import load_star  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -74,3 +77,42 @@ def test_lsh_topk_exact_match_for_identical_vectors(spark):
     # an identical vector always shares every bucket → rank 1, sim 1.0
     assert out[0].neighbor_id == 2
     assert abs(out[0].cosine_sim - 1.0) < 1e-6
+
+
+def test_ivf_topk_recall_on_testdata(spark):
+    """IVF with 4/16 probes must recover most of the exact top-10 —
+    and every returned neighbor's cosine is exact (re-rank is exact,
+    only candidate generation approximates)."""
+    from sales_etl_spark.operators.similarity import ivf_topk
+
+    e = load_star(spark, SF_DIR).embeddings
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk(e, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+    for key in hits:
+        assert approx[key] == exact[key]  # exact re-rank inside lists
+
+
+def test_ivf_topk_finds_identical_vector(spark):
+    """A duplicated vector lands in the same list as its twin — IVF
+    must always return it at rank 1 with cosine 1.0."""
+    from sales_etl_spark.operators.similarity import ivf_topk
+
+    e = load_star(spark, SF_DIR).embeddings.select("vec_id", "embedding")
+    twin = e.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(twin)
+    got = ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") == 100003), k=3
+    ).collect()
+    assert got[0].neighbor_id == 3 and got[0].cosine_sim == 1.0
