@@ -1,0 +1,87 @@
+"""Plan-shape regression tier: the scale properties SCALE.md claims,
+asserted on real optimized/executed plans so a refactor cannot
+silently regress them (a wrong plan is a perf bug at 100 TB even when
+every value is correct).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sales_etl_spark.plans import QUERY_REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _build(spark, name):
+    return QUERY_REGISTRY[name].builder(spark, SF)
+
+
+def test_summary_scan_prunes_columns_and_pushes_filters(spark):
+    plan = _formatted(_build(spark, "agg_sales_summary"))
+    # lineitem scan must read exactly the 3 referenced columns
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity", "l_extendedprice"}, cols
+    assert "PushedFilters: [IsNotNull(l_orderkey)]" in plan
+
+
+def test_asof_join_pushes_event_type_to_scan(spark):
+    plan = _formatted(_build(spark, "join_asof_prior_purchase"))
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    # union/window form: no join node at all, exactly one shuffle axis
+    assert "Join" not in plan.split("== Physical Plan ==")[1].split("(1)")[0]
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    plan = _formatted(_build(spark, "agg_avg_check_by_region"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no fact-side shuffle for dims
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = _formatted(_build(spark, "topk_product_ranking"))
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+
+
+def test_relational_paths_have_no_python_nodes(spark):
+    relational = [
+        "agg_sales_summary",
+        "agg_avg_check_by_region",
+        "topk_product_ranking",
+        "join_asof_prior_purchase",
+        "window_time_range",
+        "text_stats",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "agg_stats",
+    ]
+    for name in relational:
+        plan = _formatted(_build(spark, name))
+        assert not re.search(r"EvalPython|InPandas", plan), name
+
+
+def test_multimodal_is_arrow_batched_python(spark):
+    # the ONE place Python belongs — and it must be Arrow/pandas
+    # (mapInPandas), never row-at-a-time BatchEvalPython
+    plan = _formatted(_build(spark, "multimodal_features"))
+    assert "InPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_summary_has_no_distinct_expand(spark):
+    # grain rewrite: exactly 2 exchanges (per-order pre-agg + final
+    # group), and no aggregate keyed on order_id above the join
+    plan = _formatted(_build(spark, "agg_sales_summary"))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}"
