@@ -657,3 +657,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 5), k=10,
         n_centroids=16, n_probe=4,
     )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\w+')) AS n_words,
+               CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                              AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(regexp_extract_all(lower(text), '\\w+')) > 0
+                    THEN CAST(len(list_filter(
+                             regexp_extract_all(lower(text), '\\w+'),
+                             t -> t IN ('the','a','of','and','to','in','is')))
+                         AS DOUBLE)
+                         / len(regexp_extract_all(lower(text), '\\w+'))
+                    ELSE 0.0 END AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_words, punct_ratio, stopword_ratio,
+           (n_words >= 5 AND n_words <= 100000
+            AND punct_ratio < 0.30
+            AND stopword_ratio >= 0.01) AS keep
+    FROM feats
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality gate (Gopher-rule style): word-count
+    band + punctuation ceiling + stopword floor composed into one
+    boolean ``keep``. Emitted as a flag column rather than a filter so
+    the decision is auditable; the production pipeline filters on it
+    (a pushdown-eligible predicate, zero UDFs)."""
+    st = _star(spark, sf_dir)
+    n_words = TX.word_count("text")
+    punct = TX.punct_ratio("text")
+    stop = TX.stopword_ratio("text")
+    return st.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        (
+            (n_words >= 5)
+            & (n_words <= 100000)
+            & (punct < 0.30)
+            & (stop >= 0.01)
+        ).alias("keep"),
+    )

@@ -148,3 +148,71 @@ def test_stateful_user_profile_final_state_equals_batch(spark, events_dir):
         assert final[uid][0] == batch[uid][0], uid  # exact counts
         assert final[uid][2] == batch[uid][2], uid  # exact last ts
         assert abs(final[uid][1] - batch[uid][1]) < 1e-6, uid
+
+
+def test_stream_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving AFTER the watermark has passed its window is
+    dropped from the aggregation state (bounded-state guarantee).
+    File mtimes order the micro-batches: fresh file first (advances
+    the watermark), stale file second (its event is now late)."""
+    import datetime as dt
+    import os
+
+    from sales_etl_spark.streaming.windows import (
+        read_events_stream,
+        stream_tumbling_counts,
+    )
+
+    def mk(path, ts, event_id):
+        spark.createDataFrame(
+            [(event_id, ts, 1, "click", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    d = tmp_path / "late"
+    fresh_ts = dt.datetime(2024, 1, 30, 12, 0, 0)
+    stale_ts = dt.datetime(2024, 1, 1, 0, 0, 0)  # weeks behind watermark
+    mk(str(d / "a"), fresh_ts, 1)
+    mk(str(d / "b"), stale_ts, 2)
+    data = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(data)
+
+    def move_in(sub):
+        for f in os.listdir(str(d / sub)):
+            if f.endswith(".parquet"):
+                os.rename(str(d / sub / f), f"{data}/{sub}_{f}")
+
+    def drain(qname):
+        got: list = []
+        out = stream_tumbling_counts(
+            read_events_stream(spark, data),
+            width="1 hour",
+            watermark="2 hours",
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: got.extend(df.collect())
+            )
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {r.window_start for r in got}
+
+    # run 1: fresh event only — advances the persisted watermark to
+    # fresh_ts - 2h
+    move_in("a")
+    starts1 = drain("late_run1")
+    assert fresh_ts.replace(minute=0) in starts1
+
+    # run 2 (same checkpoint): the stale file arrives weeks behind the
+    # persisted watermark — its window must never be emitted
+    move_in("b")
+    starts2 = drain("late_run2")
+    assert stale_ts not in starts2, "late event leaked past the watermark"
