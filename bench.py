@@ -25,6 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 #: Headline set: the reference-parity marts + one representative per
 #: extension family (dedup, ANN, text, events, windows).
 HEADLINE = [
+    "flagship_pricing_summary",
+    "flagship_shipping_priority",
     "agg_sales_summary",
     "agg_avg_check_by_region",
     "agg_stats",

@@ -39,28 +39,34 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the payload of
-    the LATEST right row with ``right.ts <= left.ts`` and equal ``by``
-    keys (inclusive on ties, like DuckDB/pandas ``ASOF JOIN``).
+    """As-of join: for every left row, attach the payload of the
+    nearest right row with equal ``by`` keys — the LATEST one with
+    ``right.ts <= left.ts`` (``direction="backward"``, the
+    DuckDB/pandas default) or the EARLIEST one with ``right.ts >=
+    left.ts`` (``direction="forward"``). Ties are inclusive.
 
     Right rows that tie exactly on (by, ts) must be pre-deduplicated
     by the caller (keep-one-per-key, e.g. ``dedup_keep_first``) — the
     carry-forward picks an arbitrary one otherwise.
 
-    With ``tolerance_seconds`` set, matches older than the tolerance
+    With ``tolerance_seconds`` set, matches farther than the tolerance
     are nulled out (pandas ``merge_asof(tolerance=...)`` semantics).
 
     Output: all left columns + ``right_payload`` columns (null when no
-    prior right row exists).
+    matching right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
     by = list(by)
     payload = list(right_payload)
     left_cols = left.columns
 
     # Aligned union schema: keys, event time, side tag, both payloads.
     # Right sorts before left on equal timestamps (side 0 < 1) so the
-    # carry-forward is inclusive of ts-equal right rows.
+    # carry-forward is inclusive of ts-equal right rows. Forward mode
+    # is the same sweep over reversed time.
     r = right.select(
         *by,
         F.col(right_ts).alias("__t"),
@@ -75,9 +81,12 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
+    t_order = (
+        F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(r.select(*lhs.columns)).select(
@@ -93,9 +102,14 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        in_tol: Column = F.col("__matched_t").cast("double") >= (
-            F.col("__t").cast("double") - F.lit(float(tolerance_seconds))
-        )
+        if direction == "backward":
+            in_tol: Column = F.col("__matched_t").cast("double") >= (
+                F.col("__t").cast("double") - F.lit(float(tolerance_seconds))
+            )
+        else:
+            in_tol = F.col("__matched_t").cast("double") <= (
+                F.col("__t").cast("double") + F.lit(float(tolerance_seconds))
+            )
         out = out.select(
             "__t",
             "__side",

@@ -348,3 +348,118 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouping_level",
         )
     )
+
+
+@query(
+    "flagship_pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS DECIMAL(20,0))
+                    * CAST((1 - l_discount) * 10000 AS DECIMAL(8,0))
+                    * CAST((1 + l_tax) * 10000 AS DECIMAL(8,0)))
+                AS DOUBLE) / 1e10
+               AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one wide scan, predicate
+    pushed to parquet, 4 decimal-exact aggregate expressions per
+    (returnflag, linestatus) — the canonical scan-dominated workload.
+    At 100 TB this is pure scan throughput: partial aggregation
+    collapses each partition to ≤|groups| rows before the (tiny)
+    exchange, and the shipdate filter prunes at the row-group level.
+
+    sum_charge accumulates as a scale-0 integer product (price-cents ×
+    disc×10⁴ × tax×10⁴, exact in DECIMAL(38,0)) because a scale-10
+    decimal beyond 2⁵³ double-rounds on the DuckDB side — the same
+    bit-exactness rule as agg_stats."""
+    st = _star(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    price_c = (price * F.lit(100)).cast("decimal(20,0)")
+    disc4 = ((F.lit(1) - F.col("l_discount")) * 10000).cast("decimal(8,0)")
+    tax4 = ((F.lit(1) + F.col("l_tax")) * 10000).cast("decimal(8,0)")
+    return (
+        st.lineitem.filter(
+            F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            (F.sum(price_c * disc4 * tax4).cast("double") / F.lit(1e10))
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "flagship_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS order_id,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, order_id
+    LIMIT 10
+    """,
+)
+def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-way join with selective
+    filters on every side + top-10 by revenue. The plan to want at
+    scale: all three filters push to their scans BEFORE the joins, the
+    filtered customer dim broadcasts, and the sort+limit compiles to
+    TakeOrderedAndProject — never a global sort of the join output."""
+    st = _star(spark, sf_dir)
+    c = st.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = st.orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = st.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("order_id", "revenue", "order_date")
+        .orderBy(F.desc("revenue"), F.asc("order_id"))
+        .limit(10)
+    )
