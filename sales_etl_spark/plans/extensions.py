@@ -707,3 +707,20 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop >= 0.01)
         ).alias("keep"),
     )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap for exact count-distinct (SCALE.md §3):
+    approx_count_distinct (HyperLogLog++, rsd=2%) per category — ONE
+    exchange instead of the distinct-expand's two, constant memory per
+    group. Rows-only check; the ±2% accuracy contract vs the exact
+    count is asserted in tests (test_queries_extra.py)."""
+    st = _star(spark, sf_dir)
+    return st.orders.groupBy(
+        F.col("o_orderpriority").alias("category")
+    ).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+            "approx_customers"
+        )
+    )

@@ -1,0 +1,52 @@
+"""Accuracy contracts for approximate operators + physical-layout
+evidence (partition pruning) that SCALE.md claims."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sales_etl_spark.plans import QUERY_REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_rsd(spark):
+    approx = {
+        r.category: r.approx_customers
+        for r in QUERY_REGISTRY["agg_approx_distinct"]
+        .builder(spark, SF)
+        .collect()
+    }
+    exact = {
+        r.category: r.n
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for cat, n in exact.items():
+        assert abs(approx[cat] - n) <= max(3, 0.06 * n), (cat, approx[cat], n)
+
+
+def test_date_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Partition pruning end-to-end: write orders partitioned by year,
+    filter on the partition column, and assert the scan's
+    PartitionFilters carries the predicate (at 100 TB this is the
+    difference between reading one partition and the whole table)."""
+    out = str(tmp_path / "orders_by_year")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_year" in m.group(1), plan
+    # and the pruned read agrees with the unpruned filter
+    assert df.count() == orders.filter(F.col("order_year") == 1997).count()
