@@ -422,12 +422,42 @@ _AVG_CHECK_ORACLE = (
 )
 
 
+def _grained_totals(st):
+    return aggregates.order_totals_grained(
+        st.lineitem.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("unit_price"),
+        ),
+        st.orders.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+        ),
+    )
+
+
 @query("agg_avg_check_by_region", oracle=_AVG_CHECK_ORACLE)
 def agg_avg_check_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average check per region (reference create_avg_check_by_region,
-    etl/transform.py:120-142): agg → broadcast left join → rollup."""
+    etl/transform.py:120-142): grained order totals (narrow shuffle on
+    order_id, see order_totals_grained) → broadcast left join on the
+    customers dim → region rollup with grain-eliminated distinct."""
     st = _star(spark, sf_dir)
-    return aggregates.avg_check_by_region(st.sales(), st.customers())
+    totals = _grained_totals(st)
+    dim = st.customers().select("customer_id", "region")
+    joined = totals.join(F.broadcast(dim), "customer_id", "left").withColumn(
+        "region", F.coalesce(F.col("region"), F.lit("Unknown"))
+    )
+    return (
+        joined.groupBy("region")
+        .agg(
+            (
+                F.sum("order_total").cast("double") / F.count("order_id")
+            ).alias("avg_check"),
+            F.count("order_id").alias("orders_count"),
+        )
+        .orderBy(F.desc("avg_check"))
+    )
 
 
 @query(
@@ -451,9 +481,9 @@ def agg_avg_check_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_left_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left equi-join fact→dim with Unknown fill (reference
     etl/transform.py:128-133). Dim side broadcast: the fact never
-    shuffles for this join."""
+    shuffles for this join; the totals input is the grained rewrite."""
     st = _star(spark, sf_dir)
-    totals = aggregates.order_totals(st.sales())
+    totals = _grained_totals(st)
     dim = st.customers().select("customer_id", "region")
     return (
         totals.join(F.broadcast(dim), "customer_id", "left")
