@@ -724,3 +724,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_customers"
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority AS category,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the big side is salted,
+    the small side replicated n_salts× so one hot key spreads over 16
+    tasks — and the aggregate downstream proves the rewrite is
+    result-identical to the oracle's plain join (decimal sums make the
+    check bit-exact). The explicit form of what AQE's skew splitting
+    does at runtime, for when the salted partitioning must persist
+    into downstream stages."""
+    from sales_etl_spark.operators import skew
+
+    st = _star(spark, sf_dir)
+    li = st.lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    o = st.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("category"),
+    )
+    joined = skew.salted_join(li, o, on=["order_id"], n_salts=16)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
