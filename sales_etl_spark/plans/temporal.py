@@ -463,3 +463,113 @@ def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("order_id"))
         .limit(10)
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS category,
+               o_totalprice AS price,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_orders
+        FROM orders
+    )
+    SELECT category, n_orders,
+           MAX(CASE WHEN rn = GREATEST(1, FLOOR((n_orders + 1) * 0.25))
+               THEN price END) AS p25,
+           MAX(CASE WHEN rn = GREATEST(1, FLOOR((n_orders + 1) * 0.50))
+               THEN price END) AS p50,
+           MAX(CASE WHEN rn = GREATEST(1, FLOOR((n_orders + 1) * 0.75))
+               THEN price END) AS p75,
+           MAX(CASE WHEN rn = LEAST(n_orders,
+                                    GREATEST(1, FLOOR((n_orders + 1) * 0.95)))
+               THEN price END) AS p95
+    FROM ranked
+    GROUP BY category, n_orders
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile per group (p25/p50/p75/p95) as distributed
+    order statistics: one in-partition sort + row_number, pick the
+    floor((n+1)·q) ranks (clamped to [1,n]) — interpolation-free, so
+    both engines select identical data values. One shuffle regardless
+    of how many quantiles; the conditional-max pivot collapses the
+    picked rows without a second pass."""
+    st = _star(spark, sf_dir)
+    w_rank = Window.partitionBy("category").orderBy("price")
+    w_all = Window.partitionBy("category")
+    ranked = st.orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").alias("price"),
+    ).select(
+        "category",
+        "price",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_orders"),
+    )
+    n = F.col("n_orders")
+
+    def pick(q, clamp_hi=False):
+        pos = F.greatest(F.lit(1), F.floor((n + 1) * q))
+        if clamp_hi:
+            pos = F.least(n, pos)
+        return F.max(F.when(F.col("rn") == pos, F.col("price")))
+
+    return ranked.groupBy("category", "n_orders").agg(
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+        pick(0.95, clamp_hi=True).alias("p95"),
+    )
+
+
+@query(
+    "join_events_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           COALESCE(r.r_name, 'Unknown') AS region
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-enrichment join in its batch-checkable form: events
+    enriched with customer segment + region via broadcast dims — the
+    exact plan a readStream would use (stream-static joins broadcast
+    the static side per micro-batch; no state, no watermark needed)."""
+    st = _star(spark, sf_dir)
+    cust = st.customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    nat = st.nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    reg = st.region.select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("region"),
+    )
+    dim = (
+        cust.join(F.broadcast(nat), "nationkey", "left")
+        .join(F.broadcast(reg), "regionkey", "left")
+        .select("user_id", "segment", "region")
+    )
+    return (
+        st.events.select("event_id", "user_id", "event_type")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "segment",
+            F.coalesce(F.col("region"), F.lit("Unknown")).alias("region"),
+        )
+    )
