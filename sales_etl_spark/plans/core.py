@@ -184,7 +184,7 @@ def fillna_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     QUALIFY row_number() OVER (
         PARTITION BY l_orderkey, l_partkey
-        ORDER BY l_linenumber
+        ORDER BY l_linenumber, l_quantity
     ) = 1
     """,
 )
@@ -192,12 +192,16 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keep-first dedup (reference etl/transform.py:30-35):
     keep the lowest line number per (order, part). File order — the
     reference's tiebreaker — does not exist on a distributed scan, so
-    the winner is defined by data, not by physical layout."""
+    the winner is defined by data, not by physical layout. The sort
+    key must be a TOTAL order over the emitted columns: the testdata
+    plants duplicate (orderkey, partkey, linenumber) rows with
+    differing quantity, and with linenumber alone the winner would be
+    partition-dependent (flaky hashes). l_quantity completes it."""
     st = _star(spark, sf_dir)
     df = cleaning.dedup_keep_first(
         st.lineitem,
         subset=["l_orderkey", "l_partkey"],
-        order_by=["l_linenumber"],
+        order_by=["l_linenumber", "l_quantity"],
     )
     return df.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
 
