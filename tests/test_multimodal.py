@@ -1,0 +1,68 @@
+"""Unit tier for the multimodal operators: the Spark-side plumbing
+(schema, batching, partition invariance, stub gating) is real even
+though the decode kernel is stubbed (no image/audio libs here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from sales_etl_spark.operators.multimodal import (
+    documents_as_media,
+    featurize_media,
+    sample_frames,
+)
+from sales_etl_spark.sources.star import load_star
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return documents_as_media(load_star(spark, SF).documents)
+
+
+def test_featurize_schema_and_byte_fidelity(spark, media):
+    feats = featurize_media(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "media_type", "byte_length", "content_hash",
+        "width", "height", "n_frames",
+    ]
+    # byte_length must equal the JVM-side payload length (bytes crossed
+    # the Arrow boundary unmangled)
+    jvm = media.select(
+        "media_id", F.length("payload").alias("jvm_len")
+    )
+    mismatch = (
+        feats.join(jvm, "media_id")
+        .filter(F.col("byte_length") != F.col("jvm_len"))
+        .count()
+    )
+    assert mismatch == 0
+    # images decode to exactly 1 frame; audio/video to >= 1
+    assert feats.filter(
+        (F.col("media_type") == "image") & (F.col("n_frames") != 1)
+    ).count() == 0
+
+
+def test_featurize_partition_invariant(spark, media):
+    a = sorted(map(tuple, featurize_media(media.repartition(2)).collect()))
+    b = sorted(map(tuple, featurize_media(media.repartition(7)).collect()))
+    assert a == b  # batch boundaries must not leak into results
+
+
+def test_sample_frames_stride_and_video_only(spark, media):
+    frames = sample_frames(media, every_n=10)
+    rows = frames.collect()
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    # only videos explode into frames
+    vids = {r.media_id for r in media.filter("media_type = 'video'").collect()}
+    assert {r.media_id for r in rows} <= vids
+    # every video has at least frame 0
+    assert {r.media_id for r in rows if r.frame_idx == 0} == vids
+
+
+def test_decode_stub_false_raises_at_kernel(spark, media):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        featurize_media(media, decode_stub=False).collect()

@@ -112,7 +112,16 @@ def main() -> int:
     from sales_etl_spark.plans import QUERY_REGISTRY
     from sales_etl_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[4]", shuffle_partitions=8)
+    # Determinism stress knobs: results must be bit-identical under ANY
+    # parallelism (see SCALE.md §12) — e.g.
+    #   ORACLE_MASTER='local[16]' ORACLE_SHUFFLE=7 python tools/check_oracle.py
+    import os
+
+    spark = get_spark(
+        "oracle-check",
+        master=os.environ.get("ORACLE_MASTER", "local[4]"),
+        shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
+    )
     con = duckdb_conn(sf_dir)
 
     failures = []
