@@ -579,3 +579,92 @@ def join_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("region"), F.lit("Unknown")).alias("region"),
         )
     )
+
+
+@query(
+    "window_sessionize_ids",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+    FROM flagged
+    """,
+)
+def window_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (lag + cumulative new-session
+    flag): every event gets its user's running session number — the
+    row-level primitive UNDER session_window (which only emits
+    aggregates). This is how a training pipeline groups events/turns
+    into conversations while keeping the rows. One shuffle on user_id;
+    both window passes share the same partitioning and sort."""
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epoch (NTZ relabeled under the pinned UTC session):
+    # full precision, so the 30-min comparison matches the oracle's
+    # exact interval arithmetic
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = st.events.select("event_id", "user_id", "ts").withColumn(
+        "new_sess",
+        F.when(
+            us - F.lag(us).over(w) < 30 * 60 * 1_000_000,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_seq"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS category,
+               o_orderstatus AS status,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT category, status AS mode_status, n AS mode_count
+    FROM counts
+    QUALIFY row_number() OVER (
+        PARTITION BY category ORDER BY n DESC, status
+    ) = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent status per priority): count per
+    (group, value) then keep-max with a value tiebreak — a total
+    order, so the distributed pick is deterministic (the native
+    ``mode()`` aggregate breaks ties arbitrarily, which would flap the
+    hash). Two shuffles, both after map-side combine."""
+    st = _star(spark, sf_dir)
+    counts = st.orders.groupBy(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("category").orderBy(F.desc("n"), F.asc("status"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "category",
+            F.col("status").alias("mode_status"),
+            F.col("n").alias("mode_count"),
+        )
+    )
