@@ -115,13 +115,26 @@ def main() -> int:
     # Determinism stress knobs: results must be bit-identical under ANY
     # parallelism (see SCALE.md §12) — e.g.
     #   ORACLE_MASTER='local[16]' ORACLE_SHUFFLE=7 python tools/check_oracle.py
+    # ORACLE_VANILLA=1 builds a bare ANSI-on Spark 4 session instead of
+    # get_spark — the driver's exact environment (pin_semantics inside
+    # each builder must then do all the work).
     import os
 
-    spark = get_spark(
-        "oracle-check",
-        master=os.environ.get("ORACLE_MASTER", "local[4]"),
-        shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
-    )
+    if os.environ.get("ORACLE_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master(os.environ.get("ORACLE_MASTER", "local[4]"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(
+            "oracle-check",
+            master=os.environ.get("ORACLE_MASTER", "local[4]"),
+            shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
+        )
     con = duckdb_conn(sf_dir)
 
     failures = []
