@@ -726,3 +726,27 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id")
     )
     return finished.union(big).distinct().exceptAll(urgent.distinct())
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_orderkey AS order_id FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics — completes the §2.7 set-op family
+    with set_union_except): finished orders that are also big-ticket.
+    Compiles to a left-semi join over distinct inputs — one shuffle
+    pair, no row multiplication."""
+    st = _star(spark, sf_dir)
+    o = st.orders
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("order_id")
+    )
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderkey").alias("order_id")
+    )
+    return finished.intersect(big)
