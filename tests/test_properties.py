@@ -229,3 +229,55 @@ def test_asof_join_forward_matches_pandas(spark, left, right):
     else:
         expected = {}
     assert got == expected
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # order_id
+            st.integers(min_value=1, max_value=20),  # quantity
+            st.integers(min_value=1, max_value=500), # unit_price (int → exact)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_orders=st.integers(min_value=10, max_value=12),  # some orders lineless
+)
+def test_sales_summary_grained_equals_generic(spark, lines, n_orders):
+    """The grain rewrite must be output-identical to the generic
+    countDistinct form — including orders with zero line items (inner
+    join drops them in both formulations)."""
+    import datetime as dtm
+
+    from sales_etl_spark.operators.aggregates import (
+        sales_summary,
+        sales_summary_grained,
+    )
+
+    li = spark.createDataFrame(
+        [(o, float(q), float(p)) for o, q, p in lines],
+        "order_id long, quantity double, unit_price double",
+    )
+    orders = spark.createDataFrame(
+        [
+            (
+                o,
+                f"cat{o % 3}",
+                dtm.date(2024, 1 + o % 3, 1 + o),
+            )
+            for o in range(n_orders)
+        ],
+        "order_id long, category string, order_date date",
+    )
+    joined = li.join(orders, "order_id").withColumn(
+        "total_price",
+        (F.col("quantity") * F.col("unit_price")).cast("decimal(18,2)"),
+    ).withColumn("customer_id", F.col("order_id"))
+    a = sorted(map(tuple, sales_summary(joined).collect()))
+    b = sorted(map(tuple, sales_summary_grained(li, orders).collect()))
+    assert a == b
