@@ -106,3 +106,56 @@ def jdbc_upsert(
         compacted, url, table, mode="overwrite", truncate=True,
         properties=properties,
     )
+
+
+#: Warehouse DDL (reference db.sql:1-46): the four target tables with
+#: Spark-typed columns (DECIMAL money at rest like the reference).
+WAREHOUSE_DDL: dict[str, str] = {
+    "sales": (
+        "order_id BIGINT, customer_id STRING, product_id BIGINT, "
+        "product_name STRING, category STRING, quantity INT, "
+        "unit_price DECIMAL(10,2), total_price DECIMAL(15,2), "
+        "order_date DATE, month STRING"
+    ),
+    "customers": (
+        "customer_id STRING, customer_name STRING, email STRING, "
+        "is_email_valid BOOLEAN, registration_date DATE, "
+        "customer_days INT, region STRING"
+    ),
+    "sales_summary": (
+        "category STRING, month STRING, total_sales DECIMAL(15,2), "
+        "total_quantity DOUBLE, average_order_value DECIMAL(15,2), "
+        "period_date DATE"
+    ),
+    "product_ranking": (
+        "product_id BIGINT, product_name STRING, total_sold DOUBLE, "
+        "total_revenue DECIMAL(15,2), rank_position INT"
+    ),
+}
+
+
+def create_warehouse_tables(spark, database: str = "warehouse") -> None:
+    """DDL bootstrap (reference create_tables, etl/load.py:29-37 +
+    db.sql): CREATE TABLE IF NOT EXISTS for the four targets as
+    catalog-managed parquet tables. Idempotent, like the reference."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name, cols in WAREHOUSE_DDL.items():
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{name} ({cols}) "
+            "USING PARQUET"
+        )
+
+
+def load_warehouse_table(
+    df: DataFrame, table: str, database: str = "warehouse"
+) -> None:
+    """Truncate-and-reload (reference truncate_tables + load_*,
+    etl/load.py:40-55,58-145): INSERT OVERWRITE replaces the table
+    contents atomically; schema enforcement comes from the DDL (casts
+    belong in cast_for_sink before the call)."""
+    df.createOrReplaceTempView("__load_src")
+    cols = ", ".join(df.columns)
+    df.sparkSession.sql(
+        f"INSERT OVERWRITE TABLE {database}.{table} ({cols}) "
+        f"SELECT {cols} FROM __load_src"
+    )

@@ -55,3 +55,37 @@ def test_upsert_last_wins_keeps_latest_per_key(spark):
     out = upsert_last_wins(df, keys=["k"], order_by=["version"])
     got = {r.k: r.v for r in out.collect()}
     assert got == {"a": 2, "b": 9}
+
+
+def test_warehouse_ddl_bootstrap_and_truncate_reload(spark):
+    from sales_etl_spark.load import (
+        cast_for_sink,
+        create_warehouse_tables,
+        load_warehouse_table,
+    )
+
+    create_warehouse_tables(spark, database="wh_test")
+    create_warehouse_tables(spark, database="wh_test")  # idempotent
+    try:
+        mart = spark.createDataFrame(
+            [("1-URGENT", "2024-01", 10.5, 3.0, 5.25, "2024-01-01")],
+            "category string, month string, total_sales double, "
+            "total_quantity double, average_order_value double, "
+            "period_date string",
+        )
+        typed = cast_for_sink(
+            mart,
+            {
+                "total_sales": "decimal(15,2)",
+                "average_order_value": "decimal(15,2)",
+                "period_date": "date",
+            },
+        )
+        load_warehouse_table(typed, "sales_summary", database="wh_test")
+        load_warehouse_table(typed, "sales_summary", database="wh_test")
+        out = spark.table("wh_test.sales_summary").collect()
+        assert len(out) == 1  # reload replaced, not appended
+        assert str(out[0].total_sales) == "10.50"  # DECIMAL at rest
+        assert out[0].period_date.isoformat() == "2024-01-01"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS wh_test CASCADE")
