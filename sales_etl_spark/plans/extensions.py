@@ -762,3 +762,46 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("price").cast("double").alias("total_price"),
     )
+
+
+@query(
+    "text_term_freq",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term,
+               COUNT(*) AS tf,
+               COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY term
+    )
+    SELECT term, tf, df
+    FROM counts
+    QUALIFY row_number() OVER (ORDER BY tf DESC, term) <= 50
+    """,
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 terms by total frequency
+    with document frequency — the tokenizer-training / stopword-
+    discovery primitive. explode → one groupBy carrying both TF and
+    exact DF (distinct over doc_id), top-k via TakeOrderedAndProject.
+    At 100 TB swap the exact DF for approx_count_distinct and the
+    global top-k stays cheap (it cuts after the aggregate, which is
+    |vocabulary|-sized, not corpus-sized)."""
+    st = _star(spark, sf_dir)
+    toks = st.documents.select(
+        "doc_id",
+        F.explode(
+            TX.tokens(TX.normalize_text("text"), TX.WORD_RE)
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        counts.orderBy(F.desc("tf"), F.asc("term"))
+        .limit(50)
+    )
