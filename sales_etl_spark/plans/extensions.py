@@ -805,3 +805,71 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.orderBy(F.desc("tf"), F.asc("term"))
         .limit(50)
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. Shape at scale: per-doc TF
+    is one groupBy of the exploded tokens; the DF table is
+    vocabulary-sized and BROADCAST back onto it (never a shuffle of
+    the token stream against itself); idf = ln(N/df) computed
+    identically in both engines (tf and df are exact integers, ln and
+    multiply are deterministic — but ln itself is NOT correctly
+    rounded cross-engine (JVM vs libm differ by an ulp), so the score
+    is rounded to 6 decimals in BOTH engines BEFORE ranking: values
+    hash-match and the top-3 cut cannot flip on a 1-ulp tie); per-doc
+    top-3 via rank window with a term tiebreak."""
+    st = _star(spark, sf_dir)
+    toks = st.documents.select(
+        "doc_id",
+        F.explode(
+            TX.tokens(TX.normalize_text("text"), TX.WORD_RE)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = st.documents.count()  # driver-side scalar, one tiny job
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
