@@ -216,3 +216,48 @@ def test_stream_watermark_drops_late_events(spark, tmp_path):
     move_in("b")
     starts2 = drain("late_run2")
     assert stale_ts not in starts2, "late event leaked past the watermark"
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    """Stream-static join: a readStream of events joined to the static
+    customer dim produces exactly the batch join's rows — the
+    streaming form of join_events_enrich (static side re-broadcast per
+    micro-batch, no state store involved)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.sources.star import load_star
+    from sales_etl_spark.streaming.windows import read_events_stream
+
+    dim = (
+        load_star(spark, SF_DIR)
+        .customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id"
+    )
+    q = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT event_id, segment FROM enrich_test").collect()
+    }
+    batch = {
+        (r.event_id, r.segment)
+        for r in spark.read.parquet(events_dir)
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .collect()
+    }
+    assert got == batch
