@@ -133,3 +133,42 @@ def sample_frames(
     return media.filter(F.col("media_type") == "video").mapInPandas(
         batches, schema="media_id long, frame_idx int, frame_hash string"
     )
+
+
+def demean_embeddings_per_group(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centering via grouped-map ``applyInPandas``
+    (the third pandas-API shape beside ``mapInPandas`` and
+    ``applyInPandasWithState``): each group's vectors arrive as ONE
+    pandas frame, numpy demeans them in a single vectorized op.
+
+    Scale notes: one shuffle on the group key; a group must fit one
+    executor's memory (fine for label-sized groups — for corpus-sized
+    groups use the two-pass native form: groupBy-avg the component
+    sums, broadcast the means back). Output vectors are float64 —
+    exact for the test's cross-check against the native two-pass
+    computation."""
+    import numpy as np
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+        mat = mat - mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "centered": list(map(list, mat)),
+            }
+        )
+
+    src = df.select(id_col, group_col, vec_col)
+    id_t = src.schema[id_col].dataType.simpleString()
+    grp_t = src.schema[group_col].dataType.simpleString()
+    return src.groupBy(group_col).applyInPandas(
+        demean,
+        schema=f"{id_col} {id_t}, {group_col} {grp_t}, centered array<double>",
+    )

@@ -66,3 +66,41 @@ def test_sample_frames_stride_and_video_only(spark, media):
 def test_decode_stub_false_raises_at_kernel(spark, media):
     with pytest.raises(PythonException, match="NotImplementedError"):
         featurize_media(media, decode_stub=False).collect()
+
+
+def test_demean_embeddings_matches_native_two_pass(spark):
+    """applyInPandas grouped demean == the native two-pass form
+    (posexplode → per-(group,pos) mean → rebuild) — proving the
+    grouped-map kernel against pure-Spark arithmetic."""
+    from sales_etl_spark.operators.multimodal import (
+        demean_embeddings_per_group,
+    )
+
+    emb = load_star(spark, SF).embeddings.limit(200)
+    got = {
+        r.vec_id: r.centered
+        for r in demean_embeddings_per_group(emb).collect()
+    }
+
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    means = pos.groupBy("label", "pos").agg(F.avg("x").alias("mu"))
+    native = (
+        pos.join(means, ["label", "pos"])
+        .withColumn("c", F.col("x") - F.col("mu"))
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("pairs")
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("pairs"), lambda s: s["c"]).alias("centered"),
+        )
+    )
+    for r in native.collect():
+        a, b = got[r.vec_id], r.centered
+        assert len(a) == len(b)
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b)), r.vec_id
