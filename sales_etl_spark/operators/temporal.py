@@ -40,6 +40,7 @@ def asof_join(
     right_payload: Sequence[str],
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    _emit_matched_ts: bool = False,
 ) -> DataFrame:
     """As-of join: for every left row, attach the payload of the
     nearest right row with equal ``by`` keys — the LATEST one with
@@ -57,8 +58,55 @@ def asof_join(
     Output: all left columns + ``right_payload`` columns (null when no
     matching right row exists).
     """
+    if direction == "nearest":
+        # closer of the backward/forward matches; backward wins exact
+        # ties (pandas merge_asof nearest semantics). Two sweeps + a
+        # per-row pick — still linear, still one shuffle axis.
+        # Precondition: left rows unique (the two sweeps re-join on the
+        # full left row).
+        back = asof_join(
+            left, right, by, left_ts, right_ts, right_payload,
+            tolerance_seconds, "backward", _emit_matched_ts=True,
+        )
+        fwd = asof_join(
+            left, right, by, left_ts, right_ts, right_payload,
+            tolerance_seconds, "forward", _emit_matched_ts=True,
+        )
+        key = [c for c in left.columns]
+        b = back.select(
+            *key, *[F.col(c).alias(f"__b_{c}") for c in right_payload],
+            F.col("__asof_matched_t").alias("__b_t"),
+        )
+        f = fwd.select(
+            *key, *[F.col(c).alias(f"__f_{c}") for c in right_payload],
+            F.col("__asof_matched_t").alias("__f_t"),
+        )
+        j = b.join(f, key)
+        lts = F.col(left_ts).cast("double")
+        bd = F.when(
+            F.col("__b_t").isNotNull(), lts - F.col("__b_t").cast("double")
+        )
+        fd = F.when(
+            F.col("__f_t").isNotNull(), F.col("__f_t").cast("double") - lts
+        )
+        use_back = F.when(
+            F.col("__b_t").isNotNull()
+            & (F.col("__f_t").isNull() | (bd <= fd)),
+            F.lit(True),
+        ).otherwise(F.lit(False))
+        return j.select(
+            *key,
+            *[
+                F.when(use_back, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(c)
+                for c in right_payload
+            ],
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward: {direction}")
+        raise ValueError(
+            f"direction must be backward/forward/nearest: {direction}"
+        )
     by = list(by)
     payload = list(right_payload)
     left_cols = left.columns
@@ -113,13 +161,19 @@ def asof_join(
         out = out.select(
             "__t",
             "__side",
-            "__matched_t",
+            F.when(in_tol, F.col("__matched_t")).alias("__matched_t"),
             *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
             *[F.col(f"__l_{c}") for c in left_cols],
         )
+    extra = (
+        [F.col("__matched_t").alias("__asof_matched_t")]
+        if _emit_matched_ts
+        else []
+    )
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
         *payload,
+        *extra,
     )
 
 

@@ -281,3 +281,70 @@ def test_sales_summary_grained_equals_generic(spark, lines, n_orders):
     a = sorted(map(tuple, sales_summary(joined).collect()))
     b = sorted(map(tuple, sales_summary_grained(li, orders).collect()))
     assert a == b
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_nearest_matches_pandas(spark, left, right):
+    left = list({(k, t) for k, t in left})
+    right = list({(k, t) for k, t in right})
+    lpdf = pd.DataFrame(
+        {
+            "user_id": pd.array([k for k, _ in left], dtype="int64"),
+            "ts": pd.to_datetime(
+                [BASE + dt.timedelta(minutes=t) for _, t in left]
+            ),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "user_id": pd.array([k for k, _ in right], dtype="int64"),
+            "ts": pd.to_datetime(
+                [BASE + dt.timedelta(minutes=t) for _, t in right]
+            ),
+            "payload": pd.array(
+                [k * 1000 + t for k, t in right], dtype="int64"
+            ),
+        }
+    )
+    schema_l = "user_id long, ts timestamp"
+    schema_r = "user_id long, ts timestamp, payload long"
+    ldf = spark.createDataFrame(lpdf, schema_l) if len(lpdf) else (
+        spark.createDataFrame([], schema_l)
+    )
+    rdf = spark.createDataFrame(rpdf, schema_r) if len(rpdf) else (
+        spark.createDataFrame([], schema_r)
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["payload"]
+        for r in asof_join(
+            ldf,
+            rdf,
+            by=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["payload"],
+            direction="nearest",
+        ).collect()
+    }
+    if len(lpdf):
+        expected_df = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="user_id",
+            direction="nearest",
+        )
+        expected = {
+            (r.user_id, r.ts.to_pydatetime()): (
+                None if pd.isna(r.payload) else int(r.payload)
+            )
+            for r in expected_df.itertuples()
+        }
+    else:
+        expected = {}
+    assert got == expected
