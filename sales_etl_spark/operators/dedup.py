@@ -90,6 +90,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b) over word n-gram sets.
 
@@ -98,13 +99,23 @@ def ngram_jaccard_pairs(
     jaccard = common / (|A| + |B| − common).
 
     Scale note: the self-join fans out per shingle bucket; a stopword
-    shingle shared by 10^5 docs creates 10^10 pairs. Production recipe:
-    drop shingles above a document-frequency cap (they carry no
-    discriminating power) — exposed as ``max_shingle_df``."""
+    shingle shared by 10^5 docs creates 10^10 pairs, so shingles whose
+    document frequency exceeds ``max_shingle_df`` are dropped from the
+    index (they carry no discriminating power; dropping them shrinks
+    every affected pair's intersection AND union by the same count).
+    Default 10 000 bounds the worst bucket at ~10^8 pairs spread over
+    the shuffle; ``None`` disables the guard (exact-verification tier).
+
+    NOTE: set sizes are computed AFTER the cap, so jaccard stays a true
+    Jaccard over the capped shingle sets — both sides of the oracle
+    comparison must apply the same cap when it is low enough to bite."""
     # reused three times (index sides a/b + set sizes): cache the
     # exploded index instead of re-scanning + re-shingling per use;
     # hashed shingle keys keep the three shuffles fixed-width
-    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True).cache()
+    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
+    if max_shingle_df is not None:
+        sh = dedup_by_df_cap(sh, max_shingle_df)
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,6 +153,25 @@ def dedup_by_df_cap(sh: DataFrame, max_shingle_df: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _require_wraparound(df: DataFrame) -> None:
+    """The signature hashes below (MinHash's universal hash ``a·h + b``
+    and SimHash's bit packing) compute over the wrapping 64-bit ring;
+    under ANSI mode Spark raises ARITHMETIC_OVERFLOW mid-job instead.
+    :func:`session.pin_semantics` disables ANSI, but a locked-down
+    session can refuse the conf — fail fast with a clear error here
+    rather than a task-level overflow 20 minutes into a corpus run."""
+    from sales_etl_spark.session import pin_semantics
+
+    spark = df.sparkSession
+    pin_semantics(spark)
+    if spark.conf.get("spark.sql.ansi.enabled", "false").lower() == "true":
+        raise RuntimeError(
+            "minhash/simhash signatures need spark.sql.ansi.enabled=false "
+            "(64-bit wrap-around arithmetic); the session is locked to "
+            "ANSI mode"
+        )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -160,6 +190,8 @@ def minhash_signatures(
     would buy nothing and cost a full extra shuffle. Total: one
     shuffle, map-side CPU linear in shingles."""
     import numpy as np
+
+    _require_wraparound(df)
 
     rng = np.random.RandomState(seed)
     # odd multipliers → bijections on the 64-bit ring
@@ -280,6 +312,7 @@ def simhash(
 
     One explode + one groupBy with ``bits`` conditional sums — wide
     but flat; everything stays in one shuffle."""
+    _require_wraparound(df)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),

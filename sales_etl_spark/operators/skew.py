@@ -87,7 +87,18 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, explode the small side
     across all salt values, join on (keys + salt). The small side grows
     n_salts×, the hot key's rows spread over n_salts tasks.
+
+    Only ``inner`` and ``left`` (the big side preserved) are supported:
+    under ``right``/``full`` every unmatched small-side row would be
+    emitted once per salt replica — n_salts duplicates. Flip the
+    operands for a right-preserving join.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only: the small "
+            f"side is replicated n_salts x, so {how!r} would emit "
+            "unmatched small-side rows once per replica"
+        )
     on = list(on)
     big = with_salt(skewed, n_salts)
     replicated = small.withColumn(

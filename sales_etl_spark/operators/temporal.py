@@ -60,47 +60,85 @@ def asof_join(
     """
     if direction == "nearest":
         # closer of the backward/forward matches; backward wins exact
-        # ties (pandas merge_asof nearest semantics). Two sweeps + a
-        # per-row pick — still linear, still one shuffle axis.
-        # Precondition: left rows unique (the two sweeps re-join on the
-        # full left row).
-        back = asof_join(
-            left, right, by, left_ts, right_ts, right_payload,
-            tolerance_seconds, "backward", _emit_matched_ts=True,
+        # ties (pandas merge_asof nearest semantics). ONE union sweep
+        # computing both carries as range frames over the numeric time
+        # axis: backward = last right payload over (-inf, 0], forward
+        # = first over [0, +inf). Range frames include ts-equal right
+        # rows on both sides, so ties stay inclusive. No re-join:
+        # every left row picks its own closer match in place, so
+        # duplicate or NULL-bearing left rows pass through untouched
+        # (a previous revision re-joined the two sweeps on all left
+        # columns with null-unsafe equality and silently dropped any
+        # left row containing a NULL). Still one shuffle on the key +
+        # one in-partition sort — half the work of two sweeps.
+        by = list(by)
+        payload = list(right_payload)
+        left_cols = left.columns
+        r = right.select(
+            *by,
+            F.col(right_ts).alias("__t"),
+            F.lit(0).alias("__side"),
+            *[F.col(c) for c in payload],
+            *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
         )
-        fwd = asof_join(
-            left, right, by, left_ts, right_ts, right_payload,
-            tolerance_seconds, "forward", _emit_matched_ts=True,
+        lhs = left.select(
+            *by,
+            F.col(left_ts).alias("__t"),
+            F.lit(1).alias("__side"),
+            *[
+                F.lit(None).cast(right.schema[c].dataType).alias(c)
+                for c in payload
+            ],
+            *[F.col(c).alias(f"__l_{c}") for c in left_cols],
         )
-        key = [c for c in left.columns]
-        b = back.select(
-            *key, *[F.col(c).alias(f"__b_{c}") for c in right_payload],
-            F.col("__asof_matched_t").alias("__b_t"),
+        unioned = lhs.unionByName(r.select(*lhs.columns)).withColumn(
+            "__tn", F.col("__t").cast("double")
         )
-        f = fwd.select(
-            *key, *[F.col(c).alias(f"__f_{c}") for c in right_payload],
-            F.col("__asof_matched_t").alias("__f_t"),
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy("__tn")
+            .rangeBetween(Window.unboundedPreceding, 0)
         )
-        j = b.join(f, key)
-        lts = F.col(left_ts).cast("double")
-        bd = F.when(
-            F.col("__b_t").isNotNull(), lts - F.col("__b_t").cast("double")
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy("__tn")
+            .rangeBetween(0, Window.unboundedFollowing)
         )
-        fd = F.when(
-            F.col("__f_t").isNotNull(), F.col("__f_t").cast("double") - lts
-        )
-        use_back = F.when(
-            F.col("__b_t").isNotNull()
-            & (F.col("__f_t").isNull() | (bd <= fd)),
-            F.lit(True),
-        ).otherwise(F.lit(False))
-        return j.select(
-            *key,
+        rt = F.when(F.col("__side") == 0, F.col("__tn"))
+        carried = unioned.select(
+            "__side",
+            "__tn",
+            *[
+                F.last(c, ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in payload
+            ],
+            F.last(rt, ignorenulls=True).over(wb).alias("__b_t"),
+            *[
+                F.first(c, ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in payload
+            ],
+            F.first(rt, ignorenulls=True).over(wf).alias("__f_t"),
+            *[F.col(f"__l_{c}") for c in left_cols],
+        ).filter(F.col("__side") == 1)
+        bd = F.col("__tn") - F.col("__b_t")
+        fd = F.col("__f_t") - F.col("__tn")
+        # NULL left ts never matches (nulls sort into their own group,
+        # but the [0, +inf) frame would otherwise sweep the partition).
+        tn_ok = F.col("__tn").isNotNull()
+        b_ok = tn_ok & F.col("__b_t").isNotNull()
+        f_ok = tn_ok & F.col("__f_t").isNotNull()
+        if tolerance_seconds is not None:
+            tol = F.lit(float(tolerance_seconds))
+            b_ok = b_ok & (bd <= tol)
+            f_ok = f_ok & (fd <= tol)
+        use_back = b_ok & (~f_ok | (bd <= fd))
+        return carried.select(
+            *[F.col(f"__l_{c}").alias(c) for c in left_cols],
             *[
                 F.when(use_back, F.col(f"__b_{c}"))
-                .otherwise(F.col(f"__f_{c}"))
+                .when(f_ok, F.col(f"__f_{c}"))
                 .alias(c)
-                for c in right_payload
+                for c in payload
             ],
         )
     if direction not in ("backward", "forward"):

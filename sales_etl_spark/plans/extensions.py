@@ -193,10 +193,14 @@ _SHINGLES_SQL = f"""
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via shingle inverted index —
-    the precise verifier for near-dup candidates."""
+    the precise verifier for near-dup candidates. The hot-shingle
+    guard (``max_shingle_df``) bounds the inverted-index fan-out at
+    corpus scale; 10 000 is far above any testdata DF (max 25 at
+    sf0.1), so the oracle — which applies no cap — is unchanged."""
     st = _star(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
-        st.documents, "doc_id", "text", n=3, threshold=0.5
+        st.documents, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=10_000,
     )
 
 

@@ -56,9 +56,11 @@ def pin_semantics(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(key, value)
         except Exception:
-            # A locked-down session (static conf) — semantics then follow
-            # the caller; all engine code also uses try_* forms so the
-            # ANSI difference is still safe.
+            # A locked-down session (static conf) — semantics then
+            # follow the caller. Relational paths use try_*-safe forms,
+            # but the minhash/simhash signature operators REQUIRE
+            # non-ANSI 64-bit wrap-around and assert it themselves
+            # (operators/dedup.py:_require_wraparound).
             pass
     return spark
 

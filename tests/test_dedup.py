@@ -66,6 +66,35 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (1, 5) not in got
 
 
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    # Five docs share only the stopword-grade shingle "a b c"; two of
+    # them additionally share their full remaining content. With the
+    # cap below 5, the hot shingle leaves the inverted index: the
+    # near-identical pair keeps (capped) jaccard 1.0 while the pairs
+    # related ONLY through the hot shingle vanish entirely.
+    rows = [
+        Row(doc_id=i, text=f"a b c unique{i} token{i} word{i}")
+        for i in range(1, 4)
+    ] + [
+        Row(doc_id=4, text="a b c shared tail content here"),
+        Row(doc_id=5, text="a b c shared tail content here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_shingle_df=None
+    )
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_shingle_df=4
+    )
+    got_uncapped = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    got_capped = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    # every doc pairs with every other through "a b c" when uncapped
+    assert (1, 2) in got_uncapped and (1, 3) in got_uncapped
+    # capped: only the genuinely-similar pair survives, at full score
+    assert set(got_capped) == {(4, 5)}
+    assert got_capped[(4, 5)] == 1.0
+
+
 def test_minhash_lsh_recovers_known_pairs(docs):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, min_est_jaccard=0.5

@@ -76,6 +76,15 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_salted_join_rejects_outer_joins(spark):
+    # right/full would emit unmatched small-side rows once per salt
+    # replica — refuse rather than silently duplicate.
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, on=["k"], n_salts=4, how=how)
+
+
 # -- bucketed co-located join ----------------------------------------------
 
 

@@ -98,6 +98,66 @@ def test_asof_join_preserves_left_rowcount(spark):
     assert out.count() == 3  # left join: never drops or duplicates left rows
 
 
+def test_asof_join_nearest_keeps_null_and_duplicate_left_rows(spark):
+    # Regression: a prior revision re-joined the backward/forward
+    # sweeps on ALL left columns with null-unsafe equality, silently
+    # dropping any left row containing a NULL (and fanning out
+    # duplicate left rows). The single-sweep form must preserve both.
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:30:00"), None),  # NULL payload col
+            (1, _ts("2024-01-01T10:30:00"), None),  # exact duplicate
+            (1, _ts("2024-01-01T11:30:00"), "b"),
+            (1, None, "null-ts"),  # NULL join-time row survives too
+            (3, _ts("2024-01-01T10:00:00"), "e"),  # key with no rights
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left,
+        _events(spark),
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id", "amount"],
+        direction="nearest",
+    ).collect()
+    assert len(out) == 5  # left join: never drops or duplicates rows
+    by_tag: dict = {}
+    for r in out:
+        by_tag.setdefault(r["tag"], []).append((r["purchase_id"], r["amount"]))
+    # 10:30 is 30 min after 10:00 and 90 min before 12:00 → backward
+    assert by_tag[None] == [(100, 5.0), (100, 5.0)]
+    # 11:30 is 90 min after 10:00 and 30 min before 12:00 → forward
+    assert by_tag["b"] == [(101, 7.0)]
+    assert by_tag["null-ts"] == [(None, None)]
+    assert by_tag["e"] == [(None, None)]
+
+
+def test_asof_join_nearest_tolerance_gates_each_side(spark):
+    # 13:30 left: backward match 12:00 (90 min), no forward match.
+    # tol=1h nulls it; tol=2h keeps it.
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T13:30:00"), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    kwargs = dict(
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id"],
+        direction="nearest",
+    )
+    wide = asof_join(
+        left, _events(spark), tolerance_seconds=7200, **kwargs
+    ).collect()[0]
+    tight = asof_join(
+        left, _events(spark), tolerance_seconds=3600, **kwargs
+    ).collect()[0]
+    assert wide["purchase_id"] == 101
+    assert tight["purchase_id"] is None
+
+
 def test_time_range_agg_trailing_window_inclusive(spark):
     df = spark.createDataFrame(
         [

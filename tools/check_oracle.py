@@ -182,7 +182,9 @@ def main() -> int:
         f"warnings"
     )
     spark.stop()
-    return 1 if failures else 0
+    # The bar is bit-exact (the driver's value-hash comparison): a
+    # close-not-exact WARN is a failure for automation purposes too.
+    return 1 if failures or warnings else 0
 
 
 if __name__ == "__main__":
