@@ -15,24 +15,13 @@ Shuffle budget per mart (the numbers that matter at 100 TB):
   compiles to TakeOrderedAndProject (distributed top-k, never a full
   sort).
 
-Money exactness — two equivalent strategies, both order-independent
-under any partitioning:
-
-- generic (reference-shaped) forms: DECIMAL(18,2) end-to-end, cast to
-  double only at the output boundary (see schemas.MONEY);
-- grained forms: EXACT INTEGER CENTS in LONGs (``money_cents``). A
-  2-dp money product is a whole number of cents, so summing cents is
-  the same exact arithmetic as the decimal sum — but it runs in
-  whole-stage-codegen long registers instead of BigDecimal
-  accumulators (sum(decimal(18,2)) promotes to precision 28, past
-  Spark's compact-long Decimal threshold; measured ~2x the map-side
-  agg cost at sf0.1). ``cents/100`` converted via one correctly
-  rounded double division at the output boundary is bit-identical to
-  ``CAST(SUM(decimal) AS DOUBLE)`` while |cents| < 2^53 (10^16.5
-  cents per group — document the bound, don't exceed it silently).
-
-The AOV division happens on the already-exact sums, hence identical
-on any cluster layout.
+Money exactness: DECIMAL(18,2) end-to-end, cast to double only at the
+output boundary (see schemas.MONEY) — order-independent under any
+partitioning. (An integer-cents-in-LONG variant was prototyped for
+codegen speed but retired: exact ``rint`` recovery of the double
+product only holds below ~2^51 cents, and the decimal path is already
+bit-exact vs the oracle.) The AOV division happens on the
+already-exact sums, hence identical on any cluster layout.
 """
 
 from __future__ import annotations
@@ -42,29 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sales_etl_spark.functions.scalars import month_str, period_date, safe_div
-
-
-def money_cents(quantity: str, unit_price: str):
-    """Exact integer cents of ``CAST(quantity * unit_price AS
-    DECIMAL(18,2))`` for 2-dp money columns, as a LONG.
-
-    Precondition: ``unit_price`` carries at most 2 decimal places (a
-    money column), so the product is a whole number of cents; the
-    double product is within ~1e-9 of that integer (rel. error 2^-52
-    at magnitudes < 2^53), hence ``rint`` recovers it exactly. The
-    equivalence with the decimal cast is NOT valid for arbitrary-scale
-    inputs — keep the decimal path for those.
-    """
-    return F.rint(
-        F.col(quantity) * F.col(unit_price) * F.lit(100.0)
-    ).cast("long")
-
-
-def cents_to_double(col) -> "F.Column":
-    """Output-boundary conversion: bit-identical to ``CAST(SUM(decimal)
-    AS DOUBLE)`` — the long→double cast is exact below 2^53 cents and
-    the division by 100 rounds correctly once."""
-    return col.cast("double") / F.lit(100.0)
 
 
 def _finish_summary(out: DataFrame) -> DataFrame:

@@ -164,7 +164,11 @@ def _require_wraparound(df: DataFrame) -> None:
 
     spark = df.sparkSession
     pin_semantics(spark)
-    if spark.conf.get("spark.sql.ansi.enabled", "false").lower() == "true":
+    # No default arg: conf.get with a default returns the DEFAULT for
+    # an unset conf, hiding Spark 4's ANSI-on built-in default exactly
+    # when pin_semantics's conf.set silently failed. The no-arg form
+    # returns the effective value (built-in default included).
+    if spark.conf.get("spark.sql.ansi.enabled").lower() == "true":
         raise RuntimeError(
             "minhash/simhash signatures need spark.sql.ansi.enabled=false "
             "(64-bit wrap-around arithmetic); the session is locked to "

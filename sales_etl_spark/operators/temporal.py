@@ -62,15 +62,16 @@ def asof_join(
         # closer of the backward/forward matches; backward wins exact
         # ties (pandas merge_asof nearest semantics). ONE union sweep
         # computing both carries as range frames over the numeric time
-        # axis: backward = last right payload over (-inf, 0], forward
-        # = first over [0, +inf). Range frames include ts-equal right
+        # axis: backward = last right row over (-inf, 0], forward =
+        # first over [0, +inf). Range frames include ts-equal right
         # rows on both sides, so ties stay inclusive. No re-join:
         # every left row picks its own closer match in place, so
-        # duplicate or NULL-bearing left rows pass through untouched
-        # (a previous revision re-joined the two sweeps on all left
-        # columns with null-unsafe equality and silently dropped any
-        # left row containing a NULL). Still one shuffle on the key +
-        # one in-partition sort — half the work of two sweeps.
+        # duplicate or NULL-bearing left rows pass through untouched.
+        # Whole-row semantics: the carry is ONE struct per right row
+        # (match time + payload), so a right row whose payload value is
+        # genuinely NULL propagates that NULL — per-column carries
+        # would skip the NULL and mix columns from different right
+        # rows. Still one shuffle on the key + one in-partition sort.
         by = list(by)
         payload = list(right_payload)
         left_cols = left.columns
@@ -104,29 +105,29 @@ def asof_join(
             .orderBy("__tn")
             .rangeBetween(0, Window.unboundedFollowing)
         )
-        rt = F.when(F.col("__side") == 0, F.col("__tn"))
+        # One struct per right row with a usable (non-NULL) timestamp;
+        # NULL-ts right rows can never be a match at any distance.
+        rs = F.when(
+            (F.col("__side") == 0) & F.col("__tn").isNotNull(),
+            F.struct(
+                F.col("__tn").alias("__rt"),
+                *[F.col(c) for c in payload],
+            ),
+        )
         carried = unioned.select(
             "__side",
             "__tn",
-            *[
-                F.last(c, ignorenulls=True).over(wb).alias(f"__b_{c}")
-                for c in payload
-            ],
-            F.last(rt, ignorenulls=True).over(wb).alias("__b_t"),
-            *[
-                F.first(c, ignorenulls=True).over(wf).alias(f"__f_{c}")
-                for c in payload
-            ],
-            F.first(rt, ignorenulls=True).over(wf).alias("__f_t"),
+            F.last(rs, ignorenulls=True).over(wb).alias("__b"),
+            F.first(rs, ignorenulls=True).over(wf).alias("__f"),
             *[F.col(f"__l_{c}") for c in left_cols],
         ).filter(F.col("__side") == 1)
-        bd = F.col("__tn") - F.col("__b_t")
-        fd = F.col("__f_t") - F.col("__tn")
+        bd = F.col("__tn") - F.col("__b.__rt")
+        fd = F.col("__f.__rt") - F.col("__tn")
         # NULL left ts never matches (nulls sort into their own group,
         # but the [0, +inf) frame would otherwise sweep the partition).
         tn_ok = F.col("__tn").isNotNull()
-        b_ok = tn_ok & F.col("__b_t").isNotNull()
-        f_ok = tn_ok & F.col("__f_t").isNotNull()
+        b_ok = tn_ok & F.col("__b").isNotNull()
+        f_ok = tn_ok & F.col("__f").isNotNull()
         if tolerance_seconds is not None:
             tol = F.lit(float(tolerance_seconds))
             b_ok = b_ok & (bd <= tol)
@@ -135,8 +136,8 @@ def asof_join(
         return carried.select(
             *[F.col(f"__l_{c}").alias(c) for c in left_cols],
             *[
-                F.when(use_back, F.col(f"__b_{c}"))
-                .when(f_ok, F.col(f"__f_{c}"))
+                F.when(use_back, F.col(f"__b.{c}"))
+                .when(f_ok, F.col(f"__f.{c}"))
                 .alias(c)
                 for c in payload
             ],
@@ -175,42 +176,48 @@ def asof_join(
         .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # One struct per right row (match time + whole payload): a right
+    # row with a genuinely-NULL payload value propagates that NULL
+    # instead of falling through to an older row's value, and output
+    # columns always come from the SAME right row. NULL-ts right rows
+    # never match; NULL-ts left rows never match (their sweep position
+    # is undefined — nulls-first asc / nulls-last desc).
+    rs = F.when(
+        (F.col("__side") == 0) & F.col("__t").isNotNull(),
+        F.struct(
+            F.col("__t").alias("__rt"), *[F.col(c) for c in payload]
+        ),
+    )
     carried = lhs.unionByName(r.select(*lhs.columns)).select(
         "__t",
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
-        )
-        .over(w)
-        .alias("__matched_t"),
+        F.last(rs, ignorenulls=True).over(w).alias("__r"),
         *[F.col(f"__l_{c}") for c in left_cols],
     )
     out = carried.filter(F.col("__side") == 1)
+    match_ok: Column = F.col("__t").isNotNull() & F.col("__r").isNotNull()
     if tolerance_seconds is not None:
         if direction == "backward":
-            in_tol: Column = F.col("__matched_t").cast("double") >= (
-                F.col("__t").cast("double") - F.lit(float(tolerance_seconds))
+            match_ok = match_ok & (
+                F.col("__r.__rt").cast("double")
+                >= F.col("__t").cast("double")
+                - F.lit(float(tolerance_seconds))
             )
         else:
-            in_tol = F.col("__matched_t").cast("double") <= (
-                F.col("__t").cast("double") + F.lit(float(tolerance_seconds))
+            match_ok = match_ok & (
+                F.col("__r.__rt").cast("double")
+                <= F.col("__t").cast("double")
+                + F.lit(float(tolerance_seconds))
             )
-        out = out.select(
-            "__t",
-            "__side",
-            F.when(in_tol, F.col("__matched_t")).alias("__matched_t"),
-            *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
-            *[F.col(f"__l_{c}") for c in left_cols],
-        )
+    matched = F.when(match_ok, F.col("__r"))
     extra = (
-        [F.col("__matched_t").alias("__asof_matched_t")]
+        [matched.getField("__rt").alias("__asof_matched_t")]
         if _emit_matched_ts
         else []
     )
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        *payload,
+        *[matched.getField(c).alias(c) for c in payload],
         *extra,
     )
 

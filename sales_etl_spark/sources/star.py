@@ -11,6 +11,7 @@ schema (FIXTURES.md §4):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,13 +140,23 @@ class StarSchema:
 #: footers and re-validating columns (measured ~0.1s/table/call, the
 #: dominant share of "plan build" latency for multi-table queries; at
 #: cluster scale the same RPCs hit the namenode instead of being free).
+#:
+#: Staleness contract: a cached plan captures its parquet FILE LISTING
+#: at first resolution. If files under ``sf_dir`` are rewritten within
+#: the same application (e.g. a test regenerating fixtures), pass
+#: ``refresh=True`` to drop the memo and re-resolve — otherwise reads
+#: may hit stale/deleted files. Keys are (applicationId, abspath), so
+#: relative and absolute spellings of one directory share an entry and
+#: the cache cannot grow beyond the set of distinct directories used.
 _STAR_CACHE: dict[tuple[str, str], StarSchema] = {}
 
 
-def load_star(spark: SparkSession, sf_dir: str) -> StarSchema:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def load_star(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> StarSchema:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     st = _STAR_CACHE.get(key)
-    if st is None or st.spark is not spark:
+    if refresh or st is None or st.spark is not spark:
         st = StarSchema(spark, sf_dir)
         _STAR_CACHE[key] = st
     return st

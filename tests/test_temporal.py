@@ -185,3 +185,70 @@ def test_time_range_agg_trailing_window_inclusive(spark):
     assert got[(1, "2024-01-01T11:00:00")] == (3, 7.0)  # inclusive both ends
     assert got[(1, "2024-01-01T12:30:00")] == (1, 8.0)
     assert got[(2, "2024-01-01T10:15:00")] == (1, 16.0)
+
+
+def test_asof_join_null_payload_propagates_whole_row(spark):
+    """ADVICE r2: the matched right row's NULL payload value must come
+    through as NULL — per-column carries would skip it and mix columns
+    from different right rows. Covers all three directions."""
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, 5.0),
+            (1, _ts("2024-01-01T11:00:00"), 101, None),
+        ],
+        "user_id long, ts timestamp, purchase_id long, amount double",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:05:00"), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    for direction in ("backward", "nearest"):
+        out = asof_join(
+            left,
+            right,
+            by=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["purchase_id", "amount"],
+            direction=direction,
+        ).collect()
+        assert [(r["purchase_id"], r["amount"]) for r in out] == [
+            (101, None)
+        ], direction
+    fwd = asof_join(
+        spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:30:00"), "y")],
+            "user_id long, ts timestamp, tag string",
+        ),
+        right,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id", "amount"],
+        direction="forward",
+    ).collect()
+    assert [(r["purchase_id"], r["amount"]) for r in fwd] == [(101, None)]
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    right = spark.createDataFrame(
+        [(1, None, 999, 1.0)],
+        "user_id long, ts timestamp, purchase_id long, amount double",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:00:00"), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            left,
+            right,
+            by=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["purchase_id", "amount"],
+            direction=direction,
+        ).collect()
+        assert [(r["purchase_id"], r["amount"]) for r in out] == [
+            (None, None)
+        ], direction
