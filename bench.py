@@ -43,10 +43,13 @@ HEADLINE = [
     "events_session_window",
 ]
 
-#: Runs per query; the minimum is reported (steady-state execution —
-#: whole-stage codegen compilation and broadcast warm-up amortize away
-#: on any long-lived cluster, so first-run JIT cost is not the metric).
-RUNS = 2
+#: Runs per query; the minimum is reported as the headline number
+#: (steady-state execution — whole-stage codegen compilation and
+#: broadcast warm-up amortize away on any long-lived cluster, so
+#: first-run JIT cost is not the metric) and the median alongside, so
+#: ±15% single-run scheduler noise can't masquerade as a regression
+#: across rounds.
+RUNS = 3
 
 
 def main() -> None:
@@ -73,15 +76,18 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         builder = QUERY_REGISTRY[name].builder
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             df = builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
         spark.catalog.clearCache()  # operator-internal caches stay local
 
     total = round(sum(timings.values()), 3)
@@ -92,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "runs": RUNS,
                 "sf": sf,
             }
         )

@@ -15,22 +15,67 @@ Shuffle budget per mart (the numbers that matter at 100 TB):
   compiles to TakeOrderedAndProject (distributed top-k, never a full
   sort).
 
-Money exactness: DECIMAL(18,2) end-to-end, cast to double only at the
-output boundary (see schemas.MONEY) — order-independent under any
-partitioning. (An integer-cents-in-LONG variant was prototyped for
-codegen speed but retired: exact ``rint`` recovery of the double
-product only holds below ~2^51 cents, and the decimal path is already
-bit-exact vs the oracle.) The AOV division happens on the
-already-exact sums, hence identical on any cluster layout.
+Money exactness — two strategies, both order-independent under any
+partitioning:
+
+- generic (reference-shaped) forms: DECIMAL(18,2) end-to-end, cast to
+  double only at the output boundary (see schemas.MONEY);
+- grained forms: EXACT INTEGER CENTS in LONGs (:func:`money_cents`).
+  A 2-dp money product is a whole number of cents, so summing cents is
+  the same exact arithmetic as the decimal sum — but it accumulates in
+  whole-stage-codegen long registers instead of BigDecimal
+  accumulators (sum(decimal(18,2)) promotes to precision 28, past
+  Spark's compact-long threshold; measured 1.4s decimal vs 0.88s long
+  for the order-grain pre-agg at sf0.1). :func:`cents_to_double`
+  converts at the output boundary through DECIMAL division so exactly
+  ONE double rounding happens — bit-identical to
+  ``CAST(SUM(decimal(18,2)) AS DOUBLE)``.
+
+The AOV division happens on the already-exact sums, hence identical
+on any cluster layout.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sales_etl_spark.functions.scalars import month_str, period_date, safe_div
+
+
+def money_cents(quantity: str, unit_price: str) -> Column:
+    """Exact integer cents of ``CAST(quantity * unit_price AS
+    DECIMAL(18,2))`` for 2-dp money columns, as a LONG.
+
+    Precondition: ``unit_price`` carries at most 2 decimal places (a
+    money column), so the true product is a whole number of cents.
+    ``rint`` recovers that integer exactly while the product stays
+    below ~2^51 cents (≈ $2×10^13 per LINE): the double product's
+    relative error 2^-52 then keeps the absolute error under 0.5
+    cents. TPC-H-shaped rows top out around 5×10^8 cents — nine orders
+    of magnitude of headroom. NOT valid for arbitrary-scale inputs;
+    keep the decimal path for those.
+
+    Downstream ``sum`` of cents is a LONG sum: it wraps (non-ANSI) at
+    2^63 ≈ $9.2×10^16 PER GROUP — beyond any realistic mart group even
+    at 100 TB (a group summing 10^12 rows of $10^3 is 10^17 cents,
+    still two digits under), but document the bound where a caller
+    could aggregate the whole table into one group.
+    """
+    return F.rint(
+        F.col(quantity) * F.col(unit_price) * F.lit(100.0)
+    ).cast("long")
+
+
+def cents_to_double(col: Column) -> Column:
+    """Output-boundary conversion of an exact LONG cents sum, through
+    DECIMAL division so the value is rounded to double exactly ONCE —
+    bit-identical to ``CAST(SUM(decimal(18,2)) AS DOUBLE)`` at any
+    magnitude a long can hold (a naive ``cents/100.0`` double-rounds
+    past 2^53). Runs post-aggregation, i.e. on |groups| rows — free.
+    """
+    return (col.cast("decimal(20,0)") / F.lit(100)).cast("double")
 
 
 def _finish_summary(out: DataFrame) -> DataFrame:
@@ -78,22 +123,15 @@ def sales_summary_grained(line_items: DataFrame, orders: DataFrame) -> DataFrame
     ``line_items``: order_id, quantity, unit_price (line grain).
     ``orders``: order_id, category, order_date (order grain, unique).
     """
-    per_order = (
-        line_items.withColumn(
-            "total_price",
-            (F.col("quantity") * F.col("unit_price")).cast("decimal(18,2)"),
-        )
-        .groupBy("order_id")
-        .agg(
-            F.sum("total_price").alias("__tp"),
-            F.sum("quantity").alias("__q"),
-        )
+    per_order = line_items.groupBy("order_id").agg(
+        F.sum(money_cents("quantity", "unit_price")).alias("__tpc"),
+        F.sum("quantity").alias("__q"),
     )
     o = orders.withColumn("month", month_str("order_date")).select(
         "order_id", "category", "month"
     )
     out = per_order.join(o, "order_id").groupBy("category", "month").agg(
-        F.sum("__tp").cast("double").alias("total_sales"),
+        cents_to_double(F.sum("__tpc")).alias("total_sales"),
         F.sum("__q").cast("double").alias("total_quantity"),
         F.count(F.lit(1)).alias("order_count"),
     )
@@ -119,13 +157,26 @@ def order_totals_grained(line_items: DataFrame, orders: DataFrame) -> DataFrame:
     ``line_items``: order_id, quantity, unit_price (line grain).
     ``orders``: order_id, customer_id (order grain, unique).
     """
-    per_order = (
-        line_items.withColumn(
-            "total_price",
-            (F.col("quantity") * F.col("unit_price")).cast("decimal(18,2)"),
-        )
-        .groupBy("order_id")
-        .agg(F.sum("total_price").alias("order_total"))
+    return order_cents_grained(line_items, orders).select(
+        "order_id",
+        "customer_id",
+        cents_to_double(F.col("order_cents")).alias("order_total"),
+    )
+
+
+def order_cents_grained(
+    line_items: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Order-grain totals in EXACT INTEGER CENTS — the composable form:
+    a downstream rollup (e.g. region grain in avg_check) keeps summing
+    longs and converts to double once at its own output boundary,
+    instead of order-dependently summing already-rounded doubles.
+
+    Same shape as :func:`order_totals_grained`: narrow line-item
+    pre-agg on order_id, then join the order→customer mapping.
+    """
+    per_order = line_items.groupBy("order_id").agg(
+        F.sum(money_cents("quantity", "unit_price")).alias("order_cents")
     )
     # No broadcast hint: orders is itself a fact table at 100 TB (AQE
     # broadcasts it at bench scale anyway); per_order already carries
@@ -133,7 +184,7 @@ def order_totals_grained(line_items: DataFrame, orders: DataFrame) -> DataFrame:
     # here only moves the orders side.
     return per_order.join(
         orders.select("order_id", "customer_id"), "order_id"
-    ).select("order_id", "customer_id", "order_total")
+    ).select("order_id", "customer_id", "order_cents")
 
 
 def avg_check_by_region(sales: DataFrame, customers: DataFrame) -> DataFrame:
@@ -195,6 +246,12 @@ def product_ranking(
         ranking = ranking.join(
             F.broadcast(products), "product_id", "left"
         ).select("product_id", "product_name", "total_sold", "total_revenue")
+    return _rank_tail(ranking, top_n)
+
+
+def _rank_tail(ranking: DataFrame, top_n: int) -> DataFrame:
+    """orderBy+limit (TakeOrderedAndProject) then row_number over the
+    ≤top_n survivors; product_id breaks ties deterministically."""
     ranking = ranking.orderBy(
         F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
     ).limit(top_n)
@@ -202,3 +259,34 @@ def product_ranking(
         F.desc("total_sold"), F.desc("total_revenue"), F.asc("product_id")
     )
     return ranking.withColumn("rank_position", F.row_number().over(w))
+
+
+def product_ranking_grained(
+    line_items: DataFrame,
+    products: DataFrame,
+    top_n: int = 5,
+) -> DataFrame:
+    """Grain/cents rewrite of :func:`product_ranking` straight off the
+    LINE ITEMS: product grain needs no order attributes, so the
+    fact⨝orders join the generic form pays is elided entirely — at
+    100 TB that join is a full shuffle of both fact tables for nothing
+    (valid because order_id is a non-null FK; an inner join against
+    orders cannot drop line rows). Revenue accumulates in exact long
+    cents (see :func:`money_cents`), quantity in doubles (integral
+    values — every partial sum is an exact integer below 2^53).
+
+    ``line_items``: product_id, quantity, unit_price (line grain).
+    ``products``: product_id, product_name (unique).
+    """
+    ranking = (
+        line_items.groupBy("product_id")
+        .agg(
+            F.sum("quantity").cast("double").alias("total_sold"),
+            cents_to_double(
+                F.sum(money_cents("quantity", "unit_price"))
+            ).alias("total_revenue"),
+        )
+        .join(F.broadcast(products), "product_id", "left")
+        .select("product_id", "product_name", "total_sold", "total_revenue")
+    )
+    return _rank_tail(ranking, top_n)

@@ -443,11 +443,25 @@ def _grained_totals(st):
 @query("agg_avg_check_by_region", oracle=_AVG_CHECK_ORACLE)
 def agg_avg_check_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average check per region (reference create_avg_check_by_region,
-    etl/transform.py:120-142): grained order totals (narrow shuffle on
-    order_id, see order_totals_grained) → broadcast left join on the
-    customers dim → region rollup with grain-eliminated distinct."""
+    etl/transform.py:120-142): grained order totals in exact long
+    cents (narrow shuffle on order_id, see order_cents_grained) →
+    broadcast left join on the customers dim → region rollup with
+    grain-eliminated distinct. Cents stay LONG through the region
+    rollup and convert to double once at the output boundary
+    (cents_to_double) — exact at any partitioning, and the whole
+    money path runs in codegen long registers instead of BigDecimal."""
     st = _star(spark, sf_dir)
-    totals = _grained_totals(st)
+    totals = aggregates.order_cents_grained(
+        st.lineitem.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("unit_price"),
+        ),
+        st.orders.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+        ),
+    )
     dim = st.customers().select("customer_id", "region")
     joined = totals.join(F.broadcast(dim), "customer_id", "left").withColumn(
         "region", F.coalesce(F.col("region"), F.lit("Unknown"))
@@ -456,7 +470,8 @@ def agg_avg_check_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("region")
         .agg(
             (
-                F.sum("order_total").cast("double") / F.count("order_id")
+                aggregates.cents_to_double(F.sum("order_cents"))
+                / F.count("order_id")
             ).alias("avg_check"),
             F.count("order_id").alias("orders_count"),
         )
@@ -500,38 +515,47 @@ def join_left_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RANKING_ORACLE = (
-    "WITH "
-    + SALES_CTE
-    + """
-    , agg AS (
-        SELECT s.product_id,
-               p.p_name AS product_name,
-               CAST(SUM(s.quantity) AS DOUBLE) AS total_sold,
-               CAST(SUM(s.total_price) AS DOUBLE) AS total_revenue
-        FROM sales s
-        LEFT JOIN part p ON s.product_id = p.p_partkey
-        GROUP BY s.product_id, p.p_name
+_RANKING_ORACLE = """
+    WITH agg AS (
+        SELECT l_partkey AS product_id,
+               CAST(SUM(l_quantity) AS DOUBLE) AS total_sold,
+               CAST(SUM(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        GROUP BY l_partkey
     )
-    SELECT product_id, product_name, total_sold, total_revenue,
+    SELECT a.product_id, p.p_name AS product_name,
+           a.total_sold, a.total_revenue,
            CAST(row_number() OVER (
                ORDER BY total_sold DESC, total_revenue DESC, product_id
            ) AS INTEGER) AS rank_position
-    FROM agg
+    FROM agg a
+    LEFT JOIN part p ON a.product_id = p.p_partkey
     ORDER BY total_sold DESC, total_revenue DESC, product_id
     LIMIT 5
     """
-)
 
 
 @query("topk_product_ranking", oracle=_RANKING_ORACLE)
 def topk_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 products (reference create_product_ranking,
-    etl/transform.py:145-157). Compiles to TakeOrderedAndProject —
-    per-partition local top-k, no global sort. product_id tiebreak
-    makes the cut deterministic (the reference relies on input order)."""
+    etl/transform.py:145-157). Grained form straight off lineitem:
+    product grain needs no order attributes, so the lineitem⨝orders
+    join is elided (order_id is a non-null FK — the inner join cannot
+    drop rows), revenue sums in exact long cents, and the sort+limit
+    compiles to TakeOrderedAndProject — per-partition local top-k,
+    never a global sort. product_id tiebreak makes the cut
+    deterministic (the reference relies on input order)."""
     st = _star(spark, sf_dir)
-    return aggregates.product_ranking(st.sales(), st.products(), top_n=5)
+    return aggregates.product_ranking_grained(
+        st.lineitem.select(
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("unit_price"),
+        ),
+        st.products(),
+        top_n=5,
+    )
 
 
 # ---------------------------------------------------------------------------

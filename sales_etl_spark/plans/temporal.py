@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sales_etl_spark.functions.scalars import month_str
-from sales_etl_spark.operators import temporal
+from sales_etl_spark.operators import aggregates, temporal
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -358,8 +358,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS DECIMAL(20,0))
+                    * CAST((1 - l_discount) * 10000 AS DECIMAL(8,0)))
+                AS DOUBLE) / 1e6
                AS sum_disc_price,
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                          AS DECIMAL(20,0))
@@ -381,17 +383,25 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses each partition to ≤|groups| rows before the (tiny)
     exchange, and the shipdate filter prunes at the row-group level.
 
-    sum_charge accumulates as a scale-0 integer product (price-cents ×
-    disc×10⁴ × tax×10⁴, exact in DECIMAL(38,0)) because a scale-10
-    decimal beyond 2⁵³ double-rounds on the DuckDB side — the same
-    bit-exactness rule as agg_stats. The per-row triple product runs
-    in LONG arithmetic (max ~10¹⁶ ≪ 2⁶³, no overflow possible) and
-    widens to decimal only at the sum — 18% faster than three decimal
-    multiplies per row, identical results."""
+    Every money aggregate runs integer-exact with per-row arithmetic
+    in LONG registers (whole-stage codegen), never BigDecimal per row:
+
+    - sum_qty: quantities are integral doubles, so every partial sum
+      is an exact integer below 2⁵³ — a plain double sum equals the
+      oracle's decimal sum at any partitioning.
+    - sum_base_price: exact long cents (money_cents), one decimal
+      division at the output boundary (cents_to_double) — identical
+      to CAST(SUM(DECIMAL(18,2)) AS DOUBLE); long sum wraps only past
+      $9.2×10¹⁶ per (returnflag, linestatus) group.
+    - sum_disc_price / sum_charge: scale-0 integer products
+      (price-cents × disc×10⁴ [× tax×10⁴], exact in LONG: ≤10¹⁶ ≪
+      2⁶³) widened to decimal only at the sum, because a scale-10
+      decimal beyond 2⁵³ double-rounds on the DuckDB side — the same
+      bit-exactness rule as agg_stats; the oracle mirrors the
+      CAST-then-divide rounding. ~18% faster than decimal multiplies
+      per row, identical results."""
     st = _star(spark, sf_dir)
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-    price_c = (price * F.lit(100)).cast("long")
+    price_c = F.rint(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
     disc4 = F.round((F.lit(1) - F.col("l_discount")) * 10000).cast("long")
     tax4 = F.round((F.lit(1) + F.col("l_tax")) * 10000).cast("long")
     return (
@@ -403,11 +413,15 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            aggregates.cents_to_double(F.sum(price_c)).alias(
+                "sum_base_price"
+            ),
+            (
+                F.sum((price_c * disc4).cast("decimal(30,0)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("sum_disc_price"),
             (
                 F.sum((price_c * disc4 * tax4).cast("decimal(38,0)"))
                 .cast("double")

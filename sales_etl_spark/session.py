@@ -85,6 +85,16 @@ def get_spark(
         builder = builder.master(master)
     for key, value in _BUILD_CONFS.items():
         builder = builder.config(key, value)
+    if master and master.startswith("local"):
+        # Local-mode scan parallelism: bench/test SFs are single
+        # ~10 MB parquet files, which the default 128 MB split maps to
+        # 1-3 partitions — 30 of 32 cores idle through every scan
+        # (measured: the dominant cost of sub-second queries). 1 MB
+        # splits fan the file across cores; row-group alignment keeps
+        # actual reads correct. On a real cluster the default stands:
+        # 100 TB inputs produce ample splits at 128 MB, and tiny-file
+        # over-splitting there is the opposite failure mode.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "1m")
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
