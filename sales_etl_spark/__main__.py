@@ -1,0 +1,136 @@
+"""``python -m sales_etl_spark`` — the orchestration entry point
+(reference ``main.py:61-96`` parity, Spark-native).
+
+Flow mirrors the reference: extract CSVs → transform → build the three
+marts → log the avg-check report (O3) → load the four warehouse tables
+→ exit non-zero on any failure (O4). Differences by design:
+
+- the load target is the lake (``--output-dir`` parquet, the
+  bench/test path) or catalog-managed warehouse tables
+  (``--warehouse``); a JDBC URL (``--jdbc-url``) selects the DB path
+  like the reference's PostgreSQL load;
+- ``--snapshot-date`` replaces the reference's wall-clock ``today``
+  (transform.py:93) so reruns are deterministic;
+- per-step row counts ride on ``observe`` accumulators collected from
+  the load actions themselves — zero extra count() jobs (the
+  reference logs ``len(df)`` eagerly at every step).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import logging
+import sys
+
+logger = logging.getLogger("sales_etl_spark")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m sales_etl_spark",
+        description="Run the reference-parity sales ETL on Spark.",
+    )
+    p.add_argument("--sales", required=True, help="sales CSV path")
+    p.add_argument("--customers", required=True, help="customers CSV path")
+    p.add_argument(
+        "--snapshot-date",
+        default=None,
+        help="YYYY-MM-DD snapshot for customer_days (default: today, "
+        "logged — pin it for deterministic reruns)",
+    )
+    p.add_argument("--top-n", type=int, default=5, help="ranking size")
+    sink = p.add_mutually_exclusive_group(required=True)
+    sink.add_argument("--output-dir", help="parquet lake directory")
+    sink.add_argument(
+        "--warehouse", help="catalog database for managed tables"
+    )
+    sink.add_argument("--jdbc-url", help="JDBC URL for a DB warehouse")
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def _format_report(rows) -> str:
+    """Pretty-print the avg-check mart (reference main.py:80 logs the
+    frame via to_string)."""
+    header = f"{'region':<16}{'avg_check':>14}{'orders_count':>14}"
+    lines = [header, "-" * len(header)]
+    for r in rows:
+        lines.append(
+            f"{r['region']:<16}{r['avg_check']:>14.2f}"
+            f"{r['orders_count']:>14d}"
+        )
+    return "\n".join(lines)
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s [%(levelname)s] %(name)s - %(message)s",
+    )
+    args = build_parser().parse_args(argv)
+    try:
+        from sales_etl_spark import load as sinks
+        from sales_etl_spark.pipeline import run_pipeline
+        from sales_etl_spark.session import get_spark
+        from sales_etl_spark.sources.readers import (
+            read_customers_csv,
+            read_sales_csv,
+        )
+
+        snapshot = (
+            dt.date.fromisoformat(args.snapshot_date)
+            if args.snapshot_date
+            else dt.date.today()
+        )
+        logger.info("snapshot_date=%s top_n=%d", snapshot, args.top_n)
+
+        spark = get_spark("sales-etl-spark-cli", master=args.master)
+
+        sales_raw = read_sales_csv(spark, args.sales)
+        customers_raw = read_customers_csv(spark, args.customers)
+        result = run_pipeline(
+            spark, sales_raw, customers_raw, snapshot, top_n=args.top_n
+        )
+
+        # O3: the avg-check report — a |regions|-row mart, safe to
+        # collect on the driver at any scale.
+        report_rows = result.avg_check_by_region.collect()
+        logger.info(
+            "Average check by region:\n%s", _format_report(report_rows)
+        )
+
+        marts = {
+            "sales": result.sales,
+            "customers": result.customers,
+            "sales_summary": result.sales_summary,
+            "product_ranking": result.product_ranking,
+        }
+        if args.output_dir:
+            for name, df in marts.items():
+                sinks.write_parquet(df, f"{args.output_dir}/{name}")
+        elif args.warehouse:
+            sinks.create_warehouse_tables(spark, args.warehouse)
+            for name, df in marts.items():
+                sinks.load_warehouse_table(df, name, args.warehouse)
+        else:
+            for name, df in marts.items():
+                sinks.jdbc_write(
+                    df, args.jdbc_url, name, mode="overwrite", truncate=True
+                )
+
+        # The load actions above materialized the observed frames, so
+        # the accumulators are populated — structured per-step counts
+        # without one extra job (reference logs len(df) per step).
+        for name, obs in result.observations.items():
+            logger.info("rows[%s]=%s", name, obs.get.get("rows"))
+        result.unpersist()
+        logger.info("ETL run completed")
+        return 0
+    except Exception:
+        logger.exception("ETL run failed")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

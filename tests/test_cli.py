@@ -1,0 +1,56 @@
+"""Integration tier for the ``python -m sales_etl_spark`` entry point
+(reference main.py:61-96: extract -> transform -> report -> load, with
+the sys.exit(1) failure boundary)."""
+
+from __future__ import annotations
+
+from sales_etl_spark.__main__ import main
+
+SALES_CSV = """order_id,customer_id,product_id,product_name,quantity,unit_price,order_date,category
+1,c1,p1,Widget,2,10.50,2024-01-05,Tools
+2,c1,p2,Gadget,1,99.99,2024-02-10,Toys
+3,c2,p1,Widget,5,10.50,2024-02-11,
+4,c3,p3,Sprocket,3,7.25,not-a-date,Tools
+"""
+
+CUSTOMERS_CSV = """customer_id,customer_name,email,registration_date,region
+c1,Alice,alice@example.com,2023-05-01,North
+c2,Bob,bob@bad,2023-06-01,
+c3,Cara,cara@example.com,2023-07-01,South
+"""
+
+
+def test_cli_end_to_end_parquet_sink(spark, tmp_path):
+    (tmp_path / "sales.csv").write_text(SALES_CSV)
+    (tmp_path / "customers.csv").write_text(CUSTOMERS_CSV)
+    out = tmp_path / "lake"
+    rc = main(
+        [
+            "--sales", str(tmp_path / "sales.csv"),
+            "--customers", str(tmp_path / "customers.csv"),
+            "--snapshot-date", "2024-03-01",
+            "--top-n", "2",
+            "--output-dir", str(out),
+        ]
+    )
+    assert rc == 0
+    # row 4's bad date is dropped (null critical field); 3 sales rows
+    assert spark.read.parquet(str(out / "sales")).count() == 3
+    assert spark.read.parquet(str(out / "customers")).count() == 3
+    assert spark.read.parquet(str(out / "product_ranking")).count() == 2
+    cats = {
+        r["category"]
+        for r in spark.read.parquet(str(out / "sales")).collect()
+    }
+    assert "Unknown" in cats  # null category filled
+
+
+def test_cli_missing_input_exits_nonzero(tmp_path):
+    rc = main(
+        [
+            "--sales", str(tmp_path / "absent.csv"),
+            "--customers", str(tmp_path / "absent2.csv"),
+            "--output-dir", str(tmp_path / "lake"),
+        ]
+    )
+    assert rc == 1

@@ -41,3 +41,41 @@ def test_read_csv_coerces_bad_dates_to_null(spark, tmp_path):
     rows = {r.id: r.d for r in df.collect()}
     assert rows[1] is not None
     assert rows[2] is None and rows[3] is None  # errors="coerce" parity
+
+
+def test_read_csv_missing_file_raises_typed(spark, tmp_path):
+    from sales_etl_spark.sources.readers import SourceNotFoundError
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(SourceNotFoundError):
+        read_csv(spark, str(tmp_path / "nope.csv"), schema)
+
+
+def test_read_csv_empty_file_raises_typed(spark, tmp_path):
+    from sales_etl_spark.sources.readers import EmptySourceError
+
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(EmptySourceError):
+        read_csv(spark, str(p), schema)
+
+
+def test_read_csv_garbage_rows_raise_typed(spark, tmp_path):
+    from sales_etl_spark.sources.readers import SourceParseError
+
+    p = tmp_path / "garbage.csv"
+    p.write_text("id,v\nnot-a-number,xyz\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    with pytest.raises(SourceParseError):
+        read_csv(spark, str(p), schema)
+    # header-only file parses to 0 rows (pandas parity: only a
+    # zero-byte file is the EmptyDataError case)
+    p2 = tmp_path / "header_only.csv"
+    p2.write_text("id,v\n")
+    assert read_csv(spark, str(p2), schema).count() == 0
