@@ -35,10 +35,14 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine.
 
     Physical shape: broadcast-nested-loop of corpus × queries (queries
-    broadcast), cosine in codegen, then per-query top-k. The window
-    shuffles (query_id)-partitioned scored rows; with q queries and N
-    corpus rows that is q·N scored rows — for large q·N switch to the
-    LSH tier or aggregate per-partition local top-k first.
+    broadcast), cosine in codegen, then per-query top-k. The q·N
+    scored rows never reach the shuffle: the ``rank <= k`` filter
+    compiles to ``WindowGroupLimit`` with a PARTIAL pass below the
+    exchange (Catalyst's InferWindowGroupLimit), so each map partition
+    keeps ≤k rows per query and the exchange carries q·partitions·k
+    rows (plan asserted in tests/test_plans.py). The q·N SCORING cost
+    still scales with the corpus — when that pass itself is too big,
+    switch to the LSH/IVF tiers.
 
     Self-matches (same id both sides) are excluded."""
     q = queries.select(

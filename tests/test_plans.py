@@ -85,3 +85,14 @@ def test_summary_has_no_distinct_expand(spark):
     plan = _formatted(_build(spark, "agg_sales_summary"))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}"
+
+
+def test_cosine_topk_local_group_limit_before_shuffle(spark):
+    # the rank<=k filter must compile to WindowGroupLimit with a
+    # PARTIAL pass below the exchange (InferWindowGroupLimit): each
+    # map partition keeps <=k rows per query, so the shuffle carries
+    # q x partitions x k rows instead of the full q x N scored set
+    plan = _formatted(_build(spark, "ann_cosine_topk"))
+    assert "WindowGroupLimit" in plan, plan
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Partial" in body and "Final" in body, body
