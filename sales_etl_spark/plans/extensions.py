@@ -858,15 +858,21 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    # N rides the plan as a broadcast 1-row aggregate (no driver-side
+    # count() job per invocation); the cross join is 1 × |vocabulary|.
+    n_docs = st.documents.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
     )
-    n_docs = st.documents.count()  # driver-side scalar, one tiny job
+    df_tbl = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
     scored = tf.join(F.broadcast(df_tbl), "term").select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
         ).alias("tfidf"),
     )
     from pyspark.sql.window import Window as W

@@ -348,3 +348,60 @@ def test_asof_join_nearest_matches_pandas(spark, left, right):
     else:
         expected = {}
     assert got == expected
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),        # group key
+            st.integers(min_value=1, max_value=50),       # quantity
+            st.integers(min_value=1, max_value=10_000_00),  # price in CENTS
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_money_cents_sum_equals_decimal_oracle(spark, rows):
+    """ADVICE r2: the wired cents path must match the decimal oracle
+    bit-for-bit on arbitrary 2-dp prices (not just integer prices) —
+    sum(money_cents)/100 via cents_to_double == CAST(SUM(CAST(q*p AS
+    DECIMAL(18,2))) AS DOUBLE) under any grouping/partitioning."""
+    from sales_etl_spark.operators.aggregates import (
+        cents_to_double,
+        money_cents,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(q), c / 100.0) for g, q, c in rows],
+        "g long, quantity double, unit_price double",
+    ).repartition(7)
+    fast = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g")
+        .agg(
+            cents_to_double(
+                F.sum(money_cents("quantity", "unit_price"))
+            ).alias("s")
+        )
+        .collect()
+    }
+    exact = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g")
+        .agg(
+            F.sum(
+                (F.col("quantity") * F.col("unit_price")).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    }
+    assert fast == exact
