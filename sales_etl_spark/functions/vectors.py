@@ -47,3 +47,35 @@ def cosine_rounded(a: Column | str, b: Column | str, digits: int = 6) -> Column:
     bit-for-bit too; rounding to 1e-6 collapses any residual last-ulp
     difference while keeping full ranking power."""
     return F.round(cosine(a, b), digits)
+
+
+def dot_double(a: Column | str, b: Column | str) -> Column:
+    """Dot product over arrays that are ALREADY double — the per-pair
+    hot path after :func:`to_double` was hoisted to a pre-join
+    projection. Same fold order (and bit-identical result) as
+    :func:`dot`; skips re-running the element cast per pair."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_prenorm_rounded(
+    av: Column | str,
+    an: Column | str,
+    bv: Column | str,
+    bn: Column | str,
+    digits: int = 6,
+) -> Column:
+    """Cosine from pre-cast vectors + pre-computed norms.
+
+    Bit-identical to :func:`cosine_rounded` (identical expressions,
+    just evaluated once per ROW instead of once per PAIR): a k-NN
+    join scores q·N pairs, so hoisting the two sqrt-folds and the
+    element casts out of the pair loop cuts per-pair flops to one
+    zip_with multiply + fold."""
+    return F.round(
+        dot_double(av, bv) / F.nullif(_col(an) * _col(bn), F.lit(0.0)),
+        digits,
+    )

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sales_etl_spark.functions.vectors import cosine_rounded, dot
+from sales_etl_spark.functions.vectors import (
+    cosine_prenorm_rounded,
+    cosine_rounded,
+    dot,
+    norm,
+    to_double,
+)
 
 
 def cosine_topk(
@@ -44,17 +50,28 @@ def cosine_topk(
     still scales with the corpus — when that pass itself is too big,
     switch to the LSH/IVF tiers.
 
-    Self-matches (same id both sides) are excluded."""
+    Self-matches (same id both sides) are excluded.
+
+    Per-pair cost is ONE zip_with-multiply fold: the element casts and
+    both sqrt-norms are hoisted into the pre-join projections
+    (evaluated once per row, not once per pair — bit-identical, see
+    cosine_prenorm_rounded)."""
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias(query_id_col),
+        to_double(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
     )
     scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        to_double(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
     ).crossJoin(F.broadcast(q))
     scored = scored.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         query_id_col,
         "neighbor_id",
-        cosine_rounded("__qv", "__cv").alias("cosine_sim"),
+        cosine_prenorm_rounded("__qv", "__qn", "__cv", "__cn").alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -127,20 +144,23 @@ def lsh_topk(
     when both corpus and query set are large."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        to_double(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
         F.explode(
             _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
         ).alias("tb"),
-    ).select("neighbor_id", "__cv", F.col("tb.table").alias("table"),
+    ).select("neighbor_id", "__cv", "__cn",
+             F.col("tb.table").alias("table"),
              F.col("tb.bucket").alias("bucket"))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qv"),
+        to_double(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
         F.explode(
             _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
         ).alias("tb"),
     ).select(
-        query_id_col, "__qv", F.col("tb.table").alias("table"),
+        query_id_col, "__qv", "__qn", F.col("tb.table").alias("table"),
         F.col("tb.bucket").alias("q_bucket"),
     )
     # 1-bit multiprobe: exact bucket + all single-bit flips
@@ -152,7 +172,8 @@ def lsh_topk(
         ],
     )
     q = q.select(
-        query_id_col, "__qv", "table", F.explode(probes).alias("bucket")
+        query_id_col, "__qv", "__qn", "table",
+        F.explode(probes).alias("bucket"),
     )
     joined = c.join(q, ["table", "bucket"]).filter(
         F.col("neighbor_id") != F.col(query_id_col)
@@ -160,7 +181,9 @@ def lsh_topk(
     scored = joined.select(
         query_id_col,
         "neighbor_id",
-        cosine_rounded("__qv", "__cv").alias("cosine_sim"),
+        cosine_prenorm_rounded("__qv", "__qn", "__cv", "__cn").alias(
+            "cosine_sim"
+        ),
     ).dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -190,11 +213,12 @@ def embedding_cosine_dedup(
     minhash_lsh_pairs — no self-crossJoin at any scale."""
     sig = df.select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("__v"),
+        to_double(vec_col).alias("__v"),
+        norm(vec_col).alias("__n"),
         F.explode(
             _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
         ).alias("tb"),
-    ).select("doc", "__v", F.col("tb.table").alias("table"),
+    ).select("doc", "__v", "__n", F.col("tb.table").alias("table"),
              F.col("tb.bucket").alias("bucket")).cache()
     a = sig.alias("a")
     b = sig.alias("b")
@@ -208,7 +232,9 @@ def embedding_cosine_dedup(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            cosine_rounded(F.col("a.__v"), F.col("b.__v")).alias("cosine_sim"),
+            cosine_prenorm_rounded(
+                F.col("a.__v"), F.col("a.__n"), F.col("b.__v"), F.col("b.__n")
+            ).alias("cosine_sim"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine_sim") >= threshold)
@@ -298,13 +324,17 @@ def ivf_topk(
 
     best = F.array_max(_centroid_scores(F.col("__cv"), cents))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        to_double(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
     ).withColumn("list_id", best["idx"])
 
     q_scores = F.reverse(F.array_sort(_centroid_scores(F.col("__qv"), cents)))
     q = (
         queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+            F.col(id_col).alias(query_id_col),
+            to_double(vec_col).alias("__qv"),
+            norm(vec_col).alias("__qn"),
         )
         .withColumn(
             "list_id",
@@ -321,7 +351,9 @@ def ivf_topk(
     scored = joined.select(
         query_id_col,
         "neighbor_id",
-        cosine_rounded("__qv", "__cv").alias("cosine_sim"),
+        cosine_prenorm_rounded("__qv", "__qn", "__cv", "__cn").alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
