@@ -23,8 +23,7 @@ from pyspark.sql.window import Window
 
 from sales_etl_spark.functions.vectors import (
     cosine_prenorm_rounded,
-    cosine_rounded,
-    dot,
+    dot_double,
     norm,
     to_double,
 )
@@ -89,12 +88,19 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature(vec_col, planes: np.ndarray):
-    """Bucket id = sign bits of dot(vec, plane_i), packed to a long."""
+    """Bucket id = sign bits of dot(vec, plane_i), packed to a long.
+
+    ``vec_col`` must be an ALREADY-DOUBLE array (to_double hoisted to
+    the caller's projection): with L tables × b planes the signature
+    evaluates L·b dots per row, so re-casting inside each dot would
+    multiply the cast cost by L·b."""
     bits = []
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(v)) for v in plane])
         bits.append(
-            F.when(dot(vec_col, lit_plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+            F.when(dot_double(vec_col, lit_plane) >= 0, F.lit(2**i)).otherwise(
+                F.lit(0)
+            )
         )
     sig = bits[0]
     for b in bits[1:]:
@@ -142,26 +148,42 @@ def lsh_topk(
     Shuffles: one equi-join on (table, bucket) + per-query top-k —
     the corpus is never broadcast or crossed, so this is the path
     when both corpus and query set are large."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        to_double(vec_col).alias("__cv"),
-        norm(vec_col).alias("__cn"),
-        F.explode(
-            _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
-        ).alias("tb"),
-    ).select("neighbor_id", "__cv", "__cn",
-             F.col("tb.table").alias("table"),
-             F.col("tb.bucket").alias("bucket"))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        to_double(vec_col).alias("__qv"),
-        norm(vec_col).alias("__qn"),
-        F.explode(
-            _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
-        ).alias("tb"),
-    ).select(
-        query_id_col, "__qv", "__qn", F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("q_bucket"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double(vec_col).alias("__cv"),
+            norm(vec_col).alias("__cn"),
+        )
+        .select(
+            "neighbor_id",
+            "__cv",
+            "__cn",
+            F.explode(
+                _multi_table_buckets(F.col("__cv"), tables, planes, dim, seed)
+            ).alias("tb"),
+        )
+        .select("neighbor_id", "__cv", "__cn",
+                F.col("tb.table").alias("table"),
+                F.col("tb.bucket").alias("bucket"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            to_double(vec_col).alias("__qv"),
+            norm(vec_col).alias("__qn"),
+        )
+        .select(
+            query_id_col,
+            "__qv",
+            "__qn",
+            F.explode(
+                _multi_table_buckets(F.col("__qv"), tables, planes, dim, seed)
+            ).alias("tb"),
+        )
+        .select(
+            query_id_col, "__qv", "__qn", F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("q_bucket"),
+        )
     )
     # 1-bit multiprobe: exact bucket + all single-bit flips
     probes = F.array(
@@ -211,15 +233,24 @@ def embedding_cosine_dedup(
     sign signature in at least one table w.h.p.), exact cosine verify,
     pair dedup across tables. The embedding-modality analogue of
     minhash_lsh_pairs — no self-crossJoin at any scale."""
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        to_double(vec_col).alias("__v"),
-        norm(vec_col).alias("__n"),
-        F.explode(
-            _multi_table_buckets(F.col(vec_col), tables, planes, dim, seed)
-        ).alias("tb"),
-    ).select("doc", "__v", "__n", F.col("tb.table").alias("table"),
-             F.col("tb.bucket").alias("bucket")).cache()
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            to_double(vec_col).alias("__v"),
+            norm(vec_col).alias("__n"),
+        )
+        .select(
+            "doc",
+            "__v",
+            "__n",
+            F.explode(
+                _multi_table_buckets(F.col("__v"), tables, planes, dim, seed)
+            ).alias("tb"),
+        )
+        .select("doc", "__v", "__n", F.col("tb.table").alias("table"),
+                F.col("tb.bucket").alias("bucket"))
+        .cache()
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -272,13 +303,32 @@ def _centroid_lit(cents: np.ndarray):
     )
 
 
-def _centroid_scores(vec_col, cents: np.ndarray):
+def _centroid_scores(vec_col, vec_norm, cents: np.ndarray):
     """array<struct<s,double idx,int>> of cosine-vs-centroid scores —
-    pure codegen expressions (fold-based dot), no UDF."""
+    pure codegen expressions (fold-based dot), no UDF.
+
+    ``vec_col``/``vec_norm`` are the pre-cast double array and its
+    pre-computed norm (hoisted by the caller — n_centroids dots per
+    row is the irreducible cost; n_centroids casts + norm folds were
+    not). Centroid norms are driver-side constants; they are ~1.0 by
+    construction (spherical k-means) and a last-ulp numpy-vs-JVM sqrt
+    difference can only flip a 6-dp-rounded argmax on an exact
+    boundary tie — it changes a candidate list assignment, never a
+    returned score."""
+    norms = [float(np.sqrt(np.dot(row, row))) for row in cents]
+    norms_lit = F.array(*[F.lit(v) for v in norms])
     return F.transform(
         _centroid_lit(cents),
         lambda c, i: F.struct(
-            cosine_rounded(vec_col, c).alias("s"), i.alias("idx")
+            F.round(
+                dot_double(vec_col, c)
+                / F.nullif(
+                    vec_norm * F.element_at(norms_lit, i + F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("s"),
+            i.alias("idx"),
         ),
     )
 
@@ -322,14 +372,18 @@ def ivf_topk(
     )
     cents = _kmeans_fit(sample, min(n_centroids, len(sample)))
 
-    best = F.array_max(_centroid_scores(F.col("__cv"), cents))
+    best = F.array_max(
+        _centroid_scores(F.col("__cv"), F.col("__cn"), cents)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         to_double(vec_col).alias("__cv"),
         norm(vec_col).alias("__cn"),
     ).withColumn("list_id", best["idx"])
 
-    q_scores = F.reverse(F.array_sort(_centroid_scores(F.col("__qv"), cents)))
+    q_scores = F.reverse(
+        F.array_sort(_centroid_scores(F.col("__qv"), F.col("__qn"), cents))
+    )
     q = (
         queries.select(
             F.col(id_col).alias(query_id_col),
