@@ -30,6 +30,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # queries (driver-green twice already), then the declared-approximate
 # no-oracle queries (rows-only check; recall-tested in tests/) last.
 _SWEEP_FIRST = [
+    "dedup_cluster_resolve",
+    "sample_stratified",
+    "text_chunk_tokens",
     "text_term_freq",
     "text_tfidf_keywords",
     "join_asof_prior_purchase",

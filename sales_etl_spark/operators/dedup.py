@@ -420,3 +420,128 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Pair -> cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve a candidate-pair list into clusters: ``(node,
+    cluster_id)`` where ``cluster_id`` is the MINIMUM node id reachable
+    through the pair graph — the step that turns LSH/Jaccard *pairs*
+    into an actual dedup decision (keep one doc per component).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round every node takes ``min(label, min(neighbor labels))``,
+    then short-circuits one hop through the label table
+    (``label <- label(label)``), which contracts chains geometrically —
+    O(log n) rounds on a path graph, 1-2 rounds on the star/clique
+    shapes near-dup clusters actually take. This is the same doubling
+    idea as the large-star/small-star MapReduce algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") restated as
+    two DataFrame joins per round.
+
+    Scale shape: per round, one shuffle of the (undirected) edge list
+    joined to the label table plus one label-table self-join; no
+    driver-side graph state — the only driver actions are the per-round
+    convergence probe and the lineage-truncating ``localCheckpoint``
+    (without which the iterated plan grows superlinearly; swap for
+    ``checkpoint()`` + a checkpoint dir on a fault-tolerant cluster
+    run). Labels only ever decrease, so convergence ("no label
+    changed this round") is a fixed point, not an approximation.
+
+    Deterministic by construction: min over an orderable id type —
+    no dependence on partitioning or visit order.
+    """
+    undirected = pairs.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    edges = (
+        undirected.union(
+            undirected.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round: scan once
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    if labels.limit(1).count() == 0:
+        return labels
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(edges["a"].alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+        )
+        # Pointer jump: follow the label one hop (label of my label).
+        lhs = stepped.alias("l")
+        ptr = stepped.select(
+            F.col("node").alias("p_node"), F.col("cluster_id").alias("p_label")
+        ).alias("p")
+        jumped = (
+            lhs.join(ptr, F.col("l.cluster_id") == F.col("p.p_node"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("p.p_label"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Dedup decision table from a candidate-pair list: one row per doc
+    that appears in any pair — ``(doc_id, cluster_id, cluster_size,
+    is_canonical)`` with the min-id doc of each component canonical.
+    Downstream: anti-join the corpus against the non-canonical rows to
+    drop near-duplicates while keeping exactly one survivor per
+    cluster."""
+    cc = connected_components(pairs, src_col, dst_col)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("node").alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

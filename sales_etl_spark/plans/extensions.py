@@ -216,6 +216,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc
+        JOIN sizes sb ON c.doc_b = sb.doc
+        WHERE CAST(c.common AS DOUBLE)
+              / (sa.set_size + sb.set_size - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT cc.node AS doc_id, cc.cluster_id, s.cluster_size,
+           cc.node = cc.cluster_id AS is_canonical
+    FROM cc JOIN csize s USING (cluster_id)
+    """,
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list -> dedup decision: connected components over the exact
+    Jaccard >= 0.5 pair graph (min-label propagation + pointer
+    jumping, O(log n) rounds), one canonical min-id survivor per
+    cluster. The oracle states the same fixpoint declaratively as a
+    DuckDB recursive transitive closure — an iterative distributed
+    algorithm checked bit-exact against a recursive CTE."""
+    st = _star(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        st.documents, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=10_000,
+    )
+    return dedup.resolve_clusters(pairs)
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup candidates (Hamming ≤ 8 via 16-bit band

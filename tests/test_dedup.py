@@ -127,3 +127,86 @@ def test_minhash_recall_of_exact_high_jaccard_on_testdata(spark):
     assert hi, "testdata should contain high-jaccard near-dups"
     recall = len(hi & cand) / len(hi)
     assert recall >= 0.9, f"minhash recall {recall} too low"
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges, nodes):
+    """Reference union-find, driver-side, for cross-checking."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to component min: the root IS the min because unions
+    # always point the larger root at the smaller one
+    return {n: find(n) for n in nodes}
+
+
+def _cc_dict(spark, edges, partitions=None):
+    from sales_etl_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges]
+    )
+    if partitions:
+        df = df.repartition(partitions)
+    return {
+        r.node: r.cluster_id
+        for r in connected_components(df).collect()
+    }
+
+
+def test_cc_chain_converges_to_min(spark):
+    # worst case for naive propagation: a long path
+    edges = [(i, i + 1) for i in range(1, 30)]
+    got = _cc_dict(spark, edges)
+    assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_cc_disjoint_components_and_cycle(spark):
+    edges = [(1, 2), (2, 3), (3, 1),      # cycle -> cluster 1
+             (10, 11), (11, 12),          # path  -> cluster 10
+             (20, 21)]                    # pair  -> cluster 20
+    got = _cc_dict(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    # deterministic pseudo-random graph (fixed seed), odd parallelism
+    import random
+
+    rng = random.Random(1234)
+    nodes = list(range(100))
+    edges = [
+        (rng.randrange(100), rng.randrange(100)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    touched = sorted({n for e in edges for n in e})
+    expect = _uf_components(edges, touched)
+    got = _cc_dict(spark, edges, partitions=7)
+    assert got == expect
+
+
+def test_resolve_clusters_canonical_and_sizes(spark):
+    from sales_etl_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=5, doc_b=2), Row(doc_a=2, doc_b=9), Row(doc_a=7, doc_b=8)]
+    )
+    rows = {r.doc_id: r for r in resolve_clusters(pairs).collect()}
+    assert rows[2].cluster_id == 2 and rows[2].is_canonical
+    assert rows[5].cluster_id == 2 and not rows[5].is_canonical
+    assert rows[9].cluster_size == 3
+    assert rows[7].cluster_id == 7 and rows[7].cluster_size == 2
+    assert rows[8].cluster_id == 7 and not rows[8].is_canonical
