@@ -1,0 +1,115 @@
+"""Deterministic sampling for training-data mixing.
+
+A 100 TB corpus is never trained on wholesale: each domain/source
+stratum gets a mixing weight (up-sample wiki, down-sample crawl), and
+the selection must be DETERMINISTIC — re-running the pipeline, or
+running it on a different cluster/partitioning, must pick the same
+rows, or ablations and dedup-then-sample orderings stop being
+reproducible.
+
+Mechanism: hash each row's stable id through md5 with a seed prefix,
+take the first 8 hex chars, and include the row iff that hex string is
+lexicographically below the stratum's threshold ``hex(floor(rate *
+2^32))``. Lowercase fixed-width hex compares identically to the
+numeric value, md5 is bit-identical across engines (the DuckDB oracle
+runs the same expression verbatim), and the decision depends only on
+(seed, id) — not on partitioning, visit order, or Spark's RNG.
+
+Scale shape: pure codegen projection + filter — no shuffle, no UDF,
+pushes down past column pruning like any other predicate. Changing the
+seed draws an independent sample; changing a stratum's rate only adds
+or removes rows monotonically (nested samples: rate 0.25 is a subset
+of rate 0.5 under the same seed) — the property that makes staged
+scale-up runs comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform_hex(key: Column, seed: str) -> Column:
+    """First 8 hex chars of md5(seed ':' key) — a uniform draw in
+    [0, 2^32) encoded as fixed-width lowercase hex."""
+    return F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))), 1, 8
+    )
+
+
+def threshold_hex(rate: float) -> str:
+    """Inclusion threshold for ``rate`` in [0, 1): 8-char lowercase
+    hex of floor(rate * 2^32)."""
+    return format(int(rate * 2**32), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically;
+    emit ``sample_weight = 1/rate`` so downstream aggregates can
+    reweight back to corpus-level estimates (Horvitz-Thompson)."""
+    h = hash_uniform_hex(F.col(id_col), seed)
+
+    def keep_expr(rate: float) -> Column:
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return h < F.lit(threshold_hex(rate))
+
+    keep = keep_expr(default_rate)
+    weight = F.lit(1.0 / default_rate if default_rate > 0 else None).cast(
+        "double"
+    )
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        keep = F.when(cond, keep_expr(rate)).otherwise(keep)
+        weight = F.when(
+            cond,
+            F.lit(1.0 / rate if rate > 0 else None).cast("double"),
+        ).otherwise(weight)
+    return df.filter(keep).withColumn("sample_weight", weight)
+
+
+def sample_oracle_sql(
+    table: str,
+    stratum_col: str,
+    id_col: str,
+    select_cols: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix-v1",
+) -> str:
+    """The DuckDB twin of :func:`stratified_sample`, generated from the
+    SAME rate dict so query and oracle cannot drift."""
+    h = f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+
+    def keep_sql(rate: float) -> str:
+        if rate >= 1.0:
+            return "TRUE"
+        if rate <= 0.0:
+            return "FALSE"
+        return f"{h} < '{threshold_hex(rate)}'"
+
+    keep_branches = "".join(
+        f" WHEN {stratum_col} = '{s}' THEN {keep_sql(r)}"
+        for s, r in rates.items()
+    )
+    weight_branches = "".join(
+        f" WHEN {stratum_col} = '{s}' THEN {1.0 / r!r}"
+        for s, r in rates.items()
+        if r > 0
+    )
+    return f"""
+    SELECT {select_cols},
+           CAST(CASE{weight_branches}
+                ELSE {1.0 / default_rate!r} END AS DOUBLE) AS sample_weight
+    FROM {table}
+    WHERE CASE{keep_branches} ELSE {keep_sql(default_rate)} END
+    """

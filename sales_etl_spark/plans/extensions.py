@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from sales_etl_spark.functions import text as TX
 from sales_etl_spark.functions.vectors import cosine_rounded
-from sales_etl_spark.operators import dedup, multimodal, similarity
+from sales_etl_spark.operators import dedup, multimodal, sampling, similarity
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -132,6 +132,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit content fingerprint of whitespace/case-normalized text."""
     st = _star(spark, sf_dir)
     return st.documents.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data mixing: deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Mixing weights per source stratum: up-/down-sample named sources,
+#: everything else at the default. Includes the 1.0 (keep-all), 0.0
+#: (drop-all), and fractional edges.
+_MIX_RATES = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+    "src5": 0.0,
+}
+
+
+@query(
+    "sample_stratified",
+    oracle=sampling.sample_oracle_sql(
+        "documents", "source", "doc_id",
+        "doc_id, source, lang, n_chars",
+        _MIX_RATES, default_rate=0.5, seed="mix-v1",
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixing sample with Horvitz-Thompson
+    reweighting — md5-threshold inclusion, no RNG, no shuffle; the
+    oracle runs the generated SQL twin of the same rate table."""
+    st = _star(spark, sf_dir)
+    return sampling.stratified_sample(
+        st.documents.select("doc_id", "source", "lang", "n_chars"),
+        "source", "doc_id", _MIX_RATES, default_rate=0.5, seed="mix-v1",
+    )
 
 
 # ---------------------------------------------------------------------------
