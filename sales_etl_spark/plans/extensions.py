@@ -134,6 +134,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.documents.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+#: RAG-style chunking geometry: fixed token windows with overlap.
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@query(
+    "text_chunk_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(len(toks[s:s + {_CHUNK_SIZE - 1}]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[s:s + {_CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
+         unnest(generate_series(1, greatest(len(toks), 1),
+                                {_CHUNK_STRIDE})) AS u(s)
+    WHERE len(toks) > 0 AND s <= len(toks)
+    """,
+)
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks ({_CHUNK_SIZE} tokens, stride
+    {_CHUNK_STRIDE}) — the RAG/context-window splitter. Pure codegen:
+    one sequence+explode per doc, slice per chunk, no UDF and no
+    shuffle; chunk_id derives arithmetically from the window start so
+    it is stable under any partitioning. The final window may be
+    shorter than the overlap (contained in its predecessor) — the
+    well-defined tail of a fixed-stride scheme."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = (
+        st.documents.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+    )
+    starts = F.sequence(
+        F.lit(1), F.size("__toks"), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("s"), _CHUNK_SIZE)
+    return (
+        base.select("doc_id", "__toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / _CHUNK_STRIDE)
+            .cast("int")
+            .alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data mixing: deterministic stratified sampling
 # ---------------------------------------------------------------------------

@@ -78,3 +78,66 @@ def test_threshold_hex_fixed_width():
     assert threshold_hex(0.5) == "80000000"
     assert len(threshold_hex(0.001)) == 8
     assert threshold_hex(0.001) < threshold_hex(0.002)
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (registered query text_chunk_tokens)
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, texts):
+    from sales_etl_spark.plans.registry import QUERY_REGISTRY  # noqa: F401
+    from sales_etl_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(48))
+    chunk = F.slice(F.col("__toks"), F.col("s"), 64)
+    out = base.select(
+        "doc_id", "__toks", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / 48).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+    return sorted(
+        ((r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+         for r in out.collect())
+    )
+
+
+def test_chunking_boundaries(spark):
+    words = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    got = _chunks(
+        spark,
+        [
+            words(10),   # single short chunk
+            words(48),   # exactly one stride: one chunk
+            words(64),   # full window + 16-token overlap tail
+            "",          # empty: no chunks
+        ],
+    )
+    by_doc = {}
+    for d, cid, n, _txt in got:
+        by_doc.setdefault(d, []).append((cid, n))
+    assert by_doc[0] == [(0, 10)]
+    assert by_doc[1] == [(0, 48)]
+    assert by_doc[2] == [(0, 64), (1, 16)]
+    assert 3 not in by_doc
+
+
+def test_chunk_overlap_content(spark):
+    words = " ".join(f"w{i}" for i in range(70))
+    got = _chunks(spark, [words])
+    # chunk 1 starts at token index 48 (0-based): first token w48,
+    # overlapping the last 16 tokens of chunk 0
+    (_, _, n0, c0), (_, _, n1, c1) = got
+    assert n0 == 64 and c0.split()[0] == "w0" and c0.split()[-1] == "w63"
+    assert n1 == 22 and c1.split()[0] == "w48" and c1.split()[-1] == "w69"
