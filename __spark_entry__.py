@@ -33,6 +33,7 @@ _SWEEP_FIRST = [
     "dedup_cluster_resolve",
     "sample_stratified",
     "text_chunk_tokens",
+    "text_redact_pii",
     "text_term_freq",
     "text_tfidf_keywords",
     "join_asof_prior_purchase",

@@ -149,3 +149,34 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     paths prefer projecting ``tokens(normalize_text(...))`` first and
     calling :func:`shingles_from_tokens` — see its note."""
     return shingles_from_tokens(tokens(normalize_text(text), WORD_RE), n)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: Conservative PII patterns, written in the RE2 ∩ java.util.regex
+#: dialect so the Spark expression and the DuckDB oracle compile the
+#: SAME string (no lookaround, no backrefs).
+EMAIL_PII_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PII_RE = r"https?://\S+"
+
+
+def pii_email_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(EMAIL_PII_RE), 0))
+
+
+def pii_url_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(URL_PII_RE), 0))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace URLs then emails with typed placeholder tags — the
+    standard scrub before text enters a training corpus. URL pass runs
+    first so an address inside a query string is swallowed by [URL]
+    rather than leaving a dangling fragment."""
+    return F.regexp_replace(
+        F.regexp_replace(_col(text), URL_PII_RE, "[URL]"),
+        EMAIL_PII_RE,
+        "[EMAIL]",
+    )

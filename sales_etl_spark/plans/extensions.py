@@ -134,6 +134,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.documents.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+_CONTACT_SQL = (
+    "'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)"
+    " || '@mail.example.com or https://profile.example.com/u/'"
+    " || CAST(c_custkey AS VARCHAR)"
+)
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT customer_id,
+           CAST(len(regexp_extract_all(txt, '{TX.EMAIL_PII_RE}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{TX.URL_PII_RE}'))
+                AS INTEGER) AS n_urls,
+           regexp_replace(
+               regexp_replace(txt, '{TX.URL_PII_RE}', '[URL]', 'g'),
+               '{TX.EMAIL_PII_RE}', '[EMAIL]', 'g') AS redacted
+    FROM (SELECT c_custkey AS customer_id, {_CONTACT_SQL} AS txt
+          FROM customer) t
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails/URLs -> typed placeholders + per-row counts,
+    over a contact string synthesized deterministically from customer
+    fields (the testdata documents carry no PII, so the oracle would
+    otherwise verify an identity transform). Patterns are written in
+    the RE2 ∩ Java dialect and shared verbatim with the oracle. Pure
+    codegen regexp chain — no UDF, no shuffle."""
+    st = _star(spark, sf_dir)
+    txt = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com or https://profile.example.com/u/"),
+        F.col("c_custkey").cast("string"),
+    )
+    return st.customer.select(
+        F.col("c_custkey").alias("customer_id"), txt.alias("txt")
+    ).select(
+        "customer_id",
+        TX.pii_email_count("txt").alias("n_emails"),
+        TX.pii_url_count("txt").alias("n_urls"),
+        TX.redact_pii("txt").alias("redacted"),
+    )
+
+
 #: RAG-style chunking geometry: fixed token windows with overlap.
 _CHUNK_SIZE = 64
 _CHUNK_OVERLAP = 16

@@ -141,3 +141,41 @@ def test_chunk_overlap_content(spark):
     (_, _, n0, c0), (_, _, n1, c1) = got
     assert n0 == 64 and c0.split()[0] == "w0" and c0.split()[-1] == "w63"
     assert n1 == 22 and c1.split()[0] == "w48" and c1.split()[-1] == "w69"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_behavior(spark):
+    from pyspark.sql import functions as F
+    from sales_etl_spark.functions.text import (
+        pii_email_count,
+        pii_url_count,
+        redact_pii,
+    )
+
+    rows = [
+        Row(i=1, t="mail a.b+c@x-corp.io and d_e%f@sub.domain.org today"),
+        Row(i=2, t="see https://a.io/path?email=leak@x.io then stop"),
+        Row(i=3, t="no pii here at all"),
+        Row(i=4, t="mixed: http://plain.example and root@host.example.com"),
+    ]
+    out = {
+        r.i: r
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            pii_email_count("t").alias("e"),
+            pii_url_count("t").alias("u"),
+            redact_pii("t").alias("red"),
+        )
+        .collect()
+    }
+    assert out[1].e == 2 and out[1].u == 0
+    assert out[1].red == "mail [EMAIL] and [EMAIL] today"
+    # email inside a URL is swallowed by the URL pass (runs first)
+    assert out[2].red == "see [URL] then stop"
+    assert out[3].red == "no pii here at all" and out[3].e == out[3].u == 0
+    assert out[4].red == "mixed: [URL] and [EMAIL]"
