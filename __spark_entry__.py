@@ -34,6 +34,7 @@ _SWEEP_FIRST = [
     "sample_stratified",
     "text_chunk_tokens",
     "text_redact_pii",
+    "text_repetition",
     "text_term_freq",
     "text_tfidf_keywords",
     "join_asof_prior_purchase",

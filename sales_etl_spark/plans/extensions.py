@@ -134,6 +134,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.documents.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len({_TOKS}) - 1, 1)),
+                   i -> array_to_string(({_TOKS})[i:i+1], ' ')
+               )) AS gram
+        FROM documents
+        WHERE len({_TOKS}) > 1
+    ),
+    counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS INTEGER) AS n_grams,
+           CAST(MAX(c) AS INTEGER) AS top_gram_count,
+           round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: share of a doc's 2-grams taken
+    by its single most-repeated 2-gram (boilerplate / template spam
+    scores high). Distributed shape: explode grams -> (doc, gram)
+    count -> per-doc max — two partial-agg shuffles, no per-row
+    quadratic array scan; docs with <2 tokens have no 2-gram and are
+    excluded (same WHERE in the oracle)."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    grams = (
+        st.documents.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                TX.shingles_from_tokens(F.col("__toks"), 2)
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_grams"),
+        F.max("c").cast("int").alias("top_gram_count"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c"), 6
+        ).alias("repetition_ratio"),
+    )
+
+
 _CONTACT_SQL = (
     "'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)"
     " || '@mail.example.com or https://profile.example.com/u/'"

@@ -134,9 +134,10 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_orders,
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-               CAST(SUM(c) AS DOUBLE) AS s1c,
-               CAST(SUM(c * c) AS DOUBLE) AS s2c
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS VARCHAR) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS s1c,
+               CAST(CAST(SUM(c * c) AS VARCHAR) AS DOUBLE) AS s2c
         FROM cents
         GROUP BY category
     )
@@ -151,12 +152,14 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-category order statistics with a distributed-safe stddev:
     both moments accumulate as exact integer-cent DECIMALs
-    (order-independent under any partitioning, and a scale-0 integer
-    converts to double with ONE identical rounding in both engines —
-    a fractional-scale decimal does not: int128→double→/10^s double-
-    rounds in DuckDB), then the stddev is the identical double
-    expression sqrt((Σc² - (Σc)²/n)/(n-1))/100 on both sides.
-    Native stddev_samp would be partitioning-order dependent."""
+    (order-independent under any partitioning), then the stddev is the
+    identical double expression sqrt((Σc² - (Σc)²/n)/(n-1))/100 on
+    both sides. Native stddev_samp would be partitioning-order
+    dependent. The oracle converts each exact decimal through VARCHAR
+    before the DOUBLE cast: DuckDB's direct int128→double is not
+    correctly rounded past 2⁵³ (measured 1-ulp drift on Σc² at sf0.1)
+    while strtod and Spark's BigDecimal.doubleValue both round
+    correctly — string round-trip makes the one rounding identical."""
     st = _star(spark, sf_dir)
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     c = (dec * F.lit(100)).cast("decimal(12,0)")
@@ -355,18 +358,22 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag AS returnflag,
            l_linestatus AS linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS VARCHAR) AS DOUBLE)
                AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                         AS DECIMAL(20,0))
-                    * CAST((1 - l_discount) * 10000 AS DECIMAL(8,0)))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS DECIMAL(20,0))
+                         * CAST((1 - l_discount) * 10000 AS DECIMAL(8,0)))
+                     AS VARCHAR)
                 AS DOUBLE) / 1e6
                AS sum_disc_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                         AS DECIMAL(20,0))
-                    * CAST((1 - l_discount) * 10000 AS DECIMAL(8,0))
-                    * CAST((1 + l_tax) * 10000 AS DECIMAL(8,0)))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS DECIMAL(20,0))
+                         * CAST((1 - l_discount) * 10000 AS DECIMAL(8,0))
+                         * CAST((1 + l_tax) * 10000 AS DECIMAL(8,0)))
+                     AS VARCHAR)
                 AS DOUBLE) / 1e10
                AS sum_charge,
            COUNT(*) AS count_order

@@ -179,3 +179,31 @@ def test_redact_pii_behavior(spark):
     assert out[2].red == "see [URL] then stop"
     assert out[3].red == "no pii here at all" and out[3].e == out[3].u == 0
     assert out[4].red == "mixed: [URL] and [EMAIL]"
+
+
+def test_repetition_signal_orders_boilerplate_first(spark):
+    from sales_etl_spark.plans.registry import QUERY_REGISTRY
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="buy now " * 50, lang="en", source="s",
+                n_chars=0),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(100)),
+                lang="en", source="s", n_chars=0),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in QUERY_REGISTRY["text_repetition"]
+            .builder(spark, d)
+            .collect()
+        }
+    # "buy now buy now ..." : 99 2-grams, 'buy now' appears 50 times
+    assert out[1].n_grams == 99 and out[1].top_gram_count == 50
+    assert out[1].repetition_ratio > 0.5
+    # all-distinct tokens: every 2-gram unique
+    assert out[2].top_gram_count == 1
+    assert out[2].repetition_ratio == round(1 / 99, 6)
