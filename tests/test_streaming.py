@@ -261,3 +261,69 @@ def test_stream_static_enrichment_join(spark, events_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_pipeline_sample_redact_chunk_equals_batch(spark, tmp_path):
+    """The training-data scrub pipeline (stratified sample -> PII
+    redact -> token chunking) is stateless projection/filter/explode,
+    so the SAME expressions run under Structured Streaming unchanged —
+    batch output == streamed output on identical input files."""
+    from pyspark.sql import Row, functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from sales_etl_spark.functions.text import redact_pii
+    from sales_etl_spark.operators.sampling import stratified_sample
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ])
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}",
+            text=(f"doc {i} mail u{i}@x.io see https://x.io/{i} "
+                  + " ".join(f"w{j}" for j in range(i % 7 * 20))))
+        for i in range(200)
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(path)
+
+    def pipeline(df):
+        sampled = stratified_sample(
+            df, "source", "doc_id", {"s0": 1.0, "s1": 0.5}, 0.25
+        )
+        toks = F.split(redact_pii(F.col("text")), " ")
+        base = sampled.select(
+            "doc_id", "sample_weight", toks.alias("__toks")
+        ).filter(F.size("__toks") > 0)
+        starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(16))
+        chunk = F.slice(F.col("__toks"), F.col("s"), 24)
+        return base.select(
+            "doc_id", "sample_weight", "__toks", F.explode(starts).alias("s")
+        ).select(
+            "doc_id",
+            "sample_weight",
+            F.floor((F.col("s") - 1) / 16).cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+
+    batch = {
+        (r.doc_id, r.chunk_id): (r.sample_weight, r.chunk_text)
+        for r in pipeline(spark.read.parquet(path)).collect()
+    }
+    q = (
+        pipeline(spark.readStream.schema(schema).parquet(path))
+        .writeStream.format("memory")
+        .queryName("scrub_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id): (r.sample_weight, r.chunk_text)
+        for r in spark.sql("SELECT * FROM scrub_stream").collect()
+    }
+    q.stop()
+    assert got == batch and len(batch) > 100
