@@ -488,9 +488,13 @@ def connected_components(
                 F.least(
                     "cluster_id", F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("__old"),
             )
         )
         # Pointer jump: follow the label one hop (label of my label).
+        # The round's STARTING label rides along as __old so the
+        # convergence probe is a filter over the already-checkpointed
+        # result — no extra join/shuffle per round.
         lhs = stepped.alias("l")
         ptr = stepped.select(
             F.col("node").alias("p_node"), F.col("cluster_id").alias("p_label")
@@ -503,17 +507,16 @@ def connected_components(
                     F.col("l.cluster_id"),
                     F.coalesce(F.col("p.p_label"), F.col("l.cluster_id")),
                 ).alias("cluster_id"),
+                F.col("l.__old").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            jumped.filter(F.col("cluster_id") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = jumped
+        labels = jumped.select("node", "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
