@@ -31,6 +31,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # no-oracle queries (rows-only check; recall-tested in tests/) last.
 _SWEEP_FIRST = [
     "dedup_cluster_resolve",
+    "dedup_corpus_survivors",
     "sample_stratified",
     "text_chunk_tokens",
     "text_redact_pii",

@@ -453,6 +453,64 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.resolve_clusters(pairs)
 
 
+@query(
+    "dedup_corpus_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc
+        JOIN sizes sb ON c.doc_b = sb.doc
+        WHERE CAST(c.common AS DOUBLE)
+              / (sa.set_size + sb.set_size - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.node
+    WHERE cc.node IS NULL OR cc.node = cc.cluster_id
+    """,
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision APPLIED: documents minus the
+    non-canonical members of every near-dup cluster (Jaccard >= 0.5 ->
+    connected components -> keep the min-id doc per component). The
+    corpus-side operation is a left anti join against the non-survivor
+    list; its size is data-dependent (dup density), so no broadcast
+    hint — the checkpointed list carries runtime stats and AQE picks
+    broadcast when it fits."""
+    st = _star(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        st.documents, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=10_000,
+    )
+    losers = (
+        dedup.resolve_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return st.documents.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup candidates (Hamming ≤ 8 via 16-bit band
