@@ -1,0 +1,131 @@
+"""Benchmark decontamination: eval-set n-gram overlap detection.
+
+Before a corpus becomes training data, every document sharing a long
+word n-gram with a held-out evaluation/benchmark set must be found
+(and usually dropped) — otherwise benchmark numbers measure
+memorization. This is the GPT-3/PaLM-style n-gram decontamination
+pass, re-expressed as a Spark plan (the reference `erxaan/sales-etl`
+has no text surface; this extends the engine's LLM-data-pipeline
+tier alongside `operators/dedup.py`).
+
+Distributed shape (the part that must survive 100 TB):
+
+- The EVAL side is small by construction (benchmark suites are
+  thousands of documents, not billions) — its distinct shingle set is
+  built once and **broadcast**, so the contamination check is a
+  map-side semi/inner join against the full corpus shingle stream:
+  ZERO shuffle of the big side for the hit detection itself.
+- Corpus shingles use the same hashed 8-byte gram keys as the dedup
+  inverted index (`dedup._hashed_gram_stream`) — no variable-length
+  strings move, and the gram stream is shared machinery, not a second
+  implementation. Gram de-duplication happens PER DOCUMENT inside the
+  shingle array (`array_distinct`, map-side) — decontamination never
+  needs the global (doc, gram) distinct that would cost the dedup
+  index its first full-corpus shuffle.
+- The doc's distinct-gram count rides through the explode as a plain
+  column, so overlap count and overlap ratio come out of ONE
+  partial-aggregated groupBy on doc_id (uniform key, no skew) — the
+  whole pass is scan → broadcast-hash join → one shuffle.
+
+The eval-set membership itself is a deterministic md5-threshold draw
+(`operators/sampling.hash_uniform_hex`) so the same documents are
+"the benchmark" on every engine, partitioning, and re-run — in a real
+deployment the eval set arrives as its own table and the sampling
+filter is replaced by that scan; everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sales_etl_spark.functions import text as TX
+from sales_etl_spark.operators.dedup import _hashed_gram_array
+from sales_etl_spark.operators.sampling import hash_uniform_hex, threshold_hex
+
+
+def eval_membership(
+    id_col: str, seed: str = "eval-v1", rate: float = 0.02
+) -> Column:
+    """Deterministic boolean: is this row in the synthetic eval set?"""
+    return hash_uniform_hex(F.col(id_col), seed) < F.lit(threshold_hex(rate))
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    eval_seed: str = "eval-v1",
+    eval_rate: float = 0.02,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training docs sharing ≥ ``min_overlap`` distinct word ``n``-grams
+    with the eval set.
+
+    Returns one row per contaminated training document:
+    ``(doc_id, n_overlap, n_grams, overlap_ratio)`` where ``n_grams``
+    is the doc's distinct-shingle count and ``overlap_ratio`` the
+    contaminated share (rounded to 6 dp so both engines agree on the
+    one double division).
+
+    Docs shorter than ``n`` words contribute their whole token list as
+    a single shingle (the `shingles_from_tokens` contract) — a short
+    training doc that IS an eval doc verbatim still gets caught.
+    """
+    # One tokenize+shingle pass feeds both sides: the per-doc DISTINCT
+    # hashed gram array materializes map-side (array_distinct — no
+    # global (doc, gram) shuffle), its size rides along as ``n_grams``,
+    # and membership — a pure function of the id — splits the stream.
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        TX.tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "doc", F.array_distinct(_hashed_gram_array(n)).alias("__grams")
+    )
+    stream = base.select(
+        "doc",
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("shingle"),
+    )
+    is_eval = eval_membership("doc", eval_seed, eval_rate)
+
+    eval_grams = stream.filter(is_eval).select("shingle").distinct()
+    return (
+        stream.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_grams").alias("n_grams"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            F.col("doc").alias(id_col),
+            "n_overlap",
+            "n_grams",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
+def decontaminated_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    eval_seed: str = "eval-v1",
+    eval_rate: float = 0.02,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """The corpus with eval docs AND contaminated docs removed — the
+    actual training-set output. Left-anti join on the (small)
+    contaminated-id list, plus the membership filter; the big side is
+    scanned once and never shuffled."""
+    contaminated = ngram_decontaminate(
+        docs, id_col, text_col, n, eval_seed, eval_rate, min_overlap
+    ).select(id_col)
+    keep = docs.filter(~eval_membership(id_col, eval_seed, eval_rate))
+    return keep.join(F.broadcast(contaminated), id_col, "left_anti")

@@ -83,23 +83,28 @@ def _hashed_gram_stream(
     "one shingle of the whole doc" contract as the string path."""
     toks = tokens(F.lower(F.col(text_col)), WORD_RE)
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
-    k = F.size(F.col("__toks"))
+    return base.select(
+        "doc", F.explode(_hashed_gram_array(n)).alias("shingle")
+    )
+
+
+def _hashed_gram_array(n: int, toks_col: str = "__toks") -> F.Column:
+    """Array of 64-bit gram hashes over a MATERIALIZED token-array
+    column (see `_hashed_gram_stream` for the hashing contract). Shared
+    by the dedup index and `operators/decontam.py`, which wraps it in
+    `array_distinct` to keep gram dedup map-side."""
+    k = F.size(F.col(toks_col))
     idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
     grams = F.transform(
         idx,
         lambda i: F.xxhash64(
             *[
-                F.element_at(F.col("__toks"), i + F.lit(j))
+                F.element_at(F.col(toks_col), i + F.lit(j))
                 for j in range(n)
             ]
         ),
     )
-    return base.select(
-        "doc",
-        F.explode(
-            F.when(k > 0, grams).otherwise(F.array().cast("array<bigint>"))
-        ).alias("shingle"),
-    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<bigint>"))
 
 # ---------------------------------------------------------------------------
 # 1. Exact dedup

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from sales_etl_spark.functions import text as TX
 from sales_etl_spark.functions.vectors import cosine_rounded
-from sales_etl_spark.operators import dedup, multimodal, sampling, similarity
+from sales_etl_spark.operators import (
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+)
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -509,6 +515,99 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.documents.join(losers, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+#: Synthetic eval-set membership: deterministic md5-threshold draw so
+#: the same ~2% of documents are "the benchmark" on every engine and
+#: re-run (a real pipeline swaps this predicate for a scan of the
+#: actual benchmark table; everything downstream is unchanged).
+_EVAL_SEED = "eval-v1"
+_EVAL_RATE = 0.02
+_DECONTAM_N = 5
+
+_EVAL_SQL = (
+    f"substr(md5('{_EVAL_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    f" < '{sampling.threshold_hex(_EVAL_RATE)}'"
+)
+
+#: Per-doc DISTINCT word 5-gram sets (lowercased \w+ tokens, docs
+#: shorter than n contribute their whole token list — the
+#: shingles_from_tokens contract, mirrored by the slice upper bound).
+_DECONTAM_SH_SQL = f"""
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - {_DECONTAM_N - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{_DECONTAM_N - 1}], ' ')
+               )) AS grams
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents) t
+        WHERE len(toks) > 0
+    ),
+    ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE {_EVAL_SQL}),
+    tr AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+                  unnest(grams) AS g
+           FROM sh WHERE NOT ({_EVAL_SQL}))
+"""
+
+
+@query(
+    "decontam_overlap",
+    oracle=f"""
+    WITH {_DECONTAM_SH_SQL}
+    SELECT tr.doc_id,
+           COUNT(*) AS n_overlap,
+           any_value(tr.n_grams) AS n_grams,
+           round(CAST(COUNT(*) AS DOUBLE) / any_value(tr.n_grams), 6)
+               AS overlap_ratio
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    HAVING COUNT(*) >= 1
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style benchmark decontamination report: every
+    training doc sharing a distinct word 5-gram with the eval set,
+    with overlap count and contaminated share. 100 TB shape: the
+    (small) eval gram set is broadcast, per-doc gram dedup stays
+    map-side in the shingle array, and the only shuffle is the final
+    partial-aggregated groupBy on doc_id."""
+    st = _star(spark, sf_dir)
+    return decontam.ngram_decontaminate(
+        st.documents, "doc_id", "text",
+        n=_DECONTAM_N, eval_seed=_EVAL_SEED, eval_rate=_EVAL_RATE,
+    )
+
+
+@query(
+    "decontam_corpus",
+    oracle=f"""
+    WITH {_DECONTAM_SH_SQL},
+    hits AS (
+        SELECT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g
+        GROUP BY tr.doc_id HAVING COUNT(*) >= 1
+    )
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE NOT ({_EVAL_SQL})
+      AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def decontam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination decision APPLIED: the corpus minus eval
+    docs minus contaminated docs — what actually ships to training.
+    Left-anti join against the (small, broadcast) contaminated-id
+    list; the big side is scanned once and never shuffled."""
+    st = _star(spark, sf_dir)
+    return decontam.decontaminated_corpus(
+        st.documents, "doc_id", "text",
+        n=_DECONTAM_N, eval_seed=_EVAL_SEED, eval_rate=_EVAL_RATE,
+    ).select("doc_id", "source", "lang", "n_chars")
 
 
 @query("dedup_simhash", oracle=None)

@@ -26,6 +26,16 @@ _RUNTIME_CONFS = {
     # vectorized reader rejects; read as long nanos and normalize in
     # sources/star.py (exact integer µs division, no double rounding).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(gen_input) > 0` above
+    # every explode; when the generator input is a computed shingle /
+    # chunk array, PushDownPredicates then substitutes the FULL
+    # tokenize+hash expression into a scan-level filter, doubling the
+    # scan-stage CPU of every text operator (measured: the decontam
+    # gram pass re-ran regexp_extract_all + xxhash64 per row in both
+    # Filter and Project). The inference only pre-prunes rows the
+    # Generate would skip anyway — dropping it is free.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 #: Confs that must be set at session build time.
