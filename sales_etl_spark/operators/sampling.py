@@ -77,6 +77,148 @@ def stratified_sample(
     return df.filter(keep).withColumn("sample_weight", weight)
 
 
+def domain_cap(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "cap-v1",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the C4/RefinedWeb-style
+    per-domain document cap that stops a single mega-host from
+    dominating a crawl corpus.
+
+    Which rows survive is a deterministic uniform draw, not arrival
+    order: rows rank by the same md5 mixing hash as
+    :func:`stratified_sample` (id tiebreak), so the kept set is a
+    random-looking but reproducible per-domain sample, invariant to
+    partitioning and input order, and nested under cap changes (the
+    cap-10 set is a prefix of the cap-100 set for the same seed).
+
+    Scale shape: ``row_number() <= cap`` is rewritten by Spark's
+    WindowGroupLimit rule into a PER-MAPPER partial top-``cap`` BEFORE
+    the exchange, so a domain with 10^9 rows ships at most
+    ``cap × n_input_partitions`` rows into the shuffle instead of all
+    of them — the window never materializes a mega-domain on one
+    executor. Emits ``domain_rank`` (1-based) for downstream use.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(hash_uniform_hex(F.col(id_col), seed), F.col(id_col))
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def domain_cap_oracle_sql(
+    table: str,
+    stratum_col: str,
+    id_col: str,
+    select_cols: str,
+    cap: int,
+    seed: str = "cap-v1",
+) -> str:
+    """DuckDB twin of :func:`domain_cap`, generated from the same
+    parameters so query and oracle cannot drift."""
+    h = f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+    return f"""
+    SELECT {select_cols}, domain_rank
+    FROM (
+        SELECT {select_cols},
+               CAST(row_number() OVER (
+                   PARTITION BY {stratum_col}
+                   ORDER BY {h}, {id_col}
+               ) AS INTEGER) AS domain_rank
+        FROM {table}
+    ) t
+    WHERE domain_rank <= {cap}
+    """
+
+
+def token_budget_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """Fill each stratum's token budget with a deterministic uniform
+    prefix of its documents — how a training mix hits "N tokens of
+    source X" targets.
+
+    Rows rank by the md5 mixing hash (id tiebreak); a row survives if
+    the running token total INCLUDING it stays within its stratum's
+    budget (strict — the mix never overshoots; the partially-fitting
+    tail doc is dropped, not truncated). Emits ``n_tokens`` (the row's
+    own count from ``tokens_col``) and ``cum_tokens`` so downstream
+    stages can audit the fill level per stratum.
+
+    Scale shape: one shuffle on the stratum key and a single running
+    sum in hash order. Because every doc has ≥ 1 token, no survivor
+    can rank past ``budget`` — compose with :func:`domain_cap`
+    (``cap = budget``) to pre-prune mega-domains map-side before the
+    sort when a single stratum holds billions of rows.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(hash_uniform_hex(F.col(id_col), seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(default_budget)
+    for stratum, b in budgets.items():
+        budget = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(b)
+        ).otherwise(budget)
+    return (
+        df.withColumn(
+            "cum_tokens", F.sum(F.col(tokens_col)).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_oracle_sql(
+    table_expr: str,
+    stratum_col: str,
+    id_col: str,
+    tokens_sql: str,
+    select_cols: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    seed: str = "budget-v1",
+) -> str:
+    """DuckDB twin of :func:`token_budget_mix`; ``table_expr`` must
+    yield the same rows/columns the Spark side sees, with ``tokens_sql``
+    the expression mirroring the ``tokens_col`` computation."""
+    h = f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+    budget_branches = "".join(
+        f" WHEN {stratum_col} = '{s}' THEN {b}"
+        for s, b in budgets.items()
+    )
+    return f"""
+    SELECT {select_cols}, n_tokens, cum_tokens
+    FROM (
+        SELECT {select_cols}, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY {stratum_col}
+                   ORDER BY {h}, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM (SELECT {select_cols}, {tokens_sql} AS n_tokens
+              FROM {table_expr}) raw
+    ) t
+    WHERE cum_tokens <= CASE{budget_branches} ELSE {default_budget} END
+    """
+
+
 def sample_oracle_sql(
     table: str,
     stratum_col: str,

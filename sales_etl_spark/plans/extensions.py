@@ -325,6 +325,219 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate detection (cross-document repeated chunks)
+# ---------------------------------------------------------------------------
+
+#: Boilerplate geometry: non-overlapping token chunks + the minimum
+#: number of DISTINCT docs a chunk must appear in to count as
+#: boilerplate (2 = "appears anywhere else").
+_BOILER_W = 8
+_BOILER_MIN_DF = 2
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, array_to_string(toks[s:s + {_BOILER_W - 1}], ' ') AS chunk
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents) t,
+             unnest(generate_series(1, greatest(len(toks), 1),
+                                    {_BOILER_W})) AS u(s)
+        WHERE len(toks) > 0
+    ),
+    freq AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY chunk
+    ),
+    boiler AS (SELECT chunk FROM freq WHERE df >= {_BOILER_MIN_DF})
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(b.chunk) AS n_boilerplate,
+           round(CAST(COUNT(b.chunk) AS DOUBLE) / COUNT(*), 6)
+               AS boilerplate_ratio
+    FROM chunks c LEFT JOIN boiler b USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate signal: share of a doc's non-overlapping
+    {_BOILER_W}-token chunks whose content also appears in ≥
+    {_BOILER_MIN_DF - 1} other doc(s) (headers/footers/templates score
+    high). Shape: chunk fingerprints are 8-byte xxhash64 of the token
+    slice (strings never shuffle); the chunk document-frequency table
+    — vocabulary-sized, like the tf-idf DF table — broadcasts back
+    onto the chunk stream, so the corpus pays one distinct-(doc,fp)
+    aggregation and one final groupBy(doc)."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    k = F.size("__toks")
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1)), F.lit(_BOILER_W)),
+        lambda i: F.xxhash64(F.slice(F.col("__toks"), i, _BOILER_W)),
+    )
+    stream = (
+        st.documents.select("doc_id", toks.alias("__toks"))
+        .filter(k > 0)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+    boiler = (
+        stream.distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DF)
+        .select("fp", F.lit(1).alias("__hit"))
+    )
+    return (
+        stream.join(F.broadcast(boiler), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("__hit").alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate").cast("double") / F.col("n_chunks"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: Weight-hash seed: token -> md5 -> uint32 -> integer weight
+#: 2·u32 − 2^32 ∈ [−2^32, 2^32). The score sums INTEGER weights and
+#: divides by 2^32 (a power of two — exact in double) then by the
+#: token count, so exactly ONE float rounding happens and both engines
+#: produce the identical bits despite a float-valued model.
+_QW_SEED = "qw-v1"
+_QW_INT_SQL = (
+    f"2 * CAST('0x' || substr(md5('{_QW_SEED}:' || t), 1, 8) AS BIGINT)"
+    " - 4294967296"
+)
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN round(CAST(list_sum(list_transform(
+                         toks, t -> {_QW_INT_SQL})) AS DOUBLE)
+                     / 4294967296 / len(toks), 6)
+                ELSE 0.0 END AS quality_score,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(
+                         toks, t -> {_QW_INT_SQL})) AS DOUBLE)
+                     / 4294967296 / len(toks) > 0.0
+                ELSE FALSE END AS keep
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+          FROM documents) t
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style hashed linear quality classifier: each token maps
+    to a hash bucket whose weight is a deterministic pseudo-weight in
+    [−1, 1); the doc's score is the mean weight and ``keep`` its sign.
+    (A production model broadcasts learned bucket weights; the
+    plumbing — hash, lookup, mean, threshold — is identical.) Pure
+    map-side codegen fold over the token array: no shuffle, no UDF,
+    no explode — the classifier costs one projection at 100 TB."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    w_int = lambda t: (  # noqa: E731
+        F.lit(2)
+        * F.conv(
+            F.substring(F.md5(F.concat(F.lit(_QW_SEED + ":"), t)), 1, 8),
+            16, 10,
+        ).cast("long")
+        - F.lit(4294967296)
+    )
+    base = st.documents.select("doc_id", toks.alias("__toks"))
+    k = F.size("__toks")
+    sum_int = F.aggregate(
+        F.transform(F.col("__toks"), w_int),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = sum_int.cast("double") / F.lit(4294967296.0) / k
+    return base.select(
+        "doc_id",
+        k.alias("n_tokens"),
+        F.when(k > 0, F.round(score, 6)).otherwise(F.lit(0.0))
+        .alias("quality_score"),
+        F.when(k > 0, score > 0.0).otherwise(F.lit(False)).alias("keep"),
+    )
+
+
+#: Per-domain document cap (C4/RefinedWeb-style host cap).
+_DOMAIN_CAP = 18
+
+
+@query(
+    "sample_domain_cap",
+    oracle=sampling.domain_cap_oracle_sql(
+        "documents", "source", "doc_id",
+        "doc_id, source, lang, n_chars",
+        _DOMAIN_CAP, seed="cap-v1",
+    ),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep a deterministic uniform sample of
+    at most {_DOMAIN_CAP} docs per source — the anti-mega-host guard a
+    crawl corpus applies before mixing. WindowGroupLimit turns the
+    rank filter into a per-mapper partial top-k before the single
+    shuffle on source."""
+    st = _star(spark, sf_dir)
+    return sampling.domain_cap(
+        st.documents.select("doc_id", "source", "lang", "n_chars"),
+        "source", "doc_id", _DOMAIN_CAP, seed="cap-v1",
+    )
+
+
+#: Token budgets per source stratum (BPE-ish tokens; ~1750/source at
+#: sf0.01) — named sources get explicit targets, the rest the default.
+_TOKEN_BUDGETS = {"src0": 2_000, "src1": 1_500, "src2": 600, "src3": 0}
+_TOKEN_BUDGET_DEFAULT = 1_000
+
+#: DuckDB twin of functions.text.token_count (BPE-ish pre-tokenizer).
+_BPE_COUNT_SQL = (
+    r"CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER)"
+)
+
+
+@query(
+    "mix_token_budget",
+    oracle=sampling.token_budget_oracle_sql(
+        "documents", "source", "doc_id",
+        _BPE_COUNT_SQL,
+        "doc_id, source",
+        _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT, seed="budget-v1",
+    ),
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token budgeting: fill each source's token target
+    with a deterministic uniform prefix of its docs (strict — never
+    overshoots; a zero budget drops the source). One shuffle on
+    source + a single hash-ordered running sum."""
+    st = _star(spark, sf_dir)
+    docs = st.documents.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.token_budget_mix(
+        docs, "source", "doc_id", "n_tokens",
+        _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT, seed="budget-v1",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,118 @@
+"""Per-domain cap + token-budget mixing tests (operators/sampling.py):
+cap bounds hold, kept sets nest as the cap grows, budgets are strict
+(never overshoot, zero budget drops the stratum), and every decision
+is invariant to partitioning and input order."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sales_etl_spark.operators.sampling import (
+    domain_cap,
+    token_budget_mix,
+)
+
+
+def _hex(seed: str, i: int) -> str:
+    return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int"
+    )
+
+
+ROWS = [
+    (i, f"s{i % 3}", 10 + (i % 7)) for i in range(60)
+]
+
+
+def test_cap_bounds_and_membership(spark):
+    out = domain_cap(_df(spark, ROWS), "source", "doc_id", 5, seed="t").collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, rs in by_src.items():
+        assert len(rs) == 5
+        assert sorted(r.domain_rank for r in rs) == [1, 2, 3, 4, 5]
+        # survivors are exactly the 5 smallest mixing hashes
+        want = sorted(
+            (i for i, s, _ in ROWS if s == src),
+            key=lambda i: (_hex("t", i), i),
+        )[:5]
+        assert sorted(r.doc_id for r in rs) == sorted(want)
+
+
+def test_cap_nesting(spark):
+    df = _df(spark, ROWS)
+    small = {
+        r.doc_id for r in domain_cap(df, "source", "doc_id", 3, seed="t").collect()
+    }
+    big = {
+        r.doc_id for r in domain_cap(df, "source", "doc_id", 9, seed="t").collect()
+    }
+    assert small < big
+
+
+def test_cap_partitioning_invariance(spark):
+    df = _df(spark, ROWS)
+    a = sorted(
+        (r.doc_id, r.domain_rank)
+        for r in domain_cap(df, "source", "doc_id", 7, seed="t").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.domain_rank)
+        for r in domain_cap(
+            df.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+            "source", "doc_id", 7, seed="t",
+        ).collect()
+    )
+    assert a == b
+
+
+def test_budget_strict_no_overshoot(spark):
+    out = token_budget_mix(
+        _df(spark, ROWS), "source", "doc_id", "n_tokens",
+        budgets={"s0": 47}, default_budget=35, seed="t",
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        budget = 47 if src == "s0" else 35
+        assert max(r.cum_tokens for r in rs) <= budget
+        # greedy prefix in hash order: adding the next-ranked doc
+        # would overshoot (strictness is tight, not lazy)
+        ordered = sorted(
+            (i for i, s, _ in ROWS if s == src),
+            key=lambda i: (_hex("t", i), i),
+        )
+        kept = {r.doc_id for r in rs}
+        n = len(kept)
+        assert set(ordered[:n]) == kept
+        toks = {i: t for i, s, t in ROWS if s == src}
+        assert sum(toks[i] for i in ordered[: n + 1]) > budget
+
+
+def test_budget_zero_drops_stratum(spark):
+    out = token_budget_mix(
+        _df(spark, ROWS), "source", "doc_id", "n_tokens",
+        budgets={"s1": 0}, default_budget=1000, seed="t",
+    ).collect()
+    assert all(r.source != "s1" for r in out)
+
+
+def test_budget_partitioning_invariance(spark):
+    df = _df(spark, ROWS)
+    run = lambda d: sorted(  # noqa: E731
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_mix(
+            d, "source", "doc_id", "n_tokens",
+            budgets={}, default_budget=60, seed="t",
+        ).collect()
+    )
+    assert run(df) == run(df.repartition(11))
