@@ -25,11 +25,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Order the registry so the sweep maximizes
-# hash-exact oracle rows: first the 15 queries that had no driver row in
-# rounds 1-2 (all oracle-backed), then the remaining oracle-backed
-# queries (driver-green twice already), then the declared-approximate
-# no-oracle queries (rows-only check; recall-tested in tests/) last.
+# hash-exact oracle rows: first the queries with no driver row yet (the
+# 15 from rounds 1-2 plus the round-3 corpus-hygiene/quantization tier
+# — all oracle-backed), then the remaining oracle-backed queries
+# (driver-green twice already), then the declared-approximate no-oracle
+# queries (rows-only check; recall-tested in tests/) last.
 _SWEEP_FIRST = [
+    "decontam_overlap",
+    "decontam_corpus",
+    "sample_domain_cap",
+    "mix_token_budget",
+    "text_boilerplate",
+    "quality_classifier_score",
+    "emb_quantize_stats",
+    "ann_quantized_topk",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

@@ -79,3 +79,36 @@ def cosine_prenorm_rounded(
         dot_double(av, bv) / F.nullif(_col(an) * _col(bn), F.lit(0.0)),
         digits,
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (the ANN memory-scale path: 4x smaller vectors)
+# ---------------------------------------------------------------------------
+
+
+def int8_scale(vec: Column | str) -> Column:
+    """Per-vector symmetric int8 scale: max(|v|) / 127 (double).
+
+    Exact cross-engine: the float elements cast exactly to double,
+    array_max over exact values is exact, and the single /127 is one
+    IEEE rounding both engines perform identically."""
+    return (
+        F.array_max(F.transform(to_double(vec), F.abs)) / F.lit(127.0)
+    )
+
+
+def dequantize_int8(vec: Column | str, scale: Column) -> Column:
+    """round(v/scale) * scale — the value an int8-stored vector
+    reconstructs to.
+
+    Rounding is written as floor(x + 0.5) (half-toward-+inf) because
+    the engines disagree on round()'s double tie rule but agree
+    exactly on floor; every operation here is deterministic IEEE on
+    identical inputs, so dequantized vectors are bit-identical to the
+    DuckDB twin. scale==0 (all-zero vector) propagates NULL via
+    nullif rather than dividing by zero."""
+    s = F.nullif(scale, F.lit(0.0))
+    return F.transform(
+        to_double(vec),
+        lambda x: F.floor(x / s + F.lit(0.5)).cast("double") * s,
+    )

@@ -935,6 +935,129 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+#: DuckDB twin of functions.vectors.int8_scale / dequantize_int8.
+_Q8_SCALE_SQL = (
+    "list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+)
+_Q8_DEQUANT_SQL = (
+    "list_transform({v}, x -> floor(CAST(x AS DOUBLE) / nullif({s}, 0.0)"
+    " + 0.5) * nullif({s}, 0.0))"
+)
+
+
+@query(
+    "emb_quantize_stats",
+    oracle=f"""
+    WITH dq AS (
+        SELECT vec_id, label, embedding,
+               {_Q8_SCALE_SQL.format(v='embedding')} AS scale,
+               {_Q8_DEQUANT_SQL.format(v='embedding', s=_Q8_SCALE_SQL.format(v='embedding'))} AS vq
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(scale, 9) AS scale,
+           round(list_max(list_transform(
+               list_zip(embedding, vq),
+               p -> abs(CAST(p[1] AS DOUBLE) - p[2]))), 9) AS max_abs_err,
+           round(
+               {_DOT_SQL.format(a='embedding', b='vq')}
+               / nullif(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+                      * sqrt({_DOT_SQL.format(a='vq', b='vq')}), 0),
+               6) AS cos_dequant
+    FROM dq
+    """,
+)
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization fidelity: scale,
+    worst-element reconstruction error, and cosine(original,
+    dequantized). The scale path for ANN memory (4× smaller corpus
+    vectors); pure map-side codegen, no shuffle — and the exact
+    arithmetic (floor-based rounding, one IEEE division) makes even
+    this float-heavy op bit-exact against the oracle."""
+    from sales_etl_spark.functions.vectors import (
+        cosine_rounded,
+        dequantize_int8,
+        int8_scale,
+    )
+
+    st = _star(spark, sf_dir)
+    base = st.embeddings.select(
+        "vec_id", "label", "embedding",
+        int8_scale("embedding").alias("__scale"),
+    ).select(
+        "vec_id", "label", "embedding", "__scale",
+        dequantize_int8("embedding", F.col("__scale")).alias("__vq"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("__vq"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return base.select(
+        "vec_id", "label",
+        F.round("__scale", 9).alias("scale"),
+        F.round(err, 9).alias("max_abs_err"),
+        cosine_rounded("embedding", "__vq").alias("cos_dequant"),
+    )
+
+
+@query(
+    "ann_quantized_topk",
+    oracle=f"""
+    WITH dq AS (
+        SELECT vec_id,
+               {_Q8_DEQUANT_SQL.format(v='embedding', s=_Q8_SCALE_SQL.format(v='embedding'))} AS vq
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(
+                   {_DOT_SQL.format(a='q.qv', b='e.vq')}
+                   / nullif(sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})
+                          * sqrt({_DOT_SQL.format(a='e.vq', b='e.vq')}), 0),
+                   6) AS cosine_sim
+        FROM q JOIN dq e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine against the int8-DEQUANTIZED corpus
+    (full-precision queries) — what brute-force scoring over an
+    int8-stored corpus returns. Same broadcast + WindowGroupLimit
+    shape as ann_cosine_topk; the dequantization is one extra
+    map-side transform on the corpus leg. Recall vs the
+    full-precision ranking is asserted in tests/test_similarity.py."""
+    from sales_etl_spark.functions.vectors import (
+        dequantize_int8,
+        int8_scale,
+    )
+
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    corpus = e.select(
+        "vec_id",
+        dequantize_int8("embedding", int8_scale("embedding")).alias(
+            "embedding"
+        ),
+    )
+    return similarity.cosine_topk(
+        corpus, e.filter(F.col("vec_id") < 5), k=10
+    )
+
+
 @query(
     "emb_norm_stats",
     oracle=f"""

@@ -116,3 +116,27 @@ def test_ivf_topk_finds_identical_vector(spark):
         corpus, corpus.filter(F.col("vec_id") == 100003), k=3
     ).collect()
     assert got[0].neighbor_id == 3 and got[0].cosine_sim == 1.0
+
+
+def test_quantized_topk_recall_and_fidelity(spark):
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    exact = QUERY_REGISTRY["ann_cosine_topk"].builder(spark, SF_DIR)
+    quant = QUERY_REGISTRY["ann_quantized_topk"].builder(spark, SF_DIR)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    qa = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(ex & qa) / len(ex)
+    # int8 max element error is scale/2 ≈ 0.4% of max|v|; rankings
+    # barely move — measured 1.00 on the testdata
+    assert recall >= 0.9, f"int8 recall {recall} below floor"
+
+
+def test_quantize_stats_error_bound(spark):
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["emb_quantize_stats"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # reconstruction error of symmetric int8 is bounded by scale/2
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
+        assert r.cos_dequant > 0.999
