@@ -169,26 +169,38 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores high). Distributed shape: explode grams -> (doc, gram)
     count -> per-doc max — two partial-agg shuffles, no per-row
     quadratic array scan; docs with <2 tokens have no 2-gram and are
-    excluded (same WHERE in the oracle)."""
+    excluded (same WHERE in the oracle). The exclusion is applied
+    AFTER the final aggregate, on a token count carried through the
+    explode: a pre-explode `filter(size(toks) > 1)` gets pushed into
+    a scan-level predicate that re-runs the tokenizer per row (2×
+    scan CPU), and the aggregate is the nearest pushdown barrier."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
     grams = (
         st.documents.select("doc_id", toks.alias("__toks"))
-        .filter(F.size("__toks") > 1)
         .select(
             "doc_id",
+            F.size("__toks").alias("__ntoks"),
             F.explode(
                 TX.shingles_from_tokens(F.col("__toks"), 2)
             ).alias("gram"),
         )
     )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("c").cast("int").alias("n_grams"),
-        F.max("c").cast("int").alias("top_gram_count"),
-        F.round(
-            F.max("c").cast("double") / F.sum("c"), 6
-        ).alias("repetition_ratio"),
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("c"), F.first("__ntoks").alias("__ntoks")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_grams"),
+            F.max("c").cast("int").alias("top_gram_count"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("repetition_ratio"),
+            F.first("__ntoks").alias("__ntoks"),
+        )
+        .filter(F.col("__ntoks") > 1)
+        .drop("__ntoks")
     )
 
 
@@ -264,16 +276,19 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; chunk_id derives arithmetically from the window start so
     it is stable under any partitioning. The final window may be
     shorter than the overlap (contained in its predecessor) — the
-    well-defined tail of a fixed-stride scheme."""
+    well-defined tail of a fixed-stride scheme. Empty docs are
+    excluded by exploding an EMPTY start array (the `when` guard)
+    rather than a `filter(size(toks) > 0)`: the filter form gets
+    pushed into a scan-level predicate that re-runs the tokenizer per
+    row, doubling scan CPU."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
-    base = (
-        st.documents.select("doc_id", toks.alias("__toks"))
-        .filter(F.size("__toks") > 0)
-    )
-    starts = F.sequence(
-        F.lit(1), F.size("__toks"), F.lit(_CHUNK_STRIDE)
-    )
+    base = st.documents.select("doc_id", toks.alias("__toks"))
+    k = F.size("__toks")
+    starts = F.when(
+        k > 0,
+        F.sequence(F.lit(1), k, F.lit(_CHUNK_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
     chunk = F.slice(F.col("__toks"), F.col("s"), _CHUNK_SIZE)
     return (
         base.select("doc_id", "__toks", F.explode(starts).alias("s"))
@@ -373,13 +388,17 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
     k = F.size("__toks")
-    fps = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1)), F.lit(_BOILER_W)),
-        lambda i: F.xxhash64(F.slice(F.col("__toks"), i, _BOILER_W)),
-    )
+    fps = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1)), F.lit(_BOILER_W)),
+            lambda i: F.xxhash64(F.slice(F.col("__toks"), i, _BOILER_W)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # empty docs explode an empty fp array (no scan-level size filter —
+    # that form re-runs the tokenizer per row; see text_chunk_tokens)
     stream = (
         st.documents.select("doc_id", toks.alias("__toks"))
-        .filter(k > 0)
         .select("doc_id", F.explode(fps).alias("fp"))
     )
     boiler = (
