@@ -51,6 +51,72 @@ def eval_membership(
     return hash_uniform_hex(F.col(id_col), seed) < F.lit(threshold_hex(rate))
 
 
+def distinct_gram_stream(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, n_grams, shingle) rows — one per DISTINCT hashed word
+    n-gram per document, with the doc's distinct-gram count carried
+    alongside. Entirely map-side (tokenize → hash → array_distinct →
+    explode), so it works identically on batch and streaming inputs."""
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        TX.tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "doc", F.array_distinct(_hashed_gram_array(n)).alias("__grams")
+    )
+    return base.select(
+        "doc",
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("shingle"),
+    )
+
+
+def eval_gram_set(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    eval_seed: str = "eval-v1",
+    eval_rate: float = 0.02,
+) -> DataFrame:
+    """The eval side's distinct hashed gram set as a standalone (small)
+    DataFrame — the static side of the streaming contamination join."""
+    stream = distinct_gram_stream(docs, id_col, text_col, n)
+    return (
+        stream.filter(eval_membership("doc", eval_seed, eval_rate))
+        .select("shingle")
+        .distinct()
+    )
+
+
+def contaminated_doc_stream(
+    doc_stream: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Streaming benchmark decontamination: flag contaminated documents
+    as they ARRIVE instead of re-sweeping the corpus.
+
+    ``doc_stream`` is a streaming DataFrame of documents;
+    ``eval_grams`` the STATIC eval gram set (:func:`eval_gram_set`).
+    Each micro-batch explodes its docs' distinct hashed grams map-side,
+    stream-static broadcast-joins the eval set (supported by Structured
+    Streaming; no state), and emits each contaminated ``doc_id`` once —
+    the once-only guarantee is a stateful ``dropDuplicates`` keyed on
+    the id, whose state is bounded by the number of CONTAMINATED docs
+    (tiny by construction), not the stream length. Downstream, the
+    emitted ids feed the same left-anti corpus filter as the batch
+    path."""
+    hits = (
+        distinct_gram_stream(doc_stream, id_col, text_col, n)
+        .join(F.broadcast(eval_grams), "shingle")
+        .select(F.col("doc").alias(id_col))
+    )
+    return hits.dropDuplicates([id_col])
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     id_col: str,
@@ -77,17 +143,7 @@ def ngram_decontaminate(
     # hashed gram array materializes map-side (array_distinct — no
     # global (doc, gram) shuffle), its size rides along as ``n_grams``,
     # and membership — a pure function of the id — splits the stream.
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        TX.tokens(F.lower(F.col(text_col))).alias("__toks"),
-    ).select(
-        "doc", F.array_distinct(_hashed_gram_array(n)).alias("__grams")
-    )
-    stream = base.select(
-        "doc",
-        F.size("__grams").alias("n_grams"),
-        F.explode("__grams").alias("shingle"),
-    )
+    stream = distinct_gram_stream(docs, id_col, text_col, n)
     is_eval = eval_membership("doc", eval_seed, eval_rate)
 
     eval_grams = stream.filter(is_eval).select("shingle").distinct()

@@ -327,3 +327,66 @@ def test_stream_pipeline_sample_redact_chunk_equals_batch(spark, tmp_path):
     }
     q.stop()
     assert got == batch and len(batch) > 100
+
+
+def test_stream_decontam_equals_batch(spark, tmp_path):
+    """Streaming contamination detection (stream-static broadcast join
+    on the eval gram set + stateful once-only emit) flags exactly the
+    doc_ids the batch decontamination pass reports."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sales_etl_spark.operators import decontam
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    # word-soup docs over a tiny vocabulary => real 5-gram collisions
+    rows = [
+        Row(doc_id=i,
+            text=" ".join(
+                f"w{(i * 7 + j * j) % 11}" for j in range(30)
+            ))
+        for i in range(300)
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(path)
+
+    batch_docs = spark.read.parquet(path)
+    eval_grams = decontam.eval_gram_set(
+        batch_docs, "doc_id", "text", n=5, eval_seed="t-ev", eval_rate=0.1
+    )
+    want = {
+        r.doc_id
+        for r in decontam.ngram_decontaminate(
+            batch_docs, "doc_id", "text",
+            n=5, eval_seed="t-ev", eval_rate=0.1,
+        ).collect()
+    }
+    assert want  # fixture must actually contaminate
+
+    stream = decontam.contaminated_doc_stream(
+        spark.readStream.schema(schema).parquet(path),
+        eval_grams,
+        "doc_id", "text", n=5,
+    )
+    # the stream sees ALL docs; eval docs themselves hit their own
+    # grams, so subtract eval membership exactly like the batch side
+    flagged = stream.filter(
+        ~decontam.eval_membership("doc_id", "t-ev", 0.1)
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT * FROM decontam_stream").collect()
+    }
+    q.stop()
+    assert got == want
