@@ -56,17 +56,31 @@ def _exploded_shingles(
     asserted identical output at sf0.1 — so the second regex pass over
     the corpus is skipped."""
     if hashed:
-        out = _hashed_gram_stream(df, id_col, text_col, n)
-    else:
+        # per-doc array_distinct IS the (doc, shingle) distinct — a
+        # doc's grams live in one row, so deduping inside the array
+        # (map-side, free) replaces the global .distinct(), deleting a
+        # full shuffle of the gram stream from the index build
+        # (sf0.1 A/B: index build 0.71→0.49 s; full query unchanged
+        # within local noise — the win is the deleted corpus-wide
+        # exchange, which grows with data while the local delta
+        # doesn't).
         toks = tokens(F.lower(F.col(text_col)), WORD_RE)
-        out = df.select(
-            F.col(id_col).alias("doc"), toks.alias("__toks")
-        ).select(
+        base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+        return base.select(
             "doc",
             F.explode(
-                shingles_from_tokens(F.col("__toks"), n)
+                F.array_distinct(_hashed_gram_array(n))
             ).alias("shingle"),
         )
+    toks = tokens(F.lower(F.col(text_col)), WORD_RE)
+    out = df.select(
+        F.col(id_col).alias("doc"), toks.alias("__toks")
+    ).select(
+        "doc",
+        F.explode(
+            shingles_from_tokens(F.col("__toks"), n)
+        ).alias("shingle"),
+    )
     return out.distinct()
 
 
@@ -155,13 +169,14 @@ def ngram_jaccard_pairs(
     NOTE: set sizes are computed AFTER the cap, so jaccard stays a true
     Jaccard over the capped shingle sets — both sides of the oracle
     comparison must apply the same cap when it is low enough to bite."""
-    # reused three times (index sides a/b + set sizes): cache the
-    # exploded index instead of re-scanning + re-shingling per use;
-    # hashed shingle keys keep the three shuffles fixed-width
-    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
+    # The RAW stream is cached (it is reused four times: the DF-cap
+    # frequency pass + index sides a/b + set sizes), so the corpus is
+    # scanned and shingled exactly ONCE; the cap re-applies per
+    # consumer as a map-side broadcast semi-join over cached rows.
+    # Hashed shingle keys keep every downstream shuffle fixed-width.
+    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True).cache()
     if max_shingle_df is not None:
         sh = dedup_by_df_cap(sh, max_shingle_df)
-    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
