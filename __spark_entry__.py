@@ -39,6 +39,7 @@ _SWEEP_FIRST = [
     "quality_classifier_score",
     "emb_quantize_stats",
     "ann_quantized_topk",
+    "dedup_incremental",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

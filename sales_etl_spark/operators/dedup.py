@@ -139,6 +139,43 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup an INCOMING batch against itself and an existing corpus —
+    the per-ingest shape of a continuously-growing training set (the
+    full-corpus re-sweep is the thing this avoids).
+
+    Survivors = batch docs that are (a) first-in-batch for their
+    content fingerprint (min id) and (b) whose fingerprint does not
+    already exist in the corpus.
+
+    Scale shape: the batch is small relative to the corpus by
+    definition, so its fingerprint set BROADCASTS; the corpus-side
+    work is ONE map-side semi-join per ingest (corpus scanned, never
+    shuffled — `already` is corpus ∩ batch fingerprints, at most
+    batch-sized), and the final anti-join is again small vs small.
+    In production the corpus leg reads a maintained (fp → id) store
+    instead of re-fingerprinting raw text; the joins are unchanged.
+    """
+    batch_fp = batch.withColumn("fp", fingerprint(text_col))
+    first_in_batch = batch_fp.groupBy("fp").agg(
+        F.min(id_col).alias(id_col)
+    )
+    already = (
+        corpus.withColumn("fp", fingerprint(text_col))
+        .join(F.broadcast(first_in_batch.select("fp")), "fp", "left_semi")
+        .select("fp")
+        .distinct()
+    )
+    return first_in_batch.join(
+        F.broadcast(already), "fp", "left_anti"
+    ).select("fp", id_col)
+
+
 # ---------------------------------------------------------------------------
 # 2. N-gram Jaccard via shingle inverted index
 # ---------------------------------------------------------------------------

@@ -749,6 +749,37 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH batch AS (
+        SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id
+        FROM documents WHERE doc_id % 4 = 0
+        GROUP BY md5({_NORM_SQL})
+    ),
+    corpus AS (
+        SELECT DISTINCT md5({_NORM_SQL}) AS fp
+        FROM documents WHERE doc_id % 4 <> 0
+    )
+    SELECT fp, doc_id FROM batch
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an arriving batch (doc_id % 4 = 0
+    stands in for 'today's crawl') deduped against itself and the
+    existing corpus by content fingerprint. The batch fingerprint set
+    broadcasts; the corpus contributes one map-side semi-join and is
+    never shuffled — per-ingest cost stays O(batch), not O(corpus)."""
+    st = _star(spark, sf_dir)
+    batch = st.documents.filter(F.col("doc_id") % 4 == 0)
+    corpus = st.documents.filter(F.col("doc_id") % 4 != 0)
+    return dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (eval-set n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -210,3 +210,23 @@ def test_resolve_clusters_canonical_and_sizes(spark):
     assert rows[9].cluster_size == 3
     assert rows[7].cluster_id == 7 and rows[7].cluster_size == 2
     assert rows[8].cluster_id == 7 and not rows[8].is_canonical
+
+
+def test_incremental_exact_dedup_planted(spark):
+    from sales_etl_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "old news today"), (2, "evergreen content")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Old   News TODAY"),   # dup of corpus doc 1 (normalized)
+            (11, "fresh document one"),
+            (12, "fresh document one"),  # intra-batch dup of 11
+            (13, "fresh document two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dedup(batch, corpus, "doc_id", "text")
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
