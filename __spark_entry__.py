@@ -40,6 +40,7 @@ _SWEEP_FIRST = [
     "emb_quantize_stats",
     "ann_quantized_topk",
     "dedup_incremental",
+    "corpus_report",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

@@ -749,6 +749,55 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_report",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g')))) AS n_unique,
+           round(CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition dashboard: per-source doc/token/char volume,
+    language spread, unique-content count (exact dup rate), mean doc
+    length — the report a data-mixing decision reads. One partial-agg
+    shuffle on source; token counts are exact integers summed in longs,
+    the single division rounds once."""
+    st = _star(spark, sf_dir)
+    return (
+        st.documents.select(
+            "source", "lang", "n_chars",
+            TX.token_count(F.col("text")).alias("__ntok"),
+            TX.fingerprint(F.col("text")).alias("__fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+            ).alias("n_en"),
+            F.countDistinct("__fp").alias("n_unique"),
+            F.round(
+                F.sum("__ntok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+        )
+    )
+
+
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
