@@ -94,6 +94,8 @@ def domain_cap(
     random-looking but reproducible per-domain sample, invariant to
     partitioning and input order, and nested under cap changes (the
     cap-10 set is a prefix of the cap-100 set for the same seed).
+    ``id_col`` must be unique (it is the ranking key — duplicate ids
+    make the kept set nondeterministic between the duplicates).
 
     Scale shape: ``row_number() <= cap`` is rewritten by Spark's
     WindowGroupLimit rule into a PER-MAPPER partial top-``cap`` BEFORE
@@ -152,7 +154,8 @@ def token_budget_mix(
     prefix of its documents — how a training mix hits "N tokens of
     source X" targets.
 
-    Rows rank by the md5 mixing hash (id tiebreak); a row survives if
+    Rows rank by the md5 mixing hash (id tiebreak; ``id_col`` must be
+    unique — it is the ranking key); a row survives if
     the running token total INCLUDING it stays within its stratum's
     budget (strict — the mix never overshoots; the partially-fitting
     tail doc is dropped, not truncated). Emits ``n_tokens`` (the row's

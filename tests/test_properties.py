@@ -405,3 +405,95 @@ def test_money_cents_sum_equals_decimal_oracle(spark, rows):
         .collect()
     }
     assert fast == exact
+
+
+# ---------------------------------------------------------------------------
+# Mixing operators: randomized cross-validation vs a Python re-derivation
+# ---------------------------------------------------------------------------
+
+_mix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # doc id
+        st.integers(min_value=0, max_value=2),    # stratum
+        st.integers(min_value=1, max_value=9),    # token count
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _mix_hash(seed: str, i: int) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_mix_rows, cap=st.integers(min_value=1, max_value=6))
+def test_domain_cap_matches_python_model(spark, rows, cap):
+    from sales_etl_spark.operators.sampling import domain_cap
+
+    # unique ids — the id is the ranking key (documented precondition)
+    rows = list({i: (i, s, t) for i, s, t in rows}.values())
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, f"s{s}", t) for i, s, t in rows],
+        "doc_id long, source string, n_tokens int",
+    )
+    got = {
+        (r.doc_id, r.domain_rank)
+        for r in domain_cap(df, "source", "doc_id", cap, seed="p").collect()
+    }
+    want = set()
+    for s in {s for _, s, _ in rows}:
+        ordered = sorted(
+            (i for i, s2, _ in rows if s2 == s),
+            key=lambda i: (_mix_hash("p", i), i),
+        )
+        want |= {(i, rk + 1) for rk, i in enumerate(ordered[:cap])}
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_mix_rows, budget=st.integers(min_value=0, max_value=60))
+def test_token_budget_matches_python_model(spark, rows, budget):
+    from sales_etl_spark.operators.sampling import token_budget_mix
+
+    # unique ids — the id is the ranking key (documented precondition)
+    rows = list({i: (i, s, t) for i, s, t in rows}.values())
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, f"s{s}", t) for i, s, t in rows],
+        "doc_id long, source string, n_tokens int",
+    )
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_mix(
+            df, "source", "doc_id", "n_tokens",
+            budgets={}, default_budget=budget, seed="p",
+        ).collect()
+    }
+    toks = {i: t for i, _, t in rows}
+    want = set()
+    for s in {s for _, s, _ in rows}:
+        ordered = sorted(
+            (i for i, s2, _ in rows if s2 == s),
+            key=lambda i: (_mix_hash("p", i), i),
+        )
+        cum = 0
+        for i in ordered:
+            cum += toks[i]
+            if cum > budget:
+                break
+            want.add((i, cum))
+    assert got == want
