@@ -41,6 +41,7 @@ _SWEEP_FIRST = [
     "ann_quantized_topk",
     "dedup_incremental",
     "corpus_report",
+    "text_lm_score",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

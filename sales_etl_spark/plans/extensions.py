@@ -750,6 +750,80 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM tf),
+    lp AS (
+        SELECT t,
+               CAST(floor(round(ln((c + 1.0) / (n + v)), 6) * 1000000
+                          + 0.5) AS BIGINT) AS lp_micro
+        FROM tf, tot
+    )
+    SELECT toks.doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(lp.lp_micro) AS DOUBLE) / 1000000 / COUNT(*), 6)
+               AS mean_logp
+    FROM toks JOIN lp ON toks.t = lp.t
+    GROUP BY toks.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: train a unigram LM (add-one
+    smoothing) on the corpus itself, score each doc by mean token
+    log-probability — boilerplate/TLD-spam scores low, typical prose
+    high; the production filter drops the tails. Shape mirrors tf-idf:
+    token stream → vocabulary-sized TF table with a broadcast 1-row
+    total, log-probs broadcast back onto the stream, one groupBy(doc).
+    Cross-engine exactness: each token's ln rounds to 6 dp (collapsing
+    engine ulp drift) then converts to EXACT integer micro-nats, so
+    the per-doc sum is an order-free long — one float division at the
+    output boundary."""
+    st = _star(spark, sf_dir)
+    toks_stream = st.documents.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    tf = toks_stream.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.floor(
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))),
+                6,
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("lp_micro"),
+    )
+    return (
+        toks_stream.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("__s").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_tokens"),
+                6,
+            ).alias("mean_logp"),
+        )
+    )
+
+
+@query(
     "corpus_report",
     oracle=f"""
     SELECT source,
