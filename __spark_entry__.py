@@ -42,6 +42,8 @@ _SWEEP_FIRST = [
     "dedup_incremental",
     "corpus_report",
     "text_lm_score",
+    "sample_split_assign",
+    "emb_label_centroids",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

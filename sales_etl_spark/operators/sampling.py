@@ -222,6 +222,66 @@ def token_budget_oracle_sql(
     """
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by
+    cumulative hash thresholds — deterministic, partition-invariant,
+    and STABLE UNDER CORPUS GROWTH: a doc's split depends only on
+    (seed, id), so adding new documents never reshuffles old ones
+    between train and test (the property that keeps eval sets
+    uncontaminated across corpus versions). ``fractions`` must sum to
+    1.0; the last named split absorbs the rounding tail. Pure codegen
+    projection, no shuffle."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    h = hash_uniform_hex(F.col(id_col), seed)
+    names = list(fractions)
+    cum = 0.0
+    case = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(threshold_hex(cum))
+        case = (
+            F.when(cond, F.lit(name))
+            if case is None
+            else case.when(cond, F.lit(name))
+        )
+    expr = (
+        case.otherwise(F.lit(names[-1]))
+        if case is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def split_oracle_sql(
+    table: str,
+    id_col: str,
+    select_cols: str,
+    fractions: dict[str, float],
+    seed: str = "split-v1",
+) -> str:
+    """DuckDB twin of :func:`split_assign` from the same fractions."""
+    h = f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+    names = list(fractions)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(f"WHEN {h} < '{threshold_hex(cum)}' THEN '{name}'")
+    case = " ".join(whens)
+    return f"""
+    SELECT {select_cols},
+           CASE {case} ELSE '{names[-1]}' END AS split
+    FROM {table}
+    """
+
+
 def sample_oracle_sql(
     table: str,
     stratum_col: str,

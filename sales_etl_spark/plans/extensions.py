@@ -556,6 +556,82 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Train/val/test fractions (cumulative-hash split).
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "sample_split_assign",
+    oracle=sampling.split_oracle_sql(
+        "documents", "doc_id", "doc_id, source", _SPLIT_FRACTIONS,
+        seed="split-v1",
+    ),
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by cumulative hash thresholds —
+    deterministic, and stable under corpus growth (a doc's split
+    depends only on (seed, id), so new data never migrates old docs
+    across splits). Pure codegen projection, no shuffle."""
+    st = _star(spark, sf_dir)
+    return sampling.split_assign(
+        st.documents.select("doc_id", "source"),
+        "doc_id", _SPLIT_FRACTIONS, seed="split-v1",
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH vals AS (
+        SELECT e.label, CAST(t.i AS INTEGER) AS dim,
+               CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings e,
+             unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vecs,
+           round(CAST(SUM(q) AS DOUBLE) / 1000000000 / COUNT(*), 6)
+               AS centroid
+    FROM vals
+    GROUP BY label, dim
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, one row per (label,
+    dimension) — the class-prototype reduction behind IVF seeding,
+    label drift monitoring, and nearest-class-mean classification.
+    Float means are order-dependent, so each element quantizes to
+    EXACT integer nano-units (floor-based, engine-agnostic) and the
+    per-cell sum is an order-free long: a bit-exact distributed
+    vector mean with one partial-agg shuffle on (label, dim)."""
+    st = _star(spark, sf_dir)
+    return (
+        st.embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .select(
+            "label",
+            (F.col("pos") + F.lit(1)).alias("dim"),
+            F.floor(
+                F.col("val").cast("double") * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("q").cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+        )
+        .select("label", "dim", "n_vecs", "centroid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

@@ -116,3 +116,30 @@ def test_budget_partitioning_invariance(spark):
         ).collect()
     )
     assert run(df) == run(df.repartition(11))
+
+
+def test_split_assign_stable_under_growth(spark):
+    from sales_etl_spark.operators.sampling import split_assign
+
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r.doc_id: r.split for r in split_assign(small, "doc_id", frac).collect()}
+    b = {r.doc_id: r.split for r in split_assign(big, "doc_id", frac).collect()}
+    # growing the corpus never migrates an existing doc across splits
+    assert all(b[i] == a[i] for i in a)
+    # all splits populated, fractions roughly honored
+    from collections import Counter
+    c = Counter(b.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from sales_etl_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"train": 0.5, "test": 0.4})

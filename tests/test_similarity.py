@@ -140,3 +140,24 @@ def test_quantize_stats_error_bound(spark):
         # reconstruction error of symmetric int8 is bounded by scale/2
         assert r.max_abs_err <= r.scale / 2 + 1e-9
         assert r.cos_dequant > 0.999
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["emb_label_centroids"].builder(spark, SF_DIR).collect()
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in vecs:
+        by_label.setdefault(r.label, []).append(
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1e9 + 0.5)
+        )
+    got = {(r.label, r.dim): (r.n_vecs, r.centroid) for r in rows}
+    for label, qs in by_label.items():
+        m = np.sum(qs, axis=0)
+        for d in range(len(m)):
+            n_vecs, centroid = got[(label, d + 1)]
+            assert n_vecs == len(qs)
+            assert abs(centroid - round(m[d] / 1e9 / len(qs), 6)) < 1e-12
