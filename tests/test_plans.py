@@ -96,3 +96,52 @@ def test_cosine_topk_local_group_limit_before_shuffle(spark):
     assert "WindowGroupLimit" in plan, plan
     body = plan.split("== Physical Plan ==")[1]
     assert "Partial" in body and "Final" in body, body
+
+
+def test_domain_cap_partial_group_limit_before_shuffle(spark):
+    # the per-domain cap must keep <=cap rows PER MAPPER before the
+    # exchange — a mega-domain never ships wholesale into the shuffle
+    plan = _formatted(_build(spark, "sample_domain_cap"))
+    assert "WindowGroupLimit" in plan, plan
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Partial" in body and "Final" in body, body
+
+
+def test_decontam_broadcasts_eval_grams_single_doc_shuffle(spark):
+    plan = _formatted(_build(spark, "decontam_overlap"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one doc-keyed exchange for the final aggregate; the eval-gram
+    # distinct adds its own small-side exchanges, but the big gram
+    # stream shuffles exactly once
+    body = plan.split("== Physical Plan ==")[1]
+    assert not re.search(r"EvalPython|InPandas", body)
+
+
+def test_map_only_scorers_have_zero_exchanges(spark):
+    # the quality classifier and int8 fidelity stats are pure
+    # projections: any exchange is a regression
+    for name in ("quality_classifier_score", "emb_quantize_stats"):
+        plan = _formatted(_build(spark, name))
+        body = plan.split("== Physical Plan ==")[1]
+        n = len(re.findall(r"\(\d+\) Exchange", body))
+        assert n == 0, f"{name}: expected 0 exchanges, got {n}"
+
+
+def test_text_operators_tokenize_once_per_row(spark):
+    # pushdown must never duplicate the tokenizer into a scan-level
+    # filter (the InferFiltersFromGenerate / size-filter trap)
+    for name in ("text_repetition", "text_chunk_tokens",
+                 "decontam_overlap", "text_lm_score"):
+        plan = _formatted(_build(spark, name))
+        body = plan.split("== Physical Plan ==")[1]
+        assert not re.search(
+            r"Filter [^\n]*regexp_extract_all", body
+        ), name
+
+
+def test_incremental_dedup_broadcasts_both_joins(spark):
+    plan = _formatted(_build(spark, "dedup_incremental"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "SortMergeJoin" not in body
+    assert len(re.findall(r"BroadcastHashJoin", body)) >= 2
