@@ -240,10 +240,17 @@ def ngram_jaccard_pairs(
 
 def dedup_by_df_cap(sh: DataFrame, max_shingle_df: int) -> DataFrame:
     """Drop shingles whose document frequency exceeds the cap — the
-    skew guard for the inverted-index join at corpus scale."""
+    skew guard for the inverted-index join at corpus scale.
+
+    Implemented as a broadcast LEFT ANTI join against the DROP list
+    (shingles over the cap), not a semi-join on the keep list: the
+    drop list is bounded by the number of stopword-grade hot shingles
+    (tiny at any corpus size — that is WHY they are dropped), while
+    the keep list is the whole vocabulary and stops being
+    broadcastable long before 100 TB."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    keep = freq.filter(F.col("df") <= max_shingle_df).select("shingle")
-    return sh.join(F.broadcast(keep), "shingle")
+    drop = freq.filter(F.col("df") > max_shingle_df).select("shingle")
+    return sh.join(F.broadcast(drop), "shingle", "left_anti")
 
 
 # ---------------------------------------------------------------------------
