@@ -408,8 +408,12 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _BOILER_MIN_DF)
         .select("fp", F.lit(1).alias("__hit"))
     )
+    # no broadcast hint: the boilerplate list is bounded by repeated
+    # content, which a dup-heavy crawl can make arbitrarily large —
+    # the runtime stats decide (AQE picks broadcast when it fits,
+    # verified locally; a shuffle join is the correct fallback)
     return (
-        stream.join(F.broadcast(boiler), "fp", "left")
+        stream.join(boiler, "fp", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
