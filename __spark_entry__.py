@@ -44,6 +44,7 @@ _SWEEP_FIRST = [
     "text_lm_score",
     "sample_split_assign",
     "emb_label_centroids",
+    "text_dup_gram_chars",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

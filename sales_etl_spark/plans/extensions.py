@@ -204,6 +204,89 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_dup_gram_chars",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len({_TOKS}) - 2, 1)),
+                   i -> array_to_string(({_TOKS})[i:i+2], ' ')
+               )) AS gram
+        FROM documents
+        WHERE len({_TOKS}) > 2
+    ),
+    counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c, length(gram) AS glen
+        FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c * glen) AS BIGINT) AS total_gram_chars,
+           CAST(SUM(CASE WHEN c >= 2 THEN c * glen ELSE 0 END)
+                AS BIGINT) AS dup_gram_chars,
+           round(CAST(SUM(CASE WHEN c >= 2 THEN c * glen ELSE 0 END)
+                      AS DOUBLE) / SUM(c * glen), 6) AS dup_char_fraction
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_dup_gram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate n-gram character signal: the share of a
+    doc's 3-gram character mass sitting in grams that repeat within
+    the doc (template spam scores high; complements the top-gram
+    ratio in text_repetition). Gram identity is an 8-byte hash and
+    the gram LENGTH is derived from token lengths arithmetically —
+    no gram string is ever built or shuffled. Docs with ≤2 tokens
+    have no proper 3-gram and explode an empty array (the
+    pushdown-safe exclusion; same WHERE in the oracle)."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = st.documents.select("doc_id", toks.alias("__toks"))
+    k = F.size("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(2), F.lit(1)))
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.xxhash64(
+                F.element_at("__toks", i),
+                F.element_at("__toks", i + F.lit(1)),
+                F.element_at("__toks", i + F.lit(2)),
+            ).alias("h"),
+            (
+                F.length(F.element_at("__toks", i))
+                + F.length(F.element_at("__toks", i + F.lit(1)))
+                + F.length(F.element_at("__toks", i + F.lit(2)))
+                + F.lit(2)
+            ).alias("glen"),
+        ),
+    )
+    counts = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.when(k > 2, gram).otherwise(
+                    F.array().cast("array<struct<h:bigint,glen:int>>")
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", F.col("g.h"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first(F.col("g.glen")).alias("glen"),
+        )
+    )
+    dup_mass = F.sum(
+        F.when(F.col("c") >= 2, F.col("c") * F.col("glen")).otherwise(0)
+    )
+    total_mass = F.sum(F.col("c") * F.col("glen"))
+    return counts.groupBy("doc_id").agg(
+        total_mass.cast("long").alias("total_gram_chars"),
+        dup_mass.cast("long").alias("dup_gram_chars"),
+        F.round(
+            dup_mass.cast("double") / total_mass, 6
+        ).alias("dup_char_fraction"),
+    )
+
+
 _CONTACT_SQL = (
     "'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)"
     " || '@mail.example.com or https://profile.example.com/u/'"
