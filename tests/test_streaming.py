@@ -390,3 +390,62 @@ def test_stream_decontam_equals_batch(spark, tmp_path):
     }
     q.stop()
     assert got == want
+
+
+def test_stream_upsert_sink_equals_batch_upsert(spark, tmp_path):
+    """foreachBatch streaming upsert over 3 micro-batches converges to
+    the same keyed snapshot as one batch last-wins compaction over the
+    full input — last-wins is by the version column, not batch order."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from sales_etl_spark.operators.upsert import upsert_last_wins
+    from sales_etl_spark.streaming.upsert_sink import stream_upsert_parquet
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+        StructField("ver", LongType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "a0", 1), (2, "b0", 1), (3, "c0", 1)],
+        [(1, "a2", 3), (2, "b1", 2)],          # newer versions
+        [(1, "a1", 2), (4, "d0", 1)],          # STALE update for k=1
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        (r.k, r.v, r.ver)
+        for r in upsert_last_wins(all_rows, ["k"], ["ver"]).collect()
+    }
+
+    target = str(tmp_path / "snapshot")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_upsert_parquet(
+            stream, target, ["k"], ["ver"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.k, r.v, r.ver)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == want
+    assert ("1", ) not in got and len(got) == 4
