@@ -23,7 +23,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 #: Headline set: the reference-parity marts + one representative per
-#: extension family (dedup, ANN, text, events, windows).
+#: extension family (dedup, ANN, text, events, windows). Round 3 ADDED
+#: four corpus-hygiene queries (decontam, domain cap, classifier, LM
+#: score) — cross-round TOTAL comparisons must use the shared 16-query
+#: subset; per-query times are the signal either way.
 HEADLINE = [
     "flagship_pricing_summary",
     "flagship_shipping_priority",
@@ -41,6 +44,11 @@ HEADLINE = [
     "text_stats",
     "events_window_tumbling",
     "events_session_window",
+    # round-3 corpus-hygiene tier
+    "decontam_overlap",
+    "sample_domain_cap",
+    "quality_classifier_score",
+    "text_lm_score",
 ]
 
 #: Runs per query; the minimum is reported as the headline number
