@@ -151,3 +151,51 @@ def test_jdbc_roundtrip_append_truncate_upsert(spark, tmp_path):
     assert {(r.k, r.name, r.v) for r in back.collect()} == {
         (3, "new", 9.9), (4, "d", 4.5)
     }
+
+
+def test_clustered_write_produces_tight_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts, so each output file covers
+    a disjoint, tight key range (parquet min/max stats become usable
+    zone maps); an unclustered multi-partition write of the same rows
+    produces overlapping ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sales_etl_spark.load import write_parquet
+
+    df = spark.range(0, 10_000).selectExpr(
+        "cast(id as long) AS k", "cast(id % 97 as long) AS payload"
+    ).repartition(8)  # scrambled input
+
+    def ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ks = [
+                (md.row_group(i).column(0).statistics.min,
+                 md.row_group(i).column(0).statistics.max)
+                for i in range(md.num_row_groups)
+            ]
+            out.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+        return out
+
+    clustered = str(tmp_path / "clustered")
+    write_parquet(df, clustered, cluster_by=["k"],
+                  max_records_per_file=2_000)
+    spans = sorted(ranges(clustered))
+    assert len(spans) >= 5
+    # disjoint: each file's min is above the previous file's max
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b
+    # round-trips identically
+    got = spark.read.parquet(clustered)
+    assert got.count() == 10_000
+
+    plain = str(tmp_path / "plain")
+    write_parquet(df, plain)
+    overlapping = sorted(ranges(plain))
+    assert any(
+        hi_a >= lo_b
+        for (lo_a, hi_a), (lo_b, hi_b) in zip(overlapping, overlapping[1:])
+    ), "control: scrambled write should overlap"
