@@ -45,6 +45,7 @@ _SWEEP_FIRST = [
     "sample_split_assign",
     "emb_label_centroids",
     "text_dup_gram_chars",
+    "events_funnel",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

@@ -689,3 +689,78 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(1 + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user,
+    the first occurrence of each step AT OR AFTER the previous step's
+    first occurrence, plus how many steps completed. Each stage is one
+    pushdown-filtered scan (event_type reaches the parquet scan) and a
+    user-keyed partial aggregate; stages shrink monotonically, so the
+    step joins get smaller as the funnel deepens — the standard
+    product-analytics shape, and at 100 TB the per-stage filters are
+    what keep it one cheap pass per step instead of a sessionized
+    sort of everything."""
+    st = _star(spark, sf_dir)
+    ev = st.events
+
+    def first_step(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    def next_step(prev: DataFrame, prev_t: str, etype: str,
+                  out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", prev_t), "user_id")
+            .filter(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = first_step("view").withColumnRenamed("t", "t_view")
+    s2 = next_step(s1, "t_view", "click", "t_click")
+    s3 = next_step(s2, "t_click", "purchase", "t_purchase")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("steps_completed"),
+        )
+    )
