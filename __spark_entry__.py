@@ -46,6 +46,7 @@ _SWEEP_FIRST = [
     "emb_label_centroids",
     "text_dup_gram_chars",
     "events_funnel",
+    "events_cohort_retention",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

@@ -764,3 +764,68 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("steps_completed"),
         )
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week,
+               MIN(ts) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT s.cohort_week,
+               CAST((epoch_us(e.ts) - epoch_us(s.t0))
+                    // CAST(604800000000 AS BIGINT) AS INTEGER) AS age_weeks,
+               e.user_id
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.ts >= s.t0
+    )
+    SELECT cohort_week, age_weeks,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM activity GROUP BY cohort_week, age_weeks
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, activity
+    counted per whole week of account age (exact integer-microsecond
+    arithmetic — no calendar/rounding drift between engines). Shape:
+    one pushdown-filtered signup aggregate, one user-keyed join of the
+    event stream onto its (small) cohort table, one count-distinct per
+    (cohort, age) — the join's build side is user-cardinality and the
+    probe is the full stream, the standard retention plan at any
+    scale."""
+    st = _star(spark, sf_dir)
+    ev = st.events
+    week_us = 7 * 86400 * 1_000_000
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select(
+            "user_id", "t0",
+            F.date_trunc("week", F.col("t0")).alias("cohort_week"),
+        )
+    )
+    return (
+        ev.join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .select(
+            "cohort_week",
+            (
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("t0").cast("timestamp")))
+                .cast("long")
+                .alias("__d")
+            ),
+            "user_id",
+        )
+        .select(
+            "cohort_week",
+            F.expr(f"CAST(__d div {week_us}L AS INT)").alias("age_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
