@@ -47,6 +47,7 @@ _SWEEP_FIRST = [
     "text_dup_gram_chars",
     "events_funnel",
     "events_cohort_retention",
+    "text_ngram_topk",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

@@ -1949,3 +1949,44 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 1)),
+                   i -> array_to_string(toks[i:i+1], ' ')
+               )) AS gram
+        FROM (SELECT regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents) t
+        WHERE len(toks) > 1
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 25
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word bigrams — the vocabulary/collocation
+    report that seeds stopword-shingle caps and tokenizer audits.
+    One partial-agg shuffle on the gram, then TakeOrderedAndProject
+    (count desc, gram asc tiebreak — a total order, so the top-k is
+    deterministic under any partitioning); the gram strings shuffle
+    only AFTER map-side combine collapses them to vocabulary size."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = st.documents.select(toks.alias("__toks"))
+    k = F.size("__toks")
+    grams = F.when(
+        k > 1, TX.shingles_from_tokens(F.col("__toks"), 2)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(25)
+    )
