@@ -48,6 +48,7 @@ _SWEEP_FIRST = [
     "events_funnel",
     "events_cohort_retention",
     "text_ngram_topk",
+    "agg_grouping_sets",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
     "sample_stratified",

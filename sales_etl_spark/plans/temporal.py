@@ -829,3 +829,45 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "age_weeks")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INTEGER) AS grouping_level
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the hand-picked subset of cube levels
+    (per-status, per-priority, grand total; NOT the cross product),
+    which at 100 TB is the difference between expanding each row 3×
+    and 2^k×. Same one-shuffle expand-before-aggregate execution as
+    rollup/cube; grouping_level disambiguates the NULL-as-total rows
+    exactly as the SQL GROUPING() pair does."""
+    st = _star(spark, sf_dir)
+    return (
+        st.orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping_id().cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders", "total_price", "grouping_level",
+        )
+    )
