@@ -154,22 +154,28 @@ def token_budget_mix(
     prefix of its documents — how a training mix hits "N tokens of
     source X" targets.
 
-    Rows rank by the md5 mixing hash (id tiebreak; ``id_col`` must be
-    unique — it is the ranking key); a row survives if
-    the running token total INCLUDING it stays within its stratum's
+    Zero-token documents are dropped up front (they contribute nothing
+    to the mix, and keeping them would make them unconditional
+    survivors — cum_tokens never advances past a run of zeros, so
+    ``0 <= 0`` would admit them even under a zero budget). The
+    remaining rows rank by the md5 mixing hash (id tiebreak;
+    ``id_col`` must be unique — it is the ranking key); a row survives
+    if the running token total INCLUDING it stays within its stratum's
     budget (strict — the mix never overshoots; the partially-fitting
     tail doc is dropped, not truncated). Emits ``n_tokens`` (the row's
     own count from ``tokens_col``) and ``cum_tokens`` so downstream
     stages can audit the fill level per stratum.
 
     Scale shape: one shuffle on the stratum key and a single running
-    sum in hash order. Because every doc has ≥ 1 token, no survivor
-    can rank past ``budget`` — compose with :func:`domain_cap`
-    (``cap = budget``) to pre-prune mega-domains map-side before the
-    sort when a single stratum holds billions of rows.
+    sum in hash order. After the zero-token filter every doc has
+    ≥ 1 token, so no survivor can rank past ``budget`` — compose with
+    :func:`domain_cap` (``cap = budget``) to pre-prune mega-domains
+    map-side before the sort when a single stratum holds billions of
+    rows.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(tokens_col) > 0)
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(hash_uniform_hex(F.col(id_col), seed), F.col(id_col))
@@ -217,6 +223,7 @@ def token_budget_oracle_sql(
                ) AS BIGINT) AS cum_tokens
         FROM (SELECT {select_cols}, {tokens_sql} AS n_tokens
               FROM {table_expr}) raw
+        WHERE n_tokens > 0
     ) t
     WHERE cum_tokens <= CASE{budget_branches} ELSE {default_budget} END
     """

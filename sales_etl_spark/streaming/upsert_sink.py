@@ -38,9 +38,27 @@ def merge_batch_into_parquet(
     order_by: Iterable[str],
 ) -> None:
     """Merge one micro-batch into the keyed parquet snapshot at
-    ``target_dir`` (local-fs atomic swap via rename)."""
+    ``target_dir`` (local-fs swap via rename, with crash recovery).
+
+    The swap is two renames (target→.old, .tmp→target) and a crash
+    between them leaves no target directory — so every merge FIRST
+    repairs that state: a complete ``.old`` (or, failing that, a
+    complete ``.tmp``) is restored as the snapshot before merging.
+    Without this, a restart replay would bootstrap from the batch alone
+    and silently discard the prior snapshot, breaking the idempotent
+    at-least-once recovery contract.
+    """
     spark = batch_df.sparkSession
     target = Path(target_dir)
+    if not (target / "_SUCCESS").exists():
+        # Crash-recovery: prefer .old (the last complete snapshot);
+        # fall back to a fully-written .tmp (crash after write, before
+        # the first rename — equivalent content to the lost merge).
+        for stale in (f"{target_dir}.old", f"{target_dir}.tmp"):
+            if (Path(stale) / "_SUCCESS").exists():
+                shutil.rmtree(target_dir, ignore_errors=True)
+                os.rename(stale, target_dir)
+                break
     if (target / "_SUCCESS").exists():
         existing = spark.read.parquet(str(target))
         merged = upsert_last_wins(

@@ -143,3 +143,15 @@ def test_split_assign_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError):
         split_assign(df, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_budget_zero_token_docs_dropped(spark):
+    """Docs with 0 tokens never survive the mix — without the filter
+    they'd be unconditional survivors (cum_tokens never advances), even
+    under a zero budget (ADVICE r3)."""
+    rows = [(1, "s0", 0), (2, "s0", 5), (3, "s0", 0), (4, "s1", 0)]
+    out = token_budget_mix(
+        _df(spark, rows), "source", "doc_id", "n_tokens",
+        budgets={"s1": 0}, default_budget=100, seed="t",
+    ).collect()
+    assert {r.doc_id for r in out} == {2}

@@ -199,3 +199,23 @@ def test_clustered_write_produces_tight_file_ranges(spark, tmp_path):
         hi_a >= lo_b
         for (lo_a, hi_a), (lo_b, hi_b) in zip(overlapping, overlapping[1:])
     ), "control: scrambled write should overlap"
+
+
+def test_upsert_equal_version_ties_resolve_deterministically(spark):
+    """Two different payloads at the same (key, version) must converge
+    to ONE winner regardless of input order/partitioning — the
+    content-hash tiebreak (ADVICE r3), not row_number arbitrariness."""
+    rows = [(1, "payload-a", 7), (1, "payload-b", 7), (2, "only", 1)]
+    df = spark.createDataFrame(rows, "k long, v string, ver long")
+    a = sorted(
+        (r.k, r.v, r.ver)
+        for r in upsert_last_wins(df, ["k"], ["ver"]).collect()
+    )
+    flipped = spark.createDataFrame(
+        list(reversed(rows)), "k long, v string, ver long"
+    ).repartition(7)
+    b = sorted(
+        (r.k, r.v, r.ver)
+        for r in upsert_last_wins(flipped, ["k"], ["ver"]).collect()
+    )
+    assert a == b and len(a) == 2

@@ -449,3 +449,55 @@ def test_stream_upsert_sink_equals_batch_upsert(spark, tmp_path):
     }
     assert got == want
     assert ("1", ) not in got and len(got) == 4
+
+
+def test_upsert_sink_recovers_lost_snapshot(spark, tmp_path):
+    """Crash between the two swap renames leaves no target dir (the
+    prior snapshot stranded in .old) — the next merge must restore it
+    instead of bootstrapping from the batch alone (ADVICE r3)."""
+    import os
+
+    from sales_etl_spark.streaming.upsert_sink import (
+        merge_batch_into_parquet,
+    )
+
+    schema = "k long, v string, ver long"
+    target = str(tmp_path / "snap")
+    merge_batch_into_parquet(
+        spark.createDataFrame([(1, "a0", 1), (2, "b0", 1)], schema),
+        target, ["k"], ["ver"],
+    )
+    # simulate the crash window: target renamed away, tmp never landed
+    os.rename(target, f"{target}.old")
+    merge_batch_into_parquet(
+        spark.createDataFrame([(2, "b1", 2), (3, "c0", 1)], schema),
+        target, ["k"], ["ver"],
+    )
+    got = {(r.k, r.v, r.ver) for r in spark.read.parquet(target).collect()}
+    # k=1 from the pre-crash snapshot survives; k=2 takes the newer row
+    assert got == {(1, "a0", 1), (2, "b1", 2), (3, "c0", 1)}
+    assert not os.path.exists(f"{target}.old")
+
+
+def test_upsert_sink_recovers_from_complete_tmp(spark, tmp_path):
+    """Crash after the tmp write but before any rename: no target, no
+    .old, a complete .tmp — the merge adopts the tmp as the snapshot."""
+    import os
+
+    from sales_etl_spark.streaming.upsert_sink import (
+        merge_batch_into_parquet,
+    )
+
+    schema = "k long, v string, ver long"
+    target = str(tmp_path / "snap")
+    merge_batch_into_parquet(
+        spark.createDataFrame([(1, "a0", 1)], schema),
+        target, ["k"], ["ver"],
+    )
+    os.rename(target, f"{target}.tmp")
+    merge_batch_into_parquet(
+        spark.createDataFrame([(2, "b0", 1)], schema),
+        target, ["k"], ["ver"],
+    )
+    got = {(r.k, r.v, r.ver) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a0", 1), (2, "b0", 1)}
