@@ -405,6 +405,12 @@ def agg_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Spec-bounded cardinality headroom for small ordered rollups: the
+#: TPC-H region dim has 5 rows (plus the 'Unknown' fill) at EVERY
+#: scale factor, so capping the ordered output far above that is
+#: semantics-free and lets the sort compile to TakeOrderedAndProject.
+_REGION_SORT_CAP = 64
+
 _AVG_CHECK_ORACLE = (
     "WITH "
     + SALES_CTE
@@ -475,7 +481,15 @@ def agg_avg_check_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_check"),
             F.count("order_id").alias("orders_count"),
         )
+        # Region cardinality is spec-bounded (5 named regions +
+        # 'Unknown'), so a generous TakeOrdered cap is semantics-free —
+        # and it compiles the final sort to TakeOrderedAndProject (per-
+        # partition top-k merged on the driver) instead of a range-
+        # partitioning exchange + global sort: one whole stage removed
+        # from a plan whose cost at bench scale is stage floor, and at
+        # cluster scale a barrier removed before the mart sink.
         .orderBy(F.desc("avg_check"))
+        .limit(_REGION_SORT_CAP)
     )
 
 

@@ -97,10 +97,19 @@ class StarSchema:
         )
 
     def customers(self) -> DataFrame:
-        """Reference customers-dim view: customer ⨝ nation ⨝ region.
+        """Reference customers-dim view: customer ⨝ nation ⨝ region,
+        with the nation→region hop CONSTANT-FOLDED into a literal map.
 
-        nation (25 rows) and region (5 rows) always broadcast; the
-        two-hop snowflake flattens into one broadcast-joined dim.
+        nation (25 rows) and region (5 rows) have fixed, spec-bounded
+        cardinality at every scale factor — they are lookup constants,
+        not data. Folding them into a ``create_map`` literal (collected
+        once per schema handle, memoized) removes two broadcast-exchange
+        builds — two scheduled jobs — from EVERY plan that touches the
+        customers dim; the remaining per-row cost is a ≤25-entry codegen
+        map probe, cheaper than the hash-relation lookups it replaces.
+        Missing nationkey → NULL map hit → same NULL region the left
+        joins produced. NOT applied to the customer table itself, which
+        scales with SF and stays a broadcast-joined DataFrame dim.
         """
         return self._view("customers", self._build_customers)
 
@@ -118,10 +127,29 @@ class StarSchema:
             F.col("r_regionkey").alias("regionkey"),
             F.col("r_name").alias("region"),
         )
-        return (
-            c.join(F.broadcast(n), "nationkey", "left")
-            .join(F.broadcast(r), "regionkey", "left")
-            .select("customer_id", "customer_name", "region")
+        # Rows whose region is NULL are simply left out of the map — an
+        # absent key probes to NULL, identical to the left-join result
+        # (and map literals must not carry null values).
+        nation_region = [
+            row
+            for row in n.join(F.broadcast(r), "regionkey", "left")
+            .select("nationkey", "region")
+            .collect()
+            if row.region is not None
+        ]
+        if nation_region:
+            region_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for row in nation_region
+                    for x in (row.nationkey, row.region)
+                ]
+            )
+            region = region_map[F.col("nationkey")]
+        else:
+            region = F.lit(None).cast("string")
+        return c.select(
+            "customer_id", "customer_name", region.alias("region")
         )
 
     def products(self) -> DataFrame:
