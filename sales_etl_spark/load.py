@@ -41,6 +41,7 @@ def write_parquet(
     partition_by: Iterable[str] = (),
     cluster_by: Iterable[str] = (),
     max_records_per_file: int | None = None,
+    dynamic_partition_overwrite: bool = False,
 ) -> None:
     """Engine-native sink. ``partition_by`` on a low-cardinality column
     (e.g. month) gives partition pruning to every downstream reader —
@@ -66,6 +67,11 @@ def write_parquet(
     partition_by = list(partition_by)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+        if dynamic_partition_overwrite:
+            # overwrite replaces ONLY the partitions present in df —
+            # the incremental daily load (untouched partitions keep
+            # their files; the reference's TRUNCATE would drop them).
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
 
 

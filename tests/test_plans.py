@@ -145,3 +145,40 @@ def test_incremental_dedup_broadcasts_both_joins(spark):
     body = plan.split("== Physical Plan ==")[1]
     assert "SortMergeJoin" not in body
     assert len(re.findall(r"BroadcastHashJoin", body)) >= 2
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """scan_partition_prune must hit the month filter at the DIRECTORY
+    level: PartitionFilters non-empty in the plan, and the files the
+    scan actually touches are a strict subset of the table's files —
+    exactly the 12 months the predicate selects."""
+    df = _build(spark, "scan_partition_prune")
+    plan = _formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan
+    assert "order_month" in m.group(1)
+
+    import os
+
+    from sales_etl_spark.plans.extensions import _scratch
+
+    from pyspark.sql import functions as F
+
+    root = str(_scratch("partitioned_orders", SF))
+    all_parts = {d for d in os.listdir(root) if d.startswith("order_month=")}
+    # input_file_name() reports the files the executed scan actually
+    # touched — the runtime ground truth of directory-level pruning
+    # (df.inputFiles() lists the whole relation, pre-pruning).
+    scanned_parts = {
+        r.f.split("/")[-2]
+        for r in spark.read.parquet(root)
+        .filter(F.col("order_month").between("1997-01", "1997-12"))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert scanned_parts  # the pruned scan still reads something
+    assert scanned_parts < all_parts  # strictly fewer directories
+    assert all(
+        p.startswith("order_month=1997-") for p in scanned_parts
+    ), scanned_parts

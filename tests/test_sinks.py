@@ -219,3 +219,36 @@ def test_upsert_equal_version_ties_resolve_deterministically(spark):
         for r in upsert_last_wins(flipped, ["k"], ["ver"]).collect()
     )
     assert a == b and len(a) == 2
+
+
+def test_dynamic_partition_overwrite_rewrites_only_touched(spark, tmp_path):
+    """A daily load into a date-partitioned table must replace only its
+    own partition(s): untouched months keep their rows, the overwritten
+    month carries the new batch — the incremental replacement for the
+    reference's whole-table TRUNCATE+reload."""
+    from sales_etl_spark.load import write_parquet
+
+    target = str(tmp_path / "orders_by_month")
+    base = spark.createDataFrame(
+        [(1, "1997-01", 10.0), (2, "1997-01", 20.0), (3, "1997-02", 30.0)],
+        "order_id long, order_month string, total double",
+    )
+    write_parquet(base, target, partition_by=["order_month"])
+
+    batch = spark.createDataFrame(
+        [(4, "1997-02", 99.0)],
+        "order_id long, order_month string, total double",
+    )
+    write_parquet(
+        batch, target, partition_by=["order_month"],
+        dynamic_partition_overwrite=True,
+    )
+    got = {
+        (r.order_id, r.order_month, r.total)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        (1, "1997-01", 10.0),
+        (2, "1997-01", 20.0),
+        (4, "1997-02", 99.0),
+    }
