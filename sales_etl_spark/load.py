@@ -132,6 +132,127 @@ def jdbc_upsert(
     )
 
 
+def build_upsert_sql(
+    table: str,
+    columns: Iterable[str],
+    keys: Iterable[str],
+    dialect: str = "postgres",
+) -> str:
+    """The reference's upsert statement (etl/load.py:91-96), generated
+    per dialect with ``?`` parameter placeholders:
+
+    - ``postgres``: ``INSERT ... ON CONFLICT (keys) DO UPDATE SET
+      col = EXCLUDED.col`` — byte-for-byte the reference's headline
+      sink shape (also the DuckDB dialect, which the tests use to
+      execute this exact string).
+    - ``merge``: the standard-SQL ``MERGE INTO target USING staging``
+      equivalent, for engines without ON CONFLICT (Derby/Oracle/
+      SQL Server) — pair with a staging table the rows are batch-
+      inserted into first (pass its name as ``staging``); this is the
+      form the live embedded-Derby test drives end-to-end.
+    """
+    columns = list(columns)
+    keys = list(keys)
+    updates = [c for c in columns if c not in keys]
+    if not updates:
+        raise ValueError("upsert needs at least one non-key column")
+    cols_sql = ", ".join(columns)
+    qs = ", ".join("?" for _ in columns)
+    if dialect == "postgres":
+        set_sql = ", ".join(f"{c} = EXCLUDED.{c}" for c in updates)
+        return (
+            f"INSERT INTO {table} ({cols_sql}) VALUES ({qs}) "
+            f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {set_sql}"
+        )
+    if dialect == "merge":
+        staging = f"{table}_stage"
+        on_sql = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        set_sql = ", ".join(f"t.{c} = s.{c}" for c in updates)
+        ins_sql = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON {on_sql} "
+            f"WHEN MATCHED THEN UPDATE SET {set_sql} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols_sql}) "
+            f"VALUES ({ins_sql})"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect}")
+
+
+def jdbc_execute_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Iterable[str],
+    order_by: Iterable[str],
+    dialect: str = "postgres",
+    batch_size: int = 1_000,
+    driver: str | None = None,
+) -> int:
+    """Row-level upsert through a real JDBC ``PreparedStatement`` batch
+    (the reference's psycopg2 ``execute`` loop, etl/load.py:81-109, on
+    a JDBC connection).
+
+    The frame is first compacted to one deterministic winner per key
+    (``upsert_last_wins``) so the statement stream is conflict-free
+    within itself — the reference gets this ordering implicitly from
+    its single-threaded loop. With ``dialect='postgres'`` each row
+    executes the generated ON CONFLICT statement in ``batch_size``
+    JDBC batches; with ``dialect='merge'`` rows batch-insert into a
+    scratch ``{table}_stage`` table and a single ``MERGE INTO``
+    applies them (the staging pattern for engines without ON
+    CONFLICT). Rows stream through the driver via ``toLocalIterator``
+    — one partition in driver memory at a time, bounded like the
+    reference's own single process. This is the DIMENSION-scale path:
+    row-at-a-time SQL against one connection is inherently
+    single-node, exactly like the reference; for fact-scale upserts
+    use ``jdbc_upsert`` (compact + truncate-overwrite, fully
+    parallel). Returns the number of rows upserted.
+    """
+    from sales_etl_spark.operators.upsert import upsert_last_wins
+
+    compacted = upsert_last_wins(df, keys=keys, order_by=order_by)
+    columns = compacted.columns
+    cols_sql = ", ".join(columns)
+    qs = ", ".join("?" for _ in columns)
+    jvm = df.sparkSession._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    n = 0
+    try:
+        if dialect == "merge":
+            staging = f"{table}_stage"
+            conn.createStatement().execute(
+                f"CREATE TABLE {staging} AS SELECT * FROM {table} "
+                "WITH NO DATA"
+            )
+            row_sql = f"INSERT INTO {staging} ({cols_sql}) VALUES ({qs})"
+        else:
+            row_sql = build_upsert_sql(table, columns, keys, dialect)
+        stmt = conn.prepareStatement(row_sql)
+        pending = 0
+        for row in compacted.toLocalIterator():
+            for i, c in enumerate(columns):
+                stmt.setObject(i + 1, row[c])
+            stmt.addBatch()
+            pending += 1
+            n += 1
+            if pending >= batch_size:
+                stmt.executeBatch()
+                pending = 0
+        if pending:
+            stmt.executeBatch()
+        stmt.close()
+        if dialect == "merge":
+            merge = conn.createStatement()
+            merge.execute(build_upsert_sql(table, columns, keys, "merge"))
+            merge.execute(f"DROP TABLE {staging}")
+            merge.close()
+    finally:
+        conn.close()
+    return n
+
+
 #: Warehouse DDL (reference db.sql:1-46): the four target tables with
 #: Spark-typed columns (DECIMAL money at rest like the reference).
 WAREHOUSE_DDL: dict[str, str] = {
