@@ -24,52 +24,67 @@ from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the dict
-# returned by ``queries()``.  Order the registry so the sweep maximizes
-# hash-exact oracle rows: first the queries with no driver row yet (the
-# 15 from rounds 1-2 plus the round-3 corpus-hygiene/quantization tier
-# — all oracle-backed), then the remaining oracle-backed queries
-# (driver-green twice already), then the declared-approximate no-oracle
-# queries (rows-only check; recall-tested in tests/) last.
+# returned by ``queries()``.  Rotation policy (round-4): lead with every
+# oracle-backed key whose last driver row predates r03 (34 keys — the
+# r01/r02 cohort plus the new scan_partition_prune), then the keys
+# round 4's changes touch (token-budget zero filter, customers-dim
+# constant fold, upsert tiebreak, plan memoization under the marts),
+# then high-traffic r03-green keys; declared-approximate no-oracle
+# queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
-    "decontam_overlap",
-    "decontam_corpus",
-    "sample_domain_cap",
+    # -- no driver row since r02 (re-verified locally each round) ----
+    "agg_count_distinct",
+    "agg_order_totals",
+    "agg_avg_check_by_region",
+    "join_left_region",
+    "topk_product_ranking",
+    "upsert_last_wins",
+    "window_running_sum",
+    "window_lag_delta",
+    "agg_rollup",
+    "join_semi_anti",
+    "set_union_except",
+    "set_intersect",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "ann_cosine_topk",
+    "emb_norm_stats",
+    "multimodal_features",
+    "multimodal_frames",
+    "events_json_extract",
+    "events_window_tumbling",
+    "events_window_sliding",
+    "events_session_window",
+    "scan_csv",
+    "sink_roundtrip",
+    "agg_salted_skew",
+    "scan_jsonl",
+    "scan_orc",
+    "text_quality_filter",
+    "join_salted_skew",
+    # -- new in round 4 ----------------------------------------------
+    "scan_partition_prune",
+    # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
-    "text_boilerplate",
-    "quality_classifier_score",
-    "emb_quantize_stats",
-    "ann_quantized_topk",
-    "dedup_incremental",
-    "corpus_report",
-    "text_lm_score",
-    "sample_split_assign",
-    "emb_label_centroids",
-    "text_dup_gram_chars",
-    "events_funnel",
-    "events_cohort_retention",
-    "text_ngram_topk",
-    "agg_grouping_sets",
-    "dedup_cluster_resolve",
-    "dedup_corpus_survivors",
-    "sample_stratified",
-    "text_chunk_tokens",
-    "text_redact_pii",
-    "text_repetition",
-    "text_term_freq",
-    "text_tfidf_keywords",
-    "join_asof_prior_purchase",
-    "window_time_range",
-    "agg_stats",
-    "agg_median_disc",
-    "agg_pivot_status",
-    "join_range_interval",
-    "agg_cube",
+    "agg_sales_summary",
     "flagship_pricing_summary",
     "flagship_shipping_priority",
-    "agg_percentiles",
-    "join_events_enrich",
-    "window_sessionize_ids",
-    "agg_mode",
+    "dedup_keep_first",
+    "events_funnel",
+    "events_cohort_retention",
+    "join_asof_prior_purchase",
+    "agg_stats",
+    "dedup_incremental",
+    "dedup_cluster_resolve",
+    "dedup_corpus_survivors",
+    "decontam_overlap",
+    "sample_domain_cap",
+    "agg_grouping_sets",
+    "corpus_report",
 ]
 
 

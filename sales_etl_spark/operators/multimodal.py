@@ -43,6 +43,51 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
+    """TRUE pixel dimensions from image container headers, pure Python
+    — no libjpeg/PIL needed, because dimensions live in the header:
+
+    - PNG: 8-byte signature, then the IHDR chunk carries width/height
+      as big-endian u32 at fixed offsets 16/20.
+    - JPEG: walk the marker segments from SOI (FFD8) to the first
+      start-of-frame marker (SOF0..SOF15, excluding DHT/JPG/DAC which
+      share the C0 block); the frame header is [len][precision]
+      [height u16][width u16].
+
+    Returns None for anything else (including raw text payloads) —
+    callers fall back to the deterministic stub. Pixel DECODE (the
+    part that genuinely needs libjpeg/libav) stays stubbed.
+    """
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        if data[12:16] == b"IHDR":
+            width = int.from_bytes(data[16:20], "big")
+            height = int.from_bytes(data[20:24], "big")
+            return width, height
+        return None
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        n = len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone marker, no length field
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height = int.from_bytes(data[i + 5 : i + 7], "big")
+                width = int.from_bytes(data[i + 7 : i + 9], "big")
+                return width, height
+            i += 2 + seg_len
+    return None
+
+
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: derive fake
     dimensions/frame-count from the content hash. REPLACE with
@@ -76,6 +121,10 @@ def featurize_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             ):
                 data = bytes(payload)
                 w, h, nf = _fake_decode(data, mtype)
+                if mtype == "image":
+                    real = parse_image_dimensions(data)
+                    if real is not None:
+                        w, h = real
                 rows.append(
                     (
                         media_id,

@@ -15,9 +15,16 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     spark = get_spark(
         "sales-etl-spark-tests", master="local[4]", shuffle_partitions=8
+    )
+    # Route Derby's engine home (where derby.log lands) into tmp BEFORE
+    # any JDBC test can boot the embedded engine — otherwise the log
+    # litters the repo root (cwd). Individual tests may re-point it at
+    # their own tmp_path; the engine only reads it at first boot.
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path_factory.mktemp("derby"))
     )
     yield spark
     spark.stop()

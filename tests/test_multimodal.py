@@ -104,3 +104,65 @@ def test_demean_embeddings_matches_native_two_pass(spark):
         a, b = got[r.vec_id], r.centered
         assert len(a) == len(b)
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b)), r.vec_id
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI, APP0, one DQT-ish
+    filler segment, SOF0 with the real dimensions, EOI."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    filler = b"\xff\xdb" + (6).to_bytes(2, "big") + bytes(4)
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03"
+        + bytes(9)
+    )
+    return b"\xff\xd8" + app0 + filler + sof0 + b"\xff\xd9"
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes(5)
+        + bytes(4)
+    )
+
+
+def test_parse_image_dimensions_jpeg_png_and_fallbacks():
+    from sales_etl_spark.operators.multimodal import parse_image_dimensions
+
+    assert parse_image_dimensions(_jpeg_bytes(320, 240)) == (320, 240)
+    assert parse_image_dimensions(_jpeg_bytes(8192, 1)) == (8192, 1)
+    assert parse_image_dimensions(_png_bytes(640, 480)) == (640, 480)
+    assert parse_image_dimensions(b"plain text payload") is None
+    assert parse_image_dimensions(b"\xff\xd8\xff\xd9") is None  # no SOF
+    assert parse_image_dimensions(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None
+    assert parse_image_dimensions(b"") is None
+
+
+def test_featurize_media_reports_true_jpeg_dimensions(spark):
+    from sales_etl_spark.operators.multimodal import featurize_media
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_jpeg_bytes(320, 240))),
+            (2, "image", bytearray(_png_bytes(64, 32))),
+            (3, "image", bytearray(b"not an image at all")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {
+        r.media_id: (r.width, r.height)
+        for r in featurize_media(media).collect()
+    }
+    assert got[1] == (320, 240)  # true header dims, not the stub
+    assert got[2] == (64, 32)
+    # non-parseable payload falls back to the deterministic stub
+    assert 16 <= got[3][0] <= 255 and 16 <= got[3][1] <= 255
