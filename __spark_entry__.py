@@ -68,6 +68,10 @@ _SWEEP_FIRST = [
     "join_salted_skew",
     # -- new in round 4 ----------------------------------------------
     "scan_partition_prune",
+    "decontam_shuffled",
+    "join_bloom_pruned",
+    "dim_scd2_history",
+    "quality_expectations",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
@@ -81,10 +85,6 @@ _SWEEP_FIRST = [
     "dedup_incremental",
     "dedup_cluster_resolve",
     "dedup_corpus_survivors",
-    "decontam_overlap",
-    "sample_domain_cap",
-    "agg_grouping_sets",
-    "corpus_report",
 ]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -72,3 +72,31 @@ def flag_duplicates(df: DataFrame, subset: Iterable[str]) -> DataFrame:
     subset = list(subset)
     w = Window.partitionBy(*subset)
     return df.withColumn("duplicate_count", F.count(F.lit(1)).over(w))
+
+
+def quality_report(
+    df: DataFrame,
+    checks: Mapping[str, Column],
+    group_by: Iterable[str] | None = None,
+) -> DataFrame:
+    """Data-quality expectations as ONE conditional aggregation — the
+    engine form of the reference's per-step row-count logging
+    (etl/transform.py:16+ / §2.2 P4), generalized to named boolean
+    expectations: each ``n_bad_<name>`` column counts the rows
+    VIOLATING that expectation, alongside the group's ``n_rows``. One
+    partial-aggregated pass (no extra scans); at 100 TB the report
+    costs one exchange of |groups| rows. Violating-row EXTRACTION
+    (quarantine) uses the same predicates as filters — compose with
+    :func:`drop_null_required`-style cleaning, never re-scan.
+
+    NULL check results count as violations (``when(cond, 0)
+    .otherwise(1)`` sends NULL to the otherwise branch) — an
+    expectation that cannot evaluate did not pass.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(cond, 0).otherwise(1)).alias(f"n_bad_{name}")
+        for name, cond in checks.items()
+    ]
+    if group_by:
+        return df.groupBy(*list(group_by)).agg(*aggs)
+    return df.agg(*aggs)

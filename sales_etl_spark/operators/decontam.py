@@ -167,6 +167,57 @@ def ngram_decontaminate(
     )
 
 
+def ngram_decontaminate_shuffled(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    eval_seed: str = "eval-v1",
+    eval_rate: float = 0.02,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """:func:`ngram_decontaminate` for eval sets TOO BIG TO BROADCAST
+    (a merged mega-benchmark suite, or decontaminating corpus A
+    against corpus B): the contamination join runs as a SHUFFLE-HASH
+    join on the hashed 8-byte gram key — one extra exchange of the
+    gram stream (already per-doc distinct map-side), linear and
+    skew-free, in place of an impossible broadcast. The result is
+    identical to the broadcast path, which is why the registered query
+    shares decontam_overlap's oracle.
+
+    Spark's runtime bloom filter can NOT shrink this exchange: the
+    join key is generated (post-explode), and InjectRuntimeFilter only
+    pushes ``might_contain`` onto keys with scan-column lineage —
+    Generate breaks the trace. Plans joining on scan columns do get
+    the bloom prefilter (demonstrated by the join_bloom_pruned query);
+    here the map-side reducers are the per-doc ``array_distinct`` and
+    the fixed-width hashed keys. Plan shape (ShuffledHashJoin, no
+    broadcast) is locked by tests/test_plans.py.
+    """
+    stream = distinct_gram_stream(docs, id_col, text_col, n)
+    is_eval = eval_membership("doc", eval_seed, eval_rate)
+
+    eval_grams = stream.filter(is_eval).select("shingle").distinct()
+    return (
+        stream.filter(~is_eval)
+        .join(eval_grams.hint("SHUFFLE_HASH"), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_grams").alias("n_grams"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            F.col("doc").alias(id_col),
+            "n_overlap",
+            "n_grams",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
 def decontaminated_corpus(
     docs: DataFrame,
     id_col: str,

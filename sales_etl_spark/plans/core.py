@@ -788,3 +788,107 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id")
     )
     return finished.intersect(big)
+
+
+# ---------------------------------------------------------------------------
+# S5 family extension: SCD2 dimension history (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_scd2_history",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey AS customer_id,
+               o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS ts,
+               o_orderkey AS uid
+        FROM orders
+    ),
+    chg AS (
+        SELECT *, lag(priority) OVER (
+            PARTITION BY customer_id ORDER BY ts, uid
+        ) AS prev
+        FROM src
+    ),
+    keep AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> priority)
+    SELECT customer_id, priority,
+           ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY customer_id ORDER BY ts, uid
+           ) AS valid_to,
+           (lead(ts) OVER (
+               PARTITION BY customer_id ORDER BY ts, uid
+           ) IS NULL) AS is_current
+    FROM keep
+    """,
+)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from a change stream (the upsert
+    family's timeline form — reference ON CONFLICT keeps only the
+    present; a warehouse dim also needs validity intervals for as-of
+    joins): per customer, consecutive orders with the same priority
+    compress to one row carrying [valid_from, valid_to) and
+    is_current. ONE shuffle on the key; change-detect and
+    interval-close windows share the partitioning (operators/upsert.py
+    scd2_history)."""
+    st = _star(spark, sf_dir)
+    src = st.orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+        F.col("o_orderkey").alias("uid"),
+    )
+    out = upsert.scd2_history(
+        src,
+        keys=["customer_id"],
+        order_by=["ts", "uid"],
+        attrs=["priority"],
+        ts_col="ts",
+    )
+    return out.select(
+        "customer_id", "priority", "valid_from", "valid_to", "is_current"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 family extension: data-quality expectations report (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
+                    THEN 0 ELSE 1 END) AS n_bad_text_nonempty,
+           SUM(CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END)
+               AS n_bad_min_chars,
+           SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+               AS n_bad_chars_consistent,
+           SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
+                    THEN 0 ELSE 1 END) AS n_bad_lang_known
+    FROM documents
+    GROUP BY source
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named data-quality expectations per source — violation counts
+    for non-empty text, minimum length, metadata consistency
+    (n_chars = length(text)) and a lang allow-list, in ONE
+    partial-aggregated pass (reference P4 generalized from row counts
+    to expectations; operators/cleaning.py quality_report)."""
+    st = _star(spark, sf_dir)
+    docs = st.documents
+    return cleaning.quality_report(
+        docs,
+        checks={
+            "text_nonempty": F.col("text").isNotNull()
+            & (F.length("text") > 0),
+            "min_chars": F.col("n_chars") >= 64,
+            "chars_consistent": F.col("n_chars") == F.length("text"),
+            "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        },
+        group_by=["source"],
+    )

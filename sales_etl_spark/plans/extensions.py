@@ -1169,6 +1169,42 @@ def decontam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars")
 
 
+@query(
+    "decontam_shuffled",
+    oracle=f"""
+    WITH {_DECONTAM_SH_SQL}
+    SELECT tr.doc_id,
+           COUNT(*) AS n_overlap,
+           any_value(tr.n_grams) AS n_grams,
+           round(CAST(COUNT(*) AS DOUBLE) / any_value(tr.n_grams), 6)
+               AS overlap_ratio
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    HAVING COUNT(*) >= 1
+    """,
+)
+def decontam_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination when the eval side is TOO BIG TO BROADCAST (a
+    merged mega-benchmark suite, or corpus-vs-corpus decontamination):
+    the contamination join runs as a shuffle-hash join on the hashed
+    8-byte gram key — one extra exchange of the (map-side-distinct)
+    gram stream, linear and skew-free, instead of an impossible
+    broadcast. Result identical to decontam_overlap (shared oracle).
+
+    Note on runtime bloom filters: Spark's InjectRuntimeFilter cannot
+    prefilter this plan's big side because the join key is GENERATED
+    (post-explode) — filter lineage stops at Generate, so there is no
+    scan column to push might_contain onto (see join_bloom_pruned for
+    the scan-column case where the engine does inject it). The
+    map-side reducers here are array_distinct inside the doc and the
+    8-byte hashed keys themselves."""
+    st = _star(spark, sf_dir)
+    return decontam.ngram_decontaminate_shuffled(
+        st.documents, "doc_id", "text",
+        n=_DECONTAM_N, eval_seed=_EVAL_SEED, eval_rate=_EVAL_RATE,
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup candidates (Hamming ≤ 8 via 16-bit band
@@ -1678,6 +1714,73 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.col("total_price").cast("double").alias("total_price"),
         "max_qty",
+    )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+    GROUP BY 1
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join with Spark's RUNTIME BLOOM FILTER pruning the
+    big side's scan: the selective orders filter (priority + date)
+    aggregates into a bloom whose ``might_contain(l_orderkey)``
+    predicate is injected ABOVE the lineitem scan — non-candidate
+    lines drop map-side, before the shuffle, so the exchange carries
+    only (matches + the bloom's false-positive share) instead of the
+    whole fact. The exact join then removes false positives; results
+    are exact. This is the 100 TB shape for a fact⨝fact join whose
+    dim-like side is too big to broadcast but highly filtered:
+    SortMergeJoin forced by hint, bloom rebuilding most of the
+    broadcast advantage. Plan shape (might_contain + bloom_filter_agg,
+    no broadcast) locked by tests/test_plans.py.
+
+    The cluster regime (orders past the broadcast threshold, corpus
+    past the 10 GB application-side floor — where injection fires on
+    DEFAULT confs) is modeled in an ISOLATED child session
+    (``newSession``: shared context, independent conf), because
+    InjectRuntimeFilter declines any join it could broadcast by size
+    — and un-scoped conf overrides would strip every other query's
+    dim broadcasts."""
+    spark = pin_semantics(spark.newSession())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "0"
+    )
+    st = _star(spark, sf_dir)
+    o = st.orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (
+            F.col("o_orderdate")
+            >= F.lit("1997-06-01").cast("timestamp_ntz")
+        )
+    ).select("o_orderkey", "o_orderdate")
+    li = st.lineitem.select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
     )
 
 

@@ -182,3 +182,22 @@ def test_partitioned_scan_prunes_directories(spark):
     assert all(
         p.startswith("order_month=1997-") for p in scanned_parts
     ), scanned_parts
+
+
+def test_decontam_shuffled_uses_shuffle_hash_not_broadcast(spark):
+    plan = _formatted(_build(spark, "decontam_shuffled"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "ShuffledHashJoin" in body
+    assert "BroadcastHashJoin" not in body
+
+
+def test_join_bloom_pruned_injects_runtime_bloom_filter(spark):
+    """The selective orders side must materialize a bloom filter and
+    the lineitem side must carry its might_contain predicate ABOVE the
+    scan (map-side pre-shuffle pruning); no broadcast anywhere."""
+    plan = _formatted(_build(spark, "join_bloom_pruned"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "bloom_filter_agg" in body
+    assert "might_contain" in body
+    assert "SortMergeJoin" in body
+    assert "BroadcastHashJoin" not in body

@@ -7,6 +7,7 @@ import sys
 from pathlib import Path
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -369,3 +370,78 @@ def test_jdbc_execute_upsert_live_derby_merge(spark, tmp_path):
         .collect()
     }
     assert got == {(1, "a2", 3), (2, "b0", 1), (3, "c0", 1)}
+
+
+def test_scd2_history_compresses_and_closes_intervals(spark):
+    """Planted change stream: consecutive same-value rows compress;
+    intervals chain [valid_from, valid_to) per key; exactly one
+    is_current row per key; reordering input changes nothing."""
+    from sales_etl_spark.operators.upsert import scd2_history
+
+    rows = [
+        # key 1: A A B A  -> A[d1,d3) B[d3,d4) A[d4,null)
+        (1, "A", "2024-01-01", 10),
+        (1, "A", "2024-01-02", 11),
+        (1, "B", "2024-01-03", 12),
+        (1, "A", "2024-01-04", 13),
+        # key 2: single row -> current from the start
+        (2, "Z", "2024-02-01", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, attr string, ts string, uid long"
+    ).withColumn("ts", F.to_date("ts"))
+    out = scd2_history(
+        df, keys=["k"], order_by=["ts", "uid"], attrs=["attr"], ts_col="ts"
+    ).select("k", "attr", "valid_from", "valid_to", "is_current")
+
+    def norm(o):
+        return sorted(
+            (r.k, r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in o.collect()
+        )
+
+    got = norm(out)
+    assert got == [
+        (1, "A", "2024-01-01", "2024-01-03", False),
+        (1, "A", "2024-01-04", "None", True),
+        (1, "B", "2024-01-03", "2024-01-04", False),
+        (2, "Z", "2024-02-01", "None", True),
+    ]
+    # partition/input-order invariance
+    flipped = spark.createDataFrame(
+        list(reversed(rows)), "k long, attr string, ts string, uid long"
+    ).withColumn("ts", F.to_date("ts")).repartition(7)
+    got2 = norm(
+        scd2_history(
+            flipped, keys=["k"], order_by=["ts", "uid"], attrs=["attr"],
+            ts_col="ts",
+        ).select("k", "attr", "valid_from", "valid_to", "is_current")
+    )
+    assert got2 == got
+
+
+def test_quality_report_counts_violations_null_is_bad(spark):
+    from sales_etl_spark.operators.cleaning import quality_report
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "hello", 5),
+            ("s1", "", 0),
+            ("s1", None, 3),   # NULL text: nonempty check can't pass
+            ("s2", "world", 99),
+        ],
+        "source string, text string, n int",
+    )
+    out = {
+        r.source: (r.n_rows, r.n_bad_nonempty, r.n_bad_n_small)
+        for r in quality_report(
+            df,
+            checks={
+                "nonempty": F.col("text").isNotNull()
+                & (F.length("text") > 0),
+                "n_small": F.col("n") < 10,
+            },
+            group_by=["source"],
+        ).collect()
+    }
+    assert out == {"s1": (3, 2, 0), "s2": (1, 0, 1)}
