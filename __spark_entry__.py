@@ -72,6 +72,9 @@ _SWEEP_FIRST = [
     "join_bloom_pruned",
     "dim_scd2_history",
     "quality_expectations",
+    "mix_pack_sequences",
+    "corpus_overlap_matrix",
+    "flagship_local_volume",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
@@ -82,9 +85,6 @@ _SWEEP_FIRST = [
     "events_cohort_retention",
     "join_asof_prior_purchase",
     "agg_stats",
-    "dedup_incremental",
-    "dedup_cluster_resolve",
-    "dedup_corpus_survivors",
 ]
 
 

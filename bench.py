@@ -61,9 +61,10 @@ HEADLINE = [
     "sample_domain_cap",
     "quality_classifier_score",
     "text_lm_score",
-    # round-4: join-heavy event analytics
+    # round-4: join-heavy event analytics + deepest join tree
     "events_funnel",
     "events_cohort_retention",
+    "flagship_local_volume",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -325,3 +325,89 @@ def sample_oracle_sql(
     FROM {table}
     WHERE CASE{keep_branches} ELSE {keep_sql(default_rate)} END
     """
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_shards: int,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """GPT-style sequence packing, distributed: documents concatenate
+    in a deterministic order and split into fixed ``seq_len``-token
+    training examples; each doc learns which example(s) it lands in.
+
+    Concatenation order must be reproducible AND shardable, so docs
+    first land in ``n_shards`` independent shards (``id mod n_shards``
+    — swap in a hash shard for adversarial id spaces) and concatenate
+    within their shard in mixing-hash order (md5, id tiebreak — the
+    same deterministic uniform order the samplers use). Per doc:
+    ``tok_offset`` (its start in the shard's token stream),
+    ``start_bin``/``end_bin`` (the first/last ``seq_len`` example it
+    touches — a long doc spans several; a boundary doc straddles two).
+
+    Scale shape: one shuffle on the shard key, one running sum per
+    shard — the window state is a single long. Zero-token docs are
+    dropped (a zero-width span belongs to no example). Downstream, an
+    example assembler groups by (shard, bin) — bins are uniform by
+    construction, ~seq_len tokens each.
+    """
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(tokens_col) > 0)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash_uniform_hex(F.col(id_col), seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(tokens_col), shard)
+        .withColumn("__cum", F.sum(tokens_col).over(w))
+        .select(
+            id_col,
+            "shard",
+            tokens_col,
+            (F.col("__cum") - F.col(tokens_col)).alias("tok_offset"),
+            F.floor(
+                (F.col("__cum") - F.col(tokens_col)) / F.lit(seq_len)
+            ).alias("start_bin"),
+            F.floor((F.col("__cum") - 1) / F.lit(seq_len)).alias(
+                "end_bin"
+            ),
+        )
+    )
+
+
+def pack_oracle_sql(
+    table_expr: str,
+    id_col: str,
+    tokens_sql: str,
+    seq_len: int,
+    n_shards: int,
+    seed: str = "pack-v1",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`."""
+    h = f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+    return f"""
+    SELECT {id_col}, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+           CAST(floor((cum - n_tokens) / {seq_len}) AS BIGINT) AS start_bin,
+           CAST(floor((cum - 1) / {seq_len}) AS BIGINT) AS end_bin
+    FROM (
+        SELECT {id_col}, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard
+                   ORDER BY {h}, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM (
+            SELECT {id_col}, {id_col} % {n_shards} AS shard,
+                   {tokens_sql} AS n_tokens
+            FROM {table_expr}
+        ) raw
+        WHERE n_tokens > 0
+    ) t
+    """

@@ -653,6 +653,36 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sequence-packing parameters: 512-token training examples over 8
+#: shards (bench-scale; production uses thousands of shards).
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 8
+
+
+@query(
+    "mix_pack_sequences",
+    oracle=sampling.pack_oracle_sql(
+        "documents", "doc_id", _BPE_COUNT_SQL,
+        _PACK_SEQ_LEN, _PACK_SHARDS, seed="pack-v1",
+    ),
+)
+def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic sharded order and split every _PACK_SEQ_LEN tokens;
+    each doc learns its shard, token offset, and the first/last
+    training example it lands in (a long doc spans several). One
+    shuffle on the shard key + one running sum per shard
+    (operators/sampling.py pack_sequences)."""
+    st = _star(spark, sf_dir)
+    docs = st.documents.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        docs, "doc_id", "n_tokens",
+        seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS, seed="pack-v1",
+    )
+
+
 #: Train/val/test fractions (cumulative-hash split).
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -2156,5 +2186,108 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics: pairwise source overlap matrix (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_overlap_matrix",
+    oracle=f"""
+    WITH sg AS (
+        SELECT DISTINCT source, g
+        FROM (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       generate_series(
+                           1, greatest(len(toks) - {_DECONTAM_N - 1}, 1)
+                       ),
+                       i -> array_to_string(
+                           toks[i:i+{_DECONTAM_N - 1}], ' '
+                       )
+                   ))) AS g
+            FROM (SELECT source,
+                         regexp_extract_all(lower(text), '\\w+') AS toks
+                  FROM documents) t
+            WHERE len(toks) > 0
+        )
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared,
+           round(CAST(COUNT(*) AS DOUBLE) / any_value(ta.n), 6)
+               AS share_of_a,
+           round(CAST(COUNT(*) AS DOUBLE) / any_value(tb.n), 6)
+               AS share_of_b
+    FROM sg a
+    JOIN sg b ON a.g = b.g AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix: for every source
+    pair, how many distinct word 5-grams they share and what fraction
+    of each side's gram vocabulary that is — the corpus-level view of
+    decontamination (which sources bleed into which), the report a
+    data-mixture owner reads before assigning dedup/mixing priorities.
+
+    100 TB shape: per-doc grams dedup map-side (array_distinct) and
+    hash to fixed 8-byte keys; ONE exchange builds the distinct
+    (source, gram) vocabulary; the pair join is a self-join keyed on
+    the gram with per-key multiplicity bounded by |sources| (≤ dozens)
+    — never by corpus size — so its output is linear in vocabulary.
+    Per-source totals broadcast back for the share columns. The oracle
+    runs string grams where Spark runs xxhash64 keys: aggregates match
+    unless 64-bit grams collide (the same standing assumption every
+    hashed-gram operator here documents)."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    sg = (
+        st.documents.select("source", toks.alias("__toks"))
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(dedup._hashed_gram_array(_DECONTAM_N))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n").alias("__na")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("__na"), 6
+            ).alias("share_of_a"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("__nb"), 6
+            ).alias("share_of_b"),
         )
     )

@@ -871,3 +871,88 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total_price", "grouping_level",
         )
     )
+
+
+@query(
+    "flagship_local_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def flagship_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: the 6-way join
+    (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region) with
+    a same-nation customer/supplier condition — the deepest join tree
+    in the registry, the classic join-ordering stress test.
+
+    Spark-first plan: the nation⨝region snowflake CONSTANT-FOLDS
+    (fixed spec cardinality — same move as star.customers): the ASIA
+    nationkey set becomes an IN-list pushed into BOTH the supplier and
+    customer scans, and nationkey→name becomes a literal map — two
+    joins and their broadcast builds gone from the plan, and the two
+    SF-scaled dims arrive pre-filtered to ~1/5 before any join. The
+    remaining tree is the real work at 100 TB: date-filtered orders ⨝
+    lineitem on the order key, supplier and customer as
+    filtered-dimension joins (AQE picks broadcast vs shuffle by size),
+    and the same-nation condition rides the customer join as a
+    residual predicate instead of forcing a nation-keyed exchange."""
+    st = _star(spark, sf_dir)
+    nr = (
+        st.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .join(
+            F.broadcast(
+                st.region.filter(F.col("r_name") == "ASIA").select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    asia_keys = [r.n_nationkey for r in nr]
+    name_map = F.create_map(
+        *[F.lit(x) for r in nr for x in (r.n_nationkey, r.n_name)]
+    )
+    o = st.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    s = st.supplier.filter(F.col("s_nationkey").isin(asia_keys)).select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = st.customer.filter(F.col("c_nationkey").isin(asia_keys)).select(
+        "c_custkey", "c_nationkey"
+    )
+    li = st.lineitem.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(name_map[F.col("s_nationkey")].alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

@@ -155,3 +155,34 @@ def test_budget_zero_token_docs_dropped(spark):
         budgets={"s1": 0}, default_budget=100, seed="t",
     ).collect()
     assert {r.doc_id for r in out} == {2}
+
+
+def test_pack_sequences_spans_and_offsets(spark):
+    """Planted packing: offsets are the prefix sums in hash order per
+    shard; a doc crossing a bin boundary reports the span; zero-token
+    docs vanish."""
+    from sales_etl_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "s", 40) for i in range(10)] + [(100, "s", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", seq_len=100, n_shards=1, seed="t"
+    ).collect()
+    assert {r.doc_id for r in out} == set(range(10))  # zero-token gone
+    by_off = sorted(out, key=lambda r: r.tok_offset)
+    # contiguous concatenation: offsets are multiples of 40
+    assert [r.tok_offset for r in by_off] == [40 * i for i in range(10)]
+    for r in by_off:
+        assert r.start_bin == r.tok_offset // 100
+        assert r.end_bin == (r.tok_offset + 39) // 100
+    # the doc at offset 80 straddles examples 0 and 1
+    straddler = next(r for r in by_off if r.tok_offset == 80)
+    assert (straddler.start_bin, straddler.end_bin) == (0, 1)
+    # deterministic order: matches the md5 mixing hash
+    import hashlib
+
+    want = sorted(
+        range(10),
+        key=lambda i: (hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], i),
+    )
+    assert [r.doc_id for r in by_off] == want

@@ -201,3 +201,18 @@ def test_join_bloom_pruned_injects_runtime_bloom_filter(spark):
     assert "might_contain" in body
     assert "SortMergeJoin" in body
     assert "BroadcastHashJoin" not in body
+
+
+def test_local_volume_constant_folds_nation_region(spark):
+    """flagship_local_volume: the ASIA nationkey IN-list must reach
+    BOTH the supplier and customer parquet scans (the folded
+    nation⨝region snowflake), the order-date range must reach the
+    orders scan, and no nation/region table appears in the plan."""
+    plan = _formatted(_build(spark, "flagship_local_volume"))
+    assert re.search(r"PushedFilters: \[[^\]]*In\(s_nationkey", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*In\(c_nationkey", plan), plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
+    )
+    body = plan.split("== Physical Plan ==")[1]
+    assert "nation.parquet" not in body and "region.parquet" not in body
