@@ -75,6 +75,7 @@ _SWEEP_FIRST = [
     "mix_pack_sequences",
     "corpus_overlap_matrix",
     "flagship_local_volume",
+    "events_rate_anomaly",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
@@ -84,7 +85,6 @@ _SWEEP_FIRST = [
     "events_funnel",
     "events_cohort_retention",
     "join_asof_prior_purchase",
-    "agg_stats",
 ]
 
 

@@ -956,3 +956,83 @@ def flagship_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(name_map[F.col("s_nationkey")].alias("nation"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, hour, n_events,
+               SUM(n_events) OVER w AS s,
+               SUM(n_events * n_events) OVER w AS ss,
+               COUNT(*) OVER w AS n
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, hour, n_events,
+           CASE WHEN n >= 12
+                     AND (CAST(ss AS DOUBLE) / n)
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                         > 0
+                THEN round(
+                    (n_events - CAST(s AS DOUBLE) / n)
+                    / sqrt((CAST(ss AS DOUBLE) / n)
+                           - (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n)),
+                    6)
+           END AS zscore
+    FROM win
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly scores: hourly event counts per type,
+    z-scored against the TRAILING 24 hours (current hour excluded —
+    the spike being tested must not contaminate its own baseline).
+    NULL until 12 baseline hours exist or when the baseline is flat
+    (zero variance) — an undefined score is not a zero score.
+
+    Bit-exactness across engines: the window carries integer sums
+    (Σc, Σc²,count) and both engines evaluate the identical
+    double expression on them — mean/variance never accumulate in
+    floating point, and sqrt is correctly-rounded IEEE in both.
+
+    Scale shape: the raw stream collapses to (type, hour) grain in one
+    partial-aggregated exchange; the trailing window re-clusters by
+    type only — post-agg data is |types|·|hours| rows, so the second
+    exchange is negligible at any corpus size. The streaming twin of
+    this report is a tumbling-window count (streaming/windows.py) with
+    the z-score applied by the sink."""
+    st = _star(spark, sf_dir)
+    hourly = (
+        st.events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / n
+    var = ss.cast("double") / n - mean * mean
+    z = F.when(
+        (n >= 12) & (var > 0),
+        F.round((F.col("n_events") - mean) / F.sqrt(var), 6),
+    )
+    return hourly.select(
+        "event_type", "hour", "n_events", z.alias("zscore")
+    )
