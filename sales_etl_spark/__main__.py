@@ -29,10 +29,11 @@ logger = logging.getLogger("sales_etl_spark")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m sales_etl_spark",
-        description="Run the reference-parity sales ETL on Spark.",
+        description="Run the reference-parity sales ETL on Spark, or "
+        "any named query from the registry (--query / --list-queries).",
     )
-    p.add_argument("--sales", required=True, help="sales CSV path")
-    p.add_argument("--customers", required=True, help="customers CSV path")
+    p.add_argument("--sales", help="sales CSV path (ETL mode)")
+    p.add_argument("--customers", help="customers CSV path (ETL mode)")
     p.add_argument(
         "--snapshot-date",
         default=None,
@@ -40,14 +41,62 @@ def build_parser() -> argparse.ArgumentParser:
         "logged — pin it for deterministic reruns)",
     )
     p.add_argument("--top-n", type=int, default=5, help="ranking size")
-    sink = p.add_mutually_exclusive_group(required=True)
+    sink = p.add_mutually_exclusive_group(required=False)
     sink.add_argument("--output-dir", help="parquet lake directory")
     sink.add_argument(
         "--warehouse", help="catalog database for managed tables"
     )
     sink.add_argument("--jdbc-url", help="JDBC URL for a DB warehouse")
     p.add_argument("--master", default=None, help="Spark master override")
+    # -- registry query-runner mode -----------------------------------
+    p.add_argument(
+        "--query", help="run one registered query by name instead of "
+        "the ETL (see --list-queries)",
+    )
+    p.add_argument(
+        "--sf-dir", default=None,
+        help="star-schema parquet directory for --query",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20,
+        help="rows to print when --query has no --output-dir",
+    )
+    p.add_argument(
+        "--list-queries", action="store_true",
+        help="list registered query names and exit",
+    )
     return p
+
+
+def run_query(args) -> int:
+    """Registry query-runner: build the named query against --sf-dir,
+    then write parquet (--output-dir) or print the first --limit rows.
+    This is how a reference user runs ANY single operator without
+    writing a script."""
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.session import get_spark
+
+    if args.query not in QUERY_REGISTRY:
+        logger.error(
+            "unknown query %r — run --list-queries for the registry",
+            args.query,
+        )
+        return 1
+    if not args.sf_dir:
+        logger.error("--query requires --sf-dir")
+        return 1
+    spark = get_spark("sales-etl-spark-cli", master=args.master)
+    df = QUERY_REGISTRY[args.query].builder(spark, args.sf_dir)
+    if args.output_dir:
+        from sales_etl_spark import load as sinks
+
+        out = f"{args.output_dir}/{args.query}"
+        sinks.write_parquet(df, out)
+        logger.info("wrote %s", out)
+    else:
+        # bounded driver materialization, like any interactive show()
+        print(df._jdf.showString(args.limit, 40, False))
+    return 0
 
 
 def _format_report(rows) -> str:
@@ -69,6 +118,28 @@ def main(argv: list[str] | None = None) -> int:
         format="%(asctime)s [%(levelname)s] %(name)s - %(message)s",
     )
     args = build_parser().parse_args(argv)
+    if args.list_queries:
+        from sales_etl_spark.plans import QUERY_REGISTRY
+
+        for name, qd in QUERY_REGISTRY.items():
+            kind = "oracle" if qd.oracle else "rows-only"
+            print(f"{name:<28} [{kind}] {qd.doc.splitlines()[0][:80]}")
+        return 0
+    if args.query:
+        try:
+            return run_query(args)
+        except Exception:
+            logger.exception("query run failed")
+            return 1
+    if not (args.sales and args.customers):
+        logger.error(
+            "ETL mode needs --sales and --customers (or use --query)"
+        )
+        return 1
+    if not (args.output_dir or args.warehouse or args.jdbc_url):
+        logger.error("ETL mode needs a sink: --output-dir / --warehouse "
+                     "/ --jdbc-url")
+        return 1
     try:
         from sales_etl_spark import load as sinks
         from sales_etl_spark.pipeline import run_pipeline

@@ -54,3 +54,32 @@ def test_cli_missing_input_exits_nonzero(tmp_path):
         ]
     )
     assert rc == 1
+
+
+def test_cli_list_queries(capsys):
+    from sales_etl_spark.__main__ import main
+
+    assert main(["--list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_sales_summary" in out and "[oracle]" in out
+
+
+def test_cli_run_query_to_parquet(spark, tmp_path):
+    from sales_etl_spark.__main__ import main
+
+    rc = main([
+        "--query", "agg_stats",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "agg_stats"))
+    assert got.count() == 5
+
+
+def test_cli_rejects_unknown_query_and_missing_args():
+    from sales_etl_spark.__main__ import main
+
+    assert main(["--query", "no_such_query", "--sf-dir", "/tmp"]) == 1
+    assert main(["--query", "agg_stats"]) == 1          # no --sf-dir
+    assert main(["--sales", "x.csv"]) == 1              # incomplete ETL mode
