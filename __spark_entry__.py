@@ -76,6 +76,7 @@ _SWEEP_FIRST = [
     "corpus_overlap_matrix",
     "flagship_local_volume",
     "events_rate_anomaly",
+    "quality_expectations_long",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
@@ -83,7 +84,6 @@ _SWEEP_FIRST = [
     "flagship_shipping_priority",
     "dedup_keep_first",
     "events_funnel",
-    "events_cohort_retention",
     "join_asof_prior_purchase",
 ]
 

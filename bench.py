@@ -65,6 +65,7 @@ HEADLINE = [
     "events_funnel",
     "events_cohort_retention",
     "flagship_local_volume",
+    "corpus_overlap_matrix",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

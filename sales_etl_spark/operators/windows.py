@@ -53,3 +53,43 @@ def rank_in_group(
     on the group keys and sorts within partitions only."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(out, F.row_number().over(w))
+
+
+def trailing_zscore(
+    counts: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    baseline_rows: int = 24,
+    min_baseline: int = 12,
+) -> DataFrame:
+    """Z-score each (key, time) count against its TRAILING window of
+    ``baseline_rows`` prior rows (the scored row excluded from its own
+    baseline); NULL below ``min_baseline`` history or on a flat
+    baseline — an undefined score is not a zero score.
+
+    Cross-engine bit-exactness: the window carries integer sums
+    (Σv, Σv², n) and the mean/variance double expression evaluates
+    identically on them in any engine — nothing accumulates in
+    floating point. Works on any count table, batch or the
+    materialized output of a streaming tumbling window (the sink-side
+    half of the streaming anomaly pipeline).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(-baseline_rows, -1)
+    )
+    v = F.col(value_col)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / n
+    var = ss.cast("double") / n - mean * mean
+    return counts.withColumn(
+        "zscore",
+        F.when(
+            (n >= min_baseline) & (var > 0),
+            F.round((v - mean) / F.sqrt(var), 6),
+        ),
+    )

@@ -23,7 +23,7 @@ from sales_etl_spark.functions.scalars import (
     safe_div,
 )
 from sales_etl_spark.operators import aggregates, cleaning, upsert, windows
-from sales_etl_spark.plans.registry import query
+from sales_etl_spark.plans.registry import QUERY_REGISTRY, query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
 
@@ -891,4 +891,68 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
         },
         group_by=["source"],
+    )
+
+
+@query(
+    "quality_expectations_long",
+    oracle="""
+    WITH q AS (
+        SELECT source,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
+                        THEN 0 ELSE 1 END) AS n_bad_text_nonempty,
+               SUM(CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END)
+                   AS n_bad_min_chars,
+               SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+                   AS n_bad_chars_consistent,
+               SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
+                        THEN 0 ELSE 1 END) AS n_bad_lang_known
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source, check_name, n_bad,
+           round(CAST(n_bad AS DOUBLE) / n_rows, 6) AS bad_share
+    FROM (
+        SELECT source, n_rows, 'text_nonempty' AS check_name,
+               n_bad_text_nonempty AS n_bad FROM q
+        UNION ALL
+        SELECT source, n_rows, 'min_chars', n_bad_min_chars FROM q
+        UNION ALL
+        SELECT source, n_rows, 'chars_consistent',
+               n_bad_chars_consistent FROM q
+        UNION ALL
+        SELECT source, n_rows, 'lang_known', n_bad_lang_known FROM q
+    ) t
+    """,
+)
+def quality_expectations_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations report reshaped long — one row per (source,
+    check) with the violation count and share — via Spark's native
+    ``unpivot`` (P8-P10 family's missing reshape partner to the pivot
+    query). Unpivot is a zero-shuffle row explosion (k rows out per
+    input row); composing it ABOVE the aggregated report means the
+    explosion runs on |groups|×k rows, never on the corpus."""
+    wide = QUERY_REGISTRY["quality_expectations"].builder(spark, sf_dir)
+    checks = [
+        "text_nonempty", "min_chars", "chars_consistent", "lang_known",
+    ]
+    return (
+        wide.unpivot(
+            ids=["source", "n_rows"],
+            values=[f"n_bad_{c}" for c in checks],
+            variableColumnName="check_name",
+            valueColumnName="n_bad",
+        )
+        .withColumn(
+            "check_name", F.expr("substring(check_name, 7)")
+        )
+        .select(
+            "source",
+            "check_name",
+            "n_bad",
+            F.round(
+                F.col("n_bad").cast("double") / F.col("n_rows"), 6
+            ).alias("bad_share"),
+        )
     )

@@ -1012,6 +1012,8 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is negligible at any corpus size. The streaming twin of
     this report is a tumbling-window count (streaming/windows.py) with
     the z-score applied by the sink."""
+    from sales_etl_spark.operators.windows import trailing_zscore
+
     st = _star(spark, sf_dir)
     hourly = (
         st.events.groupBy(
@@ -1019,20 +1021,7 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-24, -1)
-    )
-    s = F.sum("n_events").over(w)
-    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
-    n = F.count(F.lit(1)).over(w)
-    mean = s.cast("double") / n
-    var = ss.cast("double") / n - mean * mean
-    z = F.when(
-        (n >= 12) & (var > 0),
-        F.round((F.col("n_events") - mean) / F.sqrt(var), 6),
-    )
-    return hourly.select(
-        "event_type", "hour", "n_events", z.alias("zscore")
-    )
+    return trailing_zscore(
+        hourly, "event_type", "hour", "n_events",
+        baseline_rows=24, min_baseline=12,
+    ).select("event_type", "hour", "n_events", "zscore")

@@ -501,3 +501,47 @@ def test_upsert_sink_recovers_from_complete_tmp(spark, tmp_path):
     )
     got = {(r.k, r.v, r.ver) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "a0", 1), (2, "b0", 1)}
+
+
+def test_stream_anomaly_twin_equals_batch_query(spark, events_dir):
+    """The streaming anomaly pipeline: tumbling 1h counts materialize
+    from the stream, the sink applies trailing_zscore over the
+    snapshot — and the result matches the registered batch
+    events_rate_anomaly query row-for-row (same grain, same scores)."""
+    from sales_etl_spark.operators.windows import trailing_zscore
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.streaming.windows import (
+        read_events_stream,
+        stream_tumbling_counts,
+    )
+
+    batch = {
+        (r.event_type, r.hour): (r.n_events, r.zscore)
+        for r in QUERY_REGISTRY["events_rate_anomaly"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+
+    stream = stream_tumbling_counts(
+        read_events_stream(spark, events_dir), watermark="100 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("anomaly_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = spark.sql(
+        "SELECT event_type, window_start AS hour, n_events "
+        "FROM anomaly_counts"
+    )
+    got = {
+        (r.event_type, r.hour): (r.n_events, r.zscore)
+        for r in trailing_zscore(
+            counts, "event_type", "hour", "n_events",
+            baseline_rows=24, min_baseline=12,
+        ).collect()
+    }
+    assert got == batch and len(got) > 100
