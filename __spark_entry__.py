@@ -77,13 +77,13 @@ _SWEEP_FIRST = [
     "flagship_local_volume",
     "events_rate_anomaly",
     "quality_expectations_long",
+    "events_cumulative_users",
+    "flagship_small_quantity",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
     "flagship_pricing_summary",
     "flagship_shipping_priority",
-    "dedup_keep_first",
-    "events_funnel",
     "join_asof_prior_purchase",
 ]
 

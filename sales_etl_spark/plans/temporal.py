@@ -1025,3 +1025,105 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, "event_type", "hour", "n_events",
         baseline_rows=24, min_baseline=12,
     ).select("event_type", "hour", "n_events", "zscore")
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY first_day
+    ),
+    active AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM events GROUP BY 1
+    )
+    SELECT a.day, a.active_users,
+           COALESCE(d.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(d.new_users, 0)) OVER (
+               ORDER BY a.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM active a LEFT JOIN daily_new d ON a.day = d.day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative distinct users — with the
+    cumulative COUNT(DISTINCT) over a growing window REWRITTEN as
+    first-seen aggregation + prefix sum: a naive distinct-over-
+    unbounded-window re-counts every user every day (O(days·users)
+    state, unshippable at scale); min(ts) per user + a count per
+    first-seen day + a running sum is two linear aggregations and a
+    |days|-row window. The same rewrite is how growth dashboards
+    compute all-time uniques incrementally."""
+    st = _star(spark, sf_dir)
+    ev = st.events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily_new = first_seen.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    active = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(daily_new, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+    )
+
+
+@query(
+    "flagship_small_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def flagship_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: a CORRELATED scalar
+    subquery (per-part average quantity) guarding the fact filter —
+    the query shape that tests an engine's decorrelation, exercised
+    through the SQL surface on purpose (a reference user writes this
+    as SQL, not as a hand-decorrelated join). Catalyst rewrites the
+    correlation into a per-part aggregate joined back to the fact: the
+    naive per-row re-aggregation (O(|lineitem|·|part lines|)) never
+    executes. Registered temp views scope the star tables for the SQL
+    text; DECIMAL sum → one double division keeps both engines
+    bit-identical."""
+    st = _star(spark, sf_dir)
+    st.lineitem.createOrReplaceTempView("li_q17")
+    st.part.createOrReplaceTempView("part_q17")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM li_q17 l
+        JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM li_q17 l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+    """)

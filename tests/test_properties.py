@@ -497,3 +497,56 @@ def test_token_budget_matches_python_model(spark, rows, budget):
                 break
             want.add((i, cum))
     assert got == want
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),      # doc_id (collisions none: unique-ified below)
+        st.integers(min_value=0, max_value=9),       # token count (0 = dropped)
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_pack_rows)
+def test_pack_sequences_conservation_and_span_invariants(spark, rows):
+    """Randomized packing invariants, independent of data shape:
+    (1) token conservation - per shard, offsets+tokens tile the
+    concatenated stream with no gaps or overlaps; (2) spans follow
+    from offsets arithmetically; (3) partitioning invariance."""
+    from sales_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, n_tokens int"
+    )
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", seq_len=7, n_shards=3, seed="prop"
+    ).collect()
+
+    alive = {i: t for i, t in rows if t > 0}
+    assert {r.doc_id for r in out} == set(alive)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r.shard == r.doc_id % 3
+        by_shard.setdefault(r.shard, []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.tok_offset)
+        expect = 0
+        for r in members:
+            assert r.tok_offset == expect          # no gaps, no overlap
+            assert r.start_bin == r.tok_offset // 7
+            assert r.end_bin == (r.tok_offset + alive[r.doc_id] - 1) // 7
+            expect += alive[r.doc_id]
+
+    again = pack_sequences(
+        df.repartition(5), "doc_id", "n_tokens",
+        seq_len=7, n_shards=3, seed="prop",
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
