@@ -545,3 +545,74 @@ def test_stream_anomaly_twin_equals_batch_query(spark, events_dir):
         ).collect()
     }
     assert got == batch and len(got) > 100
+
+
+def _run_stateful_funnel(spark, events_dir, stream_fn, sink_name):
+    """Shared body for the two stateful-funnel twins: run the stream,
+    take the max-n_seen emission per user (the converged snapshot) and
+    compare against the batch events_funnel query — equality must hold
+    even though micro-batches deliver files (event times) out of
+    order, because per-step times accumulate in state and the funnel
+    re-derives per update."""
+    import datetime as dt
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.streaming.windows import read_events_stream
+
+    def to_us(ts):
+        if ts is None:
+            return None
+        return int(
+            (ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+
+    batch = {
+        r.user_id: (
+            to_us(r.t_view), to_us(r.t_click), to_us(r.t_purchase),
+            r.steps_completed,
+        )
+        for r in QUERY_REGISTRY["events_funnel"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+
+    q = (
+        stream_fn(read_events_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(f"SELECT * FROM {sink_name}").collect()
+    q.stop()
+    final: dict[int, tuple] = {}
+    best_n: dict[int, int] = {}
+    for r in rows:
+        if r.n_seen >= best_n.get(r.user_id, -1):
+            best_n[r.user_id] = r.n_seen
+            final[r.user_id] = (
+                r.t_view_micros, r.t_click_micros, r.t_purchase_micros,
+                r.steps_completed,
+            )
+    assert final == batch and len(final) >= 10
+
+
+def test_stateful_funnel_legacy_converges_to_batch(spark, events_dir):
+    from sales_etl_spark.streaming.funnel import funnel_stream_legacy
+
+    _run_stateful_funnel(
+        spark, events_dir, funnel_stream_legacy, "funnel_legacy"
+    )
+
+
+def test_stateful_funnel_tws_converges_to_batch(spark, events_dir):
+    from sales_etl_spark.streaming.funnel import (
+        funnel_stream,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+    _run_stateful_funnel(spark, events_dir, funnel_stream, "funnel_tws")
