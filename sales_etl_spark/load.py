@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def cast_for_sink(df: DataFrame, types: Mapping[str, str]) -> DataFrame:
@@ -304,3 +304,41 @@ def load_warehouse_table(
         f"INSERT OVERWRITE TABLE {database}.{table} ({cols}) "
         f"SELECT {cols} FROM __load_src"
     )
+
+
+def zorder_value(
+    a: Column,
+    a_min: float,
+    a_max: float,
+    b: Column,
+    b_min: float,
+    b_max: float,
+    bits: int = 10,
+) -> Column:
+    """Z-order (Morton) key for two columns — bit-interleaved bucket
+    ids, pure codegen expression. Pair with ``write_parquet(...,
+    cluster_by=["__z"])``: range-partitioning + in-file sort on the
+    z-value gives EVERY file a bounded rectangle in (a, b) space, so
+    parquet min/max statistics prune point/range filters on EITHER
+    column (1-D clustering can only serve one) — the Delta/Iceberg
+    OPTIMIZE ZORDER layout, engine-native.
+
+    Buckets here are uniform over [min, max] (``width_bucket``);
+    heavily skewed columns want quantile buckets instead — compute
+    boundaries with ``approxQuantile`` and bucketize by range, the
+    interleave below is unchanged. ``bits`` per dimension: 10 → a
+    1024×1024 grid, 20-bit keys.
+    """
+    from pyspark.sql import functions as F
+
+    n = F.lit(2**bits)
+    ab = F.width_bucket(a.cast("double"), F.lit(a_min), F.lit(a_max), n) - 1
+    bb = F.width_bucket(b.cast("double"), F.lit(b_min), F.lit(b_max), n) - 1
+    ab = F.greatest(F.lit(0), F.least(ab, n - 1)).cast("long")
+    bb = F.greatest(F.lit(0), F.least(bb, n - 1)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ab, i) % 2, 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(bb, i) % 2, 2 * i + 1))
+    return z
