@@ -79,12 +79,12 @@ _SWEEP_FIRST = [
     "quality_expectations_long",
     "events_cumulative_users",
     "flagship_small_quantity",
+    "scan_zorder_prune",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
     "flagship_pricing_summary",
     "flagship_shipping_priority",
-    "join_asof_prior_purchase",
 ]
 
 

@@ -2291,3 +2291,58 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_b"),
         )
     )
+
+
+@query(
+    "scan_zorder_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE date_part('hour', ts) BETWEEN 6 AND 11
+      AND value BETWEEN 50 AND 150
+    GROUP BY event_type
+    """,
+)
+def scan_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lake layout end-to-end: events land clustered by the
+    Morton key of (hour-of-day, value) — load.zorder_value — and the
+    2-D rectangle query (hour AND value range) reads back through
+    tight per-file min/max stats on BOTH columns; 1-D clustering
+    could only serve one. Correctness never depends on the layout
+    (the raw-column filters decide), so the oracle runs on the
+    unclustered source; the pruning property itself is locked by the
+    sink tests on real parquet footers. Bucket domains are fixed
+    (hour 0-23, value 0-500 with clamp-to-edge for outliers) so the
+    layout is stable across scale factors."""
+    from sales_etl_spark.load import write_parquet, zorder_value
+
+    st = _star(spark, sf_dir)
+    ev = st.events.select(
+        "event_type", "ts", "value", F.hour("ts").alias("hr")
+    )
+    out = str(_scratch("zordered_events", sf_dir))
+    write_parquet(
+        ev.withColumn(
+            "__z",
+            zorder_value(
+                F.col("hr"), 0, 23, F.col("value"), 0, 500, bits=8
+            ),
+        ),
+        out,
+        cluster_by=["__z"],
+        max_records_per_file=2_000,
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("hr").between(6, 11) & F.col("value").between(50, 150))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -216,3 +216,47 @@ def test_local_volume_constant_folds_nation_region(spark):
     )
     body = plan.split("== Physical Plan ==")[1]
     assert "nation.parquet" not in body and "region.parquet" not in body
+
+
+#: Queries whose plans legitimately contain Arrow-batched Python
+#: (the multimodal tier) — anything else with a Python node is a
+#: regression into the slow path.
+_PYTHON_OK = {"multimodal_features", "multimodal_frames"}
+
+#: Declared ground-truth tiers allowed an all-pairs join at
+#: verification scale (each has an implemented, tested scale twin).
+_CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
+                 "ann_quantized_topk"}
+
+#: Queries that broadcast a ONE-ROW aggregate (corpus doc count /
+#: log-prob normalizer) into every row — Spark plans that scalar
+#: attach as a BroadcastNestedLoopJoin, which is the correct shape
+#: for a 1-row side (it is how scalar subqueries compile too).
+_SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords"}
+
+
+def test_every_registered_query_obeys_global_plan_invariants(spark):
+    """Registry-wide plan audit (analysis only, no execution): NO
+    row-at-a-time Python anywhere, Arrow Python only in the multimodal
+    tier, and no cartesian/nested-loop product outside the declared
+    exact-verification queries. New queries inherit these invariants
+    automatically — a regression in any builder fails here by name."""
+    bad: list[str] = []
+    for name, qd in QUERY_REGISTRY.items():
+        plan = _formatted(qd.builder(spark, SF))
+        body = plan.split("== Physical Plan ==")[-1]
+        if "BatchEvalPython" in body:
+            bad.append(f"{name}: row-at-a-time Python")
+        if "InPandas" in body and name not in _PYTHON_OK:
+            bad.append(f"{name}: unexpected Python node")
+        if (
+            re.search(r"CartesianProduct", body)
+            and name not in _CARTESIAN_OK
+        ):
+            bad.append(f"{name}: cartesian product")
+        if (
+            "BroadcastNestedLoopJoin" in body
+            and name not in _CARTESIAN_OK | _SCALAR_BNLJ_OK
+        ):
+            bad.append(f"{name}: nested-loop join")
+    assert not bad, bad
