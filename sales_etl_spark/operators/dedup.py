@@ -612,3 +612,79 @@ def resolve_clusters(
             (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def scrub_hot_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int,
+    min_line_chars: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style cross-document LINE deduplication: lines that
+    appear (identically) in more than ``max_line_df`` documents are
+    boilerplate — nav bars, cookie banners, license footers — and are
+    removed from every document; each doc's remaining lines rejoin in
+    original order. Lines shorter than ``min_line_chars`` after trim
+    are exempt (blank separators and markup stubs are structure, not
+    boilerplate, and their df is meaninglessly high).
+
+    Scale shape: posexplode keeps (doc, position, line); the line-df
+    count runs over DISTINCT (doc, line-hash) pairs — one shuffle on
+    the 8-byte line hash; the hot-line set is a bounded DROP list
+    (only boilerplate-grade lines exceed the cap — the same asymmetry
+    as the shingle df-cap) broadcast back as an anti-join condition;
+    reassembly is one groupBy(doc) with an array_sort on carried
+    positions — the second and last shuffle. The corpus text bytes
+    move through each exchange once.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped) with ``text``
+    rebuilt from the kept lines.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("__lk", F.xxhash64("line"))
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+
+    hot = (
+        lines.filter(eligible)
+        .select("doc", "__lk")
+        .distinct()
+        .groupBy("__lk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_line_df)
+        .select("__lk")
+    )
+    kept = lines.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "__lk", "left"
+    ).withColumn(
+        "__drop", eligible & F.coalesce(F.col("__hot"), F.lit(False))
+    )
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.sum(F.when(~F.col("__drop"), 1).otherwise(0)).alias(
+                "n_lines_kept"
+            ),
+            F.sum(F.when(F.col("__drop"), 1).otherwise(0)).alias(
+                "n_lines_dropped"
+            ),
+        )
+        .withColumnRenamed("doc", id_col)
+    )

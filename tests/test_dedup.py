@@ -230,3 +230,61 @@ def test_incremental_exact_dedup_planted(spark):
     )
     out = incremental_exact_dedup(batch, corpus, "doc_id", "text")
     assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+
+def test_scrub_hot_lines_removes_cross_doc_boilerplate(spark):
+    """Planted boilerplate: a footer shared by 3 docs is scrubbed from
+    all of them; unique lines and short structural lines survive in
+    original order; line order and doc reassembly are exact."""
+    from sales_etl_spark.operators.dedup import scrub_hot_lines
+
+    footer = "subscribe to our newsletter for updates"
+    docs = [
+        (1, f"alpha unique content line\n{footer}\nmore alpha text here"),
+        (2, f"{footer}\nbeta body paragraph with words"),
+        (3, f"gamma opening line of text\n--\n{footer}"),
+        (4, "delta stands alone entirely here"),
+    ]
+    out = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in scrub_hot_lines(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", max_line_df=2,
+        ).collect()
+    }
+    assert out[1] == (
+        "alpha unique content line\nmore alpha text here", 2, 1
+    )
+    assert out[2] == ("beta body paragraph with words", 1, 1)
+    # '--' is short/structural: exempt from dedup, kept in order
+    assert out[3] == ("gamma opening line of text\n--", 2, 1)
+    assert out[4] == ("delta stands alone entirely here", 1, 0)
+
+
+def test_scrub_hot_lines_df_threshold_and_invariance(spark):
+    from sales_etl_spark.operators.dedup import scrub_hot_lines
+
+    shared2 = "this line appears in exactly two documents"
+    docs = [
+        (1, f"{shared2}\nunique one"),
+        (2, f"{shared2}\nunique two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # df == 2 does NOT exceed max_line_df=2 -> untouched
+    keep = {
+        r.doc_id: r.text
+        for r in scrub_hot_lines(df, "doc_id", "text", max_line_df=2).collect()
+    }
+    assert keep == {1: docs[0][1], 2: docs[1][1]}
+    # threshold 1 -> scrubbed; result invariant under repartitioning
+    a = sorted(
+        (r.doc_id, r.text)
+        for r in scrub_hot_lines(df, "doc_id", "text", max_line_df=1).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in scrub_hot_lines(
+            df.repartition(7), "doc_id", "text", max_line_df=1
+        ).collect()
+    )
+    assert a == b == [(1, "unique one"), (2, "unique two")]
