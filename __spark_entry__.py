@@ -80,11 +80,11 @@ _SWEEP_FIRST = [
     "events_cumulative_users",
     "flagship_small_quantity",
     "scan_zorder_prune",
+    "corpus_pipeline_e2e",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
     "flagship_pricing_summary",
-    "flagship_shipping_priority",
 ]
 
 

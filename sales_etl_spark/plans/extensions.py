@@ -2346,3 +2346,121 @@ def scan_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline, oracle-checked as ONE query (round 4)
+# ---------------------------------------------------------------------------
+
+_E2E_CAP = 15
+
+
+@query(
+    "corpus_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE
+    csh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - {_DECONTAM_N - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{_DECONTAM_N - 1}], ' ')
+               )) AS grams
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents) t
+        WHERE len(toks) > 0
+    ),
+    ev AS (SELECT DISTINCT unnest(grams) AS g FROM csh WHERE {_EVAL_SQL}),
+    tr AS (SELECT doc_id, unnest(grams) AS g FROM csh
+           WHERE NOT ({_EVAL_SQL})),
+    hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g),
+    clean AS (
+        SELECT * FROM documents
+        WHERE NOT ({_EVAL_SQL})
+          AND doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    shingled AS (
+        SELECT doc_id AS doc,
+               list_transform(
+                   generate_series(1, greatest(len({_TOKS}) - 2, 1)),
+                   i -> array_to_string(({_TOKS})[i:i+2], ' ')
+               ) AS sh
+        FROM clean
+        WHERE len({_TOKS}) > 0
+    ),
+    sh AS (SELECT DISTINCT doc, unnest(sh) AS shingle FROM shingled),
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc
+        JOIN sizes sb ON c.doc_b = sb.doc
+        WHERE CAST(c.common AS DOUBLE)
+              / (sa.set_size + sb.set_size - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    survivors AS (
+        SELECT c2.doc_id, c2.source
+        FROM clean c2 LEFT JOIN cc ON c2.doc_id = cc.node
+        WHERE cc.node IS NULL OR cc.node = cc.cluster_id
+    )
+    SELECT doc_id, source, domain_rank
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5('cap-v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8),
+                            doc_id
+               ) AS INTEGER) AS domain_rank
+        FROM survivors
+    ) ranked
+    WHERE domain_rank <= {_E2E_CAP}
+    """,
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pretraining scrub as ONE oracle-checked
+    composition — the README's pipeline, end to end: benchmark
+    decontamination (eval docs + 5-gram-contaminated docs out) →
+    near-dup resolution (3-gram Jaccard ≥ 0.5 → connected components
+    → min-id survivor per cluster) → per-source domain cap. Every
+    stage is also a registered query on its own; this entry proves
+    the COMPOSITION is still bit-exact against a single chained SQL
+    oracle (recursive CTE and all) — operators compose without
+    re-materialization because each returns a plain DataFrame plan.
+    Shuffle budget = the sum of its stages': the corpus text is
+    scanned once per gram pass, never collected."""
+    st = _star(spark, sf_dir)
+    clean = decontam.decontaminated_corpus(
+        st.documents, "doc_id", "text",
+        n=_DECONTAM_N, eval_seed=_EVAL_SEED, eval_rate=_EVAL_RATE,
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        clean, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=10_000,
+    )
+    losers = (
+        dedup.resolve_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    survivors = clean.join(losers, "doc_id", "left_anti")
+    return sampling.domain_cap(
+        survivors.select("doc_id", "source"),
+        "source", "doc_id", _E2E_CAP, seed="cap-v1",
+    )
