@@ -963,13 +963,13 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM tf),
     lp AS (
         SELECT t,
-               CAST(floor(round(ln((c + 1.0) / (n + v)), 6) * 1000000
+               CAST(floor(ln((c + 1.0) / (n + v)) * 1000000
                           + 0.5) AS BIGINT) AS lp_micro
         FROM tf, tot
     )
     SELECT toks.doc_id,
            COUNT(*) AS n_tokens,
-           round(CAST(SUM(lp.lp_micro) AS DOUBLE) / 1000000 / COUNT(*), 6)
+           CAST(SUM(lp.lp_micro) AS DOUBLE) / 1000000 / COUNT(*)
                AS mean_logp
     FROM toks JOIN lp ON toks.t = lp.t
     GROUP BY toks.doc_id
@@ -982,10 +982,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     high; the production filter drops the tails. Shape mirrors tf-idf:
     token stream → vocabulary-sized TF table with a broadcast 1-row
     total, log-probs broadcast back onto the stream, one groupBy(doc).
-    Cross-engine exactness: each token's ln rounds to 6 dp (collapsing
-    engine ulp drift) then converts to EXACT integer micro-nats, so
-    the per-doc sum is an order-free long — one float division at the
-    output boundary."""
+    Cross-engine exactness: each token's ln converts to EXACT integer
+    micro-nats via the IDENTICAL IEEE sequence in both engines
+    (ln·1e6 + 0.5, floor — never a decimal round(), whose algorithm
+    differs between engines near .5 boundaries and mismatched at
+    sf0.1), so the per-doc sum is an order-free long; the output is
+    two raw double divisions of exact integers, also identical."""
     st = _star(spark, sf_dir)
     toks_stream = st.documents.select(
         "doc_id",
@@ -998,10 +1000,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = tf.crossJoin(F.broadcast(tot)).select(
         "t",
         F.floor(
-            F.round(
-                F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))),
-                6,
-            )
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
             * F.lit(1_000_000.0)
             + F.lit(0.5)
         ).cast("long").alias("lp_micro"),
@@ -1016,11 +1015,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
+            (
                 F.col("__s").cast("double")
                 / F.lit(1_000_000.0)
-                / F.col("n_tokens"),
-                6,
+                / F.col("n_tokens")
             ).alias("mean_logp"),
         )
     )
