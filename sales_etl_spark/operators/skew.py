@@ -104,4 +104,13 @@ def salted_join(
     replicated = small.withColumn(
         "__salt", F.explode(F.lit(list(range(n_salts))))
     ).withColumn("__salt", F.col("__salt").cast("int"))
-    return big.join(replicated, on + ["__salt"], how).drop("__salt")
+    # Force a SHUFFLE join: Catalyst's size estimate does not scale
+    # through the Generate (explode), so the planner sees the
+    # PRE-replication bytes and happily broadcasts the n_salts×
+    # replica — materializing n_salts copies on every executor
+    # (measured 316 MiB at sf0.1) and defeating the salting entirely
+    # (a genuinely broadcastable side would never need a salted join
+    # in the first place — broadcast joins have no shuffle skew).
+    return big.join(
+        replicated.hint("SHUFFLE_HASH"), on + ["__salt"], how
+    ).drop("__salt")

@@ -260,3 +260,15 @@ def test_every_registered_query_obeys_global_plan_invariants(spark):
         ):
             bad.append(f"{name}: nested-loop join")
     assert not bad, bad
+
+
+def test_salted_join_never_broadcasts_the_replica(spark):
+    """The n_salts-replicated side must SHUFFLE, not broadcast:
+    Catalyst's size estimate doesn't scale through the Generate, so
+    without the hint the planner materializes n_salts copies on every
+    executor (measured 316 MiB at sf0.1) — and a broadcastable side
+    would make salting pointless to begin with."""
+    plan = _formatted(_build(spark, "join_salted_skew"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" not in body
+    assert "ShuffledHashJoin" in body or "SortMergeJoin" in body
