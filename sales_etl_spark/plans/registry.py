@@ -14,7 +14,16 @@ between a distributed Spark plan and single-threaded DuckDB):
   produce the identical IEEE result);
 - any top-k / keep-one selection carries a full deterministic
   tiebreaker (unique key last in the sort order);
-- no wall-clock (`today()`) — snapshot dates are literals.
+- no wall-clock (`today()`) — snapshot dates are literals;
+- NEVER decimal-round() a double for cross-engine agreement: Spark
+  rounds the exact decimal expansion (BigDecimal HALF_UP), DuckDB
+  rounds in scaled double arithmetic, and the two disagree near .5
+  boundaries of the target digit (bit sf0.1's text_lm_score). To
+  collapse transcendental-ulp drift use the IDENTICAL IEEE sequence
+  in both engines — floor(x*1e6 + 0.5) into integer micro-units.
+  round(a/b, 6) over EXACT-integer a, b has so far agreed at three
+  scales but carries the same latent hazard; prefer raw division of
+  exact operands when adding queries.
 """
 
 from __future__ import annotations
