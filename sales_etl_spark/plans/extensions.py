@@ -2035,7 +2035,8 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                          * 1000000 + 0.5) AS BIGINT) / 1000000.0
                    AS tfidf
         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
     )
@@ -2054,9 +2055,11 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines (tf and df are exact integers, ln and
     multiply are deterministic — but ln itself is NOT correctly
     rounded cross-engine (JVM vs libm differ by an ulp), so the score
-    is rounded to 6 decimals in BOTH engines BEFORE ranking: values
-    hash-match and the top-3 cut cannot flip on a 1-ulp tie); per-doc
-    top-3 via rank window with a term tiebreak."""
+    collapses to integer micro-units via the IDENTICAL IEEE sequence
+    floor(x*1e6 + 0.5) in BOTH engines BEFORE ranking — never a
+    decimal round(), whose algorithm differs between engines near .5
+    boundaries (the text_lm_score sf0.1 lesson); per-doc top-3 via
+    rank window with a term tiebreak."""
     st = _star(spark, sf_dir)
     toks = st.documents.select(
         "doc_id",
@@ -2078,8 +2081,14 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(df_tbl), "term").select(
         "doc_id",
         "term",
-        F.round(
-            F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+        (
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("__n_docs") / F.col("df"))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1_000_000.0)
         ).alias("tfidf"),
     )
     from pyspark.sql.window import Window as W
