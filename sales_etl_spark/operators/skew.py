@@ -104,13 +104,17 @@ def salted_join(
     replicated = small.withColumn(
         "__salt", F.explode(F.lit(list(range(n_salts))))
     ).withColumn("__salt", F.col("__salt").cast("int"))
-    # Force a SHUFFLE join: Catalyst's size estimate does not scale
-    # through the Generate (explode), so the planner sees the
+    # Force a SHUFFLE-MERGE join: Catalyst's size estimate does not
+    # scale through the Generate (explode), so the planner sees the
     # PRE-replication bytes and happily broadcasts the n_salts×
     # replica — materializing n_salts copies on every executor
     # (measured 316 MiB at sf0.1) and defeating the salting entirely
     # (a genuinely broadcastable side would never need a salted join
     # in the first place — broadcast joins have no shuffle skew).
+    # Merge rather than shuffled-hash for the same mis-estimate
+    # reason: a hash build sized off the pre-explode stats can land
+    # n_salts× over budget in a memory-tight executor, while
+    # sort-merge spills gracefully at any size.
     return big.join(
-        replicated.hint("SHUFFLE_HASH"), on + ["__salt"], how
+        replicated.hint("SHUFFLE_MERGE"), on + ["__salt"], how
     ).drop("__salt")
