@@ -47,3 +47,24 @@ def test_all_oracle_queries_bit_exact_across_parallelism():
             f"partitioning-dependent results between {base_level} and "
             f"{level}: {drifted}"
         )
+
+
+@pytest.mark.deep_sweep
+def test_full_oracle_sweep_at_bench_scale():
+    """The deep tier: every oracle-backed query bit-exact at sf0.1.
+    This scale caught two real defects in round 4 (a cross-engine
+    round() tie, a mis-broadcast salted-join replica) that
+    sf0.001/0.01 could not — keep it runnable so it cannot rot."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "check_oracle.py"),
+            "/root/testdata/sf0.1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=2400,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    assert "0 failures" in proc.stdout, proc.stdout[-3000:]
