@@ -1,0 +1,127 @@
+"""Transaction-log lake format (sales_etl_spark/lake.py): atomic
+manifest commits, append/overwrite snapshots, time travel, orphan
+invisibility, version-race retry, vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sales_etl_spark import lake  # noqa: E402
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = lake.commit_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), t
+    )
+    v1 = lake.commit_write(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t, "append"
+    )
+    v2 = lake.commit_write(
+        spark.createDataFrame([(9, "z")], "k long, v string"), t, "overwrite"
+    )
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert lake.versions(t) == [0, 1, 2]
+    # latest = the overwrite snapshot
+    assert _rows(lake.read_table(spark, t)) == [(9, "z")]
+    # time travel reproduces every prior snapshot
+    assert _rows(lake.read_table(spark, t, 0)) == [(1, "a"), (2, "b")]
+    assert _rows(lake.read_table(spark, t, 1)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_orphan_data_files_are_invisible(spark, tmp_path):
+    """A crash after data files land but before the manifest appears
+    must leave the table exactly as it was — staged bytes are not
+    state until the manifest says so."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    # simulate the torn write: data file present, no manifest
+    orphan_src = spark.createDataFrame([(99, "orphan")], "k long, v string")
+    staging = Path(t) / "_crash_stage"
+    orphan_src.write.parquet(str(staging))
+    for i, p in enumerate(staging.glob("*.parquet")):
+        p.rename(Path(t) / "data" / f"deadbeef-part{i:05d}.parquet")
+    assert _rows(lake.read_table(spark, t)) == [(1, "a")]
+    # vacuum reclaims the orphan
+    deleted = lake.vacuum(t, keep_versions=1)
+    assert any("deadbeef" in d for d in deleted)
+
+
+def test_commit_retries_past_version_race(spark, tmp_path):
+    """If another committer claims the next version first, the commit
+    re-reads the log and lands on the following one — append contents
+    compose over the interloper's snapshot."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    # interloper claims version 1 directly (complete manifest)
+    (Path(t) / "_log" / "00000001.json").write_text(
+        json.dumps({"version": 1, "mode": "append",
+                    "files": lake._read_manifest(t, 0)["files"],
+                    "n_new_files": 0})
+    )
+    v = lake.commit_write(
+        spark.createDataFrame([(2, "b")], "k long, v string"), t, "append"
+    )
+    assert v == 2
+    assert _rows(lake.read_table(spark, t)) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_drops_unretained_versions_and_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    lake.commit_write(
+        spark.createDataFrame([(2, "b")], "k long, v string"), t, "overwrite"
+    )
+    deleted = lake.vacuum(t, keep_versions=1)
+    assert deleted  # v0's file gone
+    assert lake.versions(t) == [1]
+    assert _rows(lake.read_table(spark, t)) == [(2, "b")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lake.read_table(spark, t, 0)  # time travel window shrank
+
+
+def test_upsert_compaction_over_lake_versions(spark, tmp_path):
+    """The streaming-upsert story on the log: each batch appends, a
+    compaction overwrites with the deterministic last-wins snapshot —
+    and any historical version remains readable."""
+    from sales_etl_spark.operators.upsert import upsert_last_wins
+
+    t = str(tmp_path / "dim")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(1, "a0", 1), (2, "b0", 1)], "k long, v string, ver long"
+        ), t,
+    )
+    lake.commit_write(
+        spark.createDataFrame(
+            [(1, "a2", 3), (1, "a1", 2)], "k long, v string, ver long"
+        ), t, "append",
+    )
+    compacted = upsert_last_wins(
+        lake.read_table(spark, t), ["k"], ["ver"]
+    )
+    lake.commit_write(compacted, t, "overwrite")
+    got = {
+        (r.k, r.v, r.ver)
+        for r in lake.read_table(spark, t).collect()
+    }
+    assert got == {(1, "a2", 3), (2, "b0", 1)}
+    assert lake.read_table(spark, t, 0).count() == 2  # history intact
