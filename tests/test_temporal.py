@@ -252,3 +252,60 @@ def test_asof_join_null_right_ts_never_matches(spark):
         assert [(r["purchase_id"], r["amount"]) for r in out] == [
             (None, None)
         ], direction
+
+
+def test_generic_funnel_four_steps_planted(spark):
+    """N-step funnel operator: per-user first-at-or-after chain over a
+    4-step list; stalls leave NULL tails; same-instant steps count;
+    pre-step-1 later-type events are ignored. Cross-checked against
+    the shared pure derivation (streaming/funnel.py)."""
+    import datetime as dt
+
+    from sales_etl_spark.operators.temporal import funnel
+    from sales_etl_spark.streaming.funnel import derive_funnel_times
+
+    B = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return B + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes all four, with a same-instant signup/activate
+        (1, ts(0), "visit"), (1, ts(5), "signup"), (1, ts(5), "activate"),
+        (1, ts(9), "purchase"),
+        # u2: activate BEFORE signup -> stalls after signup
+        (2, ts(0), "visit"), (2, ts(1), "activate"), (2, ts(3), "signup"),
+        # u3: purchase before any visit -> only counted if re-reached
+        (3, ts(2), "purchase"), (3, ts(4), "visit"),
+        # u4 never visits -> absent from output
+        (4, ts(0), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["visit", "signup", "activate", "purchase"]
+    got = {
+        r.user_id: (
+            r.t_visit, r.t_signup, r.t_activate, r.t_purchase,
+            r.steps_completed,
+        )
+        for r in funnel(df, steps).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (ts(0), ts(5), ts(5), ts(9), 4)
+    assert got[2] == (ts(0), ts(3), None, None, 2)
+    assert got[3] == (ts(4), None, None, None, 1)
+
+    # the pure derivation agrees on every planted user
+    by_user: dict[int, list[list[int]]] = {}
+    for uid, t, et in rows:
+        micros = int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        by_user.setdefault(uid, [[] for _ in steps])
+        if et in steps:
+            by_user[uid][steps.index(et)].append(micros)
+    for uid, expect in got.items():
+        derived = derive_funnel_times(by_user[uid])
+        want = tuple(
+            None if d is None
+            else dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=d)
+            for d in derived
+        )
+        assert want == expect[:4], uid
