@@ -14,15 +14,16 @@ Layout::
 Guarantees (local/posix filesystem; object stores need the usual
 if-none-match put, same protocol):
 
-- ATOMIC PUBLISH: data files land first, then the manifest appears via
-  ``os.rename`` (atomic). A crash mid-write leaves orphan data files
-  that no manifest references — invisible to readers, reclaimed by
-  :func:`vacuum`.
-- OPTIMISTIC CONCURRENCY: the manifest is created with ``O_EXCL``; a
-  concurrent committer losing the race re-reads the log and retries on
-  the next version (append commits compose; overwrite commits
-  last-writer-wins — the Delta conflict matrix collapsed to the two
-  modes this sink supports).
+- ATOMIC PUBLISH: data files land first, then the manifest appears as
+  one ``os.link`` of a fully-written temp file to its version name —
+  create-if-absent WITH content, so readers can never observe a
+  reserved-but-empty manifest. A crash mid-write leaves orphan data
+  files that no manifest references — invisible to readers, reclaimed
+  by :func:`vacuum`.
+- OPTIMISTIC CONCURRENCY: a committer losing the link() race re-reads
+  the log and retries on the next version (append commits compose;
+  overwrite commits last-writer-wins — the Delta conflict matrix
+  collapsed to the two modes this sink supports).
 - TIME TRAVEL: every version's file list is kept; ``read_table(...,
   version=n)`` reproduces any historical snapshot until ``vacuum``
   drops files unreferenced by retained versions.
@@ -177,3 +178,71 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
         if v not in keep:
             _manifest_path(table_path, v).unlink()
     return deleted
+
+
+def commit_upsert_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    order_by: list[str],
+    batch_id: int,
+) -> int | None:
+    """EXACTLY-ONCE streaming upsert on the transaction log: merge one
+    micro-batch into the keyed snapshot, idempotent under foreachBatch
+    replay. The committed manifest records ``batch_id``; a replayed
+    batch (same or older id) is detected BEFORE any write and skipped,
+    so at-least-once delivery + idempotent commit = exactly-once table
+    state — the property the rename-swap parquet sink can only
+    approximate (its replay re-merges, converging by last-wins; here
+    the duplicate work never happens at all).
+
+    Returns the committed version, or None for a skipped replay.
+    """
+    vs = versions(table_path)
+    if vs:
+        last = _read_manifest(table_path, vs[-1])
+        if last.get("batch_id") is not None and batch_id <= last["batch_id"]:
+            return None  # replay of an already-committed batch
+        from sales_etl_spark.operators.upsert import upsert_last_wins
+
+        spark = batch_df.sparkSession
+        merged = upsert_last_wins(
+            read_table(spark, table_path).unionByName(batch_df),
+            keys,
+            order_by,
+        )
+    else:
+        from sales_etl_spark.operators.upsert import upsert_last_wins
+
+        merged = upsert_last_wins(batch_df, keys, order_by)
+    version = commit_write(merged, table_path, mode="overwrite")
+    manifest = _read_manifest(table_path, version)
+    manifest["batch_id"] = batch_id
+    # rewrite-in-place is safe: same content + idempotence marker, and
+    # the version file already exists so no reader sees a gap
+    tmp = _manifest_path(table_path, version).with_suffix(".tmp2")
+    tmp.write_text(json.dumps(manifest))
+    os.rename(tmp, _manifest_path(table_path, version))
+    return version
+
+
+def stream_upsert_lake(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint_dir: str,
+):
+    """Wire a stream into the exactly-once lake upsert (foreachBatch;
+    the caller picks the trigger and starts the query). Every
+    micro-batch becomes one table version carrying its batch id."""
+    keys = list(keys)
+    order_by = list(order_by)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        commit_upsert_batch(batch_df, table_path, keys, order_by, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )

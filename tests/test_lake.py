@@ -125,3 +125,74 @@ def test_upsert_compaction_over_lake_versions(spark, tmp_path):
     }
     assert got == {(1, "a2", 3), (2, "b0", 1)}
     assert lake.read_table(spark, t, 0).count() == 2  # history intact
+
+
+def test_commit_upsert_batch_exactly_once_under_replay(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) is skipped before any
+    write: version count and snapshot both unchanged — exactly-once
+    table state from at-least-once delivery."""
+    t = str(tmp_path / "dim")
+    b0 = spark.createDataFrame(
+        [(1, "a0", 1), (2, "b0", 1)], "k long, v string, ver long"
+    )
+    assert lake.commit_upsert_batch(b0, t, ["k"], ["ver"], batch_id=0) == 0
+    b1 = spark.createDataFrame(
+        [(1, "a2", 3), (3, "c0", 1)], "k long, v string, ver long"
+    )
+    v1 = lake.commit_upsert_batch(b1, t, ["k"], ["ver"], batch_id=1)
+    assert v1 == 1
+    # replay batch 1 (and a stale batch 0): both no-ops
+    assert lake.commit_upsert_batch(b1, t, ["k"], ["ver"], batch_id=1) is None
+    assert lake.commit_upsert_batch(b0, t, ["k"], ["ver"], batch_id=0) is None
+    assert lake.versions(t) == [0, 1]
+    got = {
+        (r.k, r.v, r.ver) for r in lake.read_table(spark, t).collect()
+    }
+    assert got == {(1, "a2", 3), (2, "b0", 1), (3, "c0", 1)}
+
+
+def test_stream_upsert_lake_converges_and_versions(spark, tmp_path):
+    """3-micro-batch stream through the exactly-once lake sink: final
+    snapshot equals one-shot last-wins compaction, and every batch is
+    a time-travel-readable version."""
+    from sales_etl_spark.operators.upsert import upsert_last_wins
+
+    schema = "k long, v string, ver long"
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "a0", 1), (2, "b0", 1)],
+        [(1, "a2", 3), (2, "b1", 2)],
+        [(1, "a1", 2), (4, "d0", 1)],  # stale update for k=1
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    want = {
+        (r.k, r.v, r.ver)
+        for r in upsert_last_wins(
+            spark.createDataFrame(
+                [r for b in batches for r in b], schema
+            ),
+            ["k"], ["ver"],
+        ).collect()
+    }
+    t = str(tmp_path / "tbl")
+    q = (
+        lake.stream_upsert_lake(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            t, ["k"], ["ver"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {(r.k, r.v, r.ver) for r in lake.read_table(spark, t).collect()}
+    assert got == want
+    assert len(lake.versions(t)) == 3  # one version per micro-batch
+    assert lake.read_table(spark, t, 0).count() == 2  # history intact
