@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     sink = p.add_mutually_exclusive_group(required=False)
     sink.add_argument("--output-dir", help="parquet lake directory")
     sink.add_argument(
+        "--lake-dir",
+        help="transaction-log lake directory (atomic versioned "
+        "commits + time travel; sales_etl_spark.lake)",
+    )
+    sink.add_argument(
         "--warehouse", help="catalog database for managed tables"
     )
     sink.add_argument("--jdbc-url", help="JDBC URL for a DB warehouse")
@@ -136,9 +141,10 @@ def main(argv: list[str] | None = None) -> int:
             "ETL mode needs --sales and --customers (or use --query)"
         )
         return 1
-    if not (args.output_dir or args.warehouse or args.jdbc_url):
-        logger.error("ETL mode needs a sink: --output-dir / --warehouse "
-                     "/ --jdbc-url")
+    if not (args.output_dir or args.lake_dir or args.warehouse
+            or args.jdbc_url):
+        logger.error("ETL mode needs a sink: --output-dir / --lake-dir "
+                     "/ --warehouse / --jdbc-url")
         return 1
     try:
         from sales_etl_spark import load as sinks
@@ -180,6 +186,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.output_dir:
             for name, df in marts.items():
                 sinks.write_parquet(df, f"{args.output_dir}/{name}")
+        elif args.lake_dir:
+            from sales_etl_spark import lake
+
+            for name, df in marts.items():
+                v = lake.commit_write(
+                    df, f"{args.lake_dir}/{name}", mode="overwrite"
+                )
+                logger.info("committed %s as version %d", name, v)
         elif args.warehouse:
             sinks.create_warehouse_tables(spark, args.warehouse)
             for name, df in marts.items():

@@ -136,10 +136,17 @@ def commit_write(
 
 
 def read_table(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The committed snapshot as a DataFrame — latest, or any retained
-    historical ``version`` (time travel)."""
+    historical ``version`` (time travel). ``merge_schema=True`` unions
+    the file schemas (schema EVOLUTION across commits: a column added
+    in a later version reads as NULL for earlier files — the additive
+    half of Delta's evolution support; renames/drops still need a
+    rewrite)."""
     vs = versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {table_path}")
@@ -150,8 +157,45 @@ def read_table(
     files = _read_manifest(table_path, version)["files"]
     if not files:
         return spark.read.parquet(str(Path(table_path) / "data")).limit(0)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[str(Path(table_path) / f) for f in files])
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed for APPEND commits: the rows added strictly AFTER
+    ``from_version`` up to ``to_version`` (default latest) — exact CDC
+    for append-only tables, because files are immutable and each
+    manifest names the files its commit introduced. Raises if the
+    range crosses an overwrite commit (a snapshot replacement has no
+    row-level delta without diffing — the caller should re-read the
+    snapshot instead, or keep key+version columns and diff with
+    upsert_last_wins)."""
+    vs = versions(table_path)
+    if to_version is None:
+        to_version = vs[-1]
+    if from_version not in vs or to_version not in vs:
+        raise ValueError(f"range [{from_version},{to_version}] not in {vs}")
+    new_files: list[str] = []
+    for v in vs:
+        if from_version < v <= to_version:
+            m = _read_manifest(table_path, v)
+            if m["mode"] != "append":
+                raise ValueError(
+                    f"version {v} is an overwrite commit - no row-level "
+                    "change feed across snapshot replacements"
+                )
+            new_files.extend(m["files"][-m["n_new_files"]:])
+    if not new_files:
+        return read_table(spark, table_path, to_version).limit(0)
     return spark.read.parquet(
-        *[str(Path(table_path) / f) for f in files]
+        *[str(Path(table_path) / f) for f in new_files]
     )
 
 

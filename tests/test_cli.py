@@ -83,3 +83,26 @@ def test_cli_rejects_unknown_query_and_missing_args():
     assert main(["--query", "no_such_query", "--sf-dir", "/tmp"]) == 1
     assert main(["--query", "agg_stats"]) == 1          # no --sf-dir
     assert main(["--sales", "x.csv"]) == 1              # incomplete ETL mode
+
+
+def test_cli_end_to_end_lake_sink(spark, tmp_path):
+    """The full ETL committing marts as transaction-log tables: a
+    rerun produces version 1 of each table with version 0 still
+    time-travel readable."""
+    from sales_etl_spark import lake
+
+    (tmp_path / "sales.csv").write_text(SALES_CSV)
+    (tmp_path / "customers.csv").write_text(CUSTOMERS_CSV)
+    out = tmp_path / "laketbls"
+    argv = [
+        "--sales", str(tmp_path / "sales.csv"),
+        "--customers", str(tmp_path / "customers.csv"),
+        "--snapshot-date", "2024-03-01",
+        "--lake-dir", str(out),
+    ]
+    assert main(argv) == 0
+    assert main(argv) == 0  # rerun commits a second version
+    t = str(out / "sales")
+    assert lake.versions(t) == [0, 1]
+    assert lake.read_table(spark, t).count() == 3
+    assert lake.read_table(spark, t, 0).count() == 3

@@ -196,3 +196,44 @@ def test_stream_upsert_lake_converges_and_versions(spark, tmp_path):
     assert got == want
     assert len(lake.versions(t)) == 3  # one version per micro-batch
     assert lake.read_table(spark, t, 0).count() == 2  # history intact
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    lake.commit_write(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        ), t, "append",
+    )
+    got = {
+        r.k: (r.v, r.score)
+        for r in lake.read_table(spark, t, merge_schema=True).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_change_feed_for_append_commits(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    lake.commit_write(
+        spark.createDataFrame([(2, "b")], "k long, v string"), t, "append"
+    )
+    lake.commit_write(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t, "append"
+    )
+    assert _rows(lake.read_changes(spark, t, 0)) == [(2, "b"), (3, "c")]
+    assert _rows(lake.read_changes(spark, t, 1, 2)) == [(3, "c")]
+    assert lake.read_changes(spark, t, 2).count() == 0
+    # overwrite breaks row-level deltas: refuse loudly
+    lake.commit_write(
+        spark.createDataFrame([(9, "z")], "k long, v string"), t, "overwrite"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lake.read_changes(spark, t, 0)
