@@ -24,12 +24,16 @@ from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the dict
-# returned by ``queries()``.  Rotation policy (round-4): lead with every
-# oracle-backed key whose last driver row predates r03 (34 keys — the
-# r01/r02 cohort plus the new scan_partition_prune), then the keys
-# round 4's changes touch (token-budget zero filter, customers-dim
-# constant fold, upsert tiebreak, plan memoization under the marts),
-# then high-traffic r03-green keys; declared-approximate no-oracle
+# returned by ``queries()``.  Rotation policy (round-4): lead with the
+# r01/r02-cohort keys whose last driver row predates r03, then every
+# key round 4 ADDED or CHANGED (the 17 new queries, the floor-micro
+# rewrites of text_lm_score / text_tfidf_keywords, the keys under the
+# customers-dim fold / upsert tiebreak / token-budget filter), then
+# high-traffic r03-green keys. Two r02-cohort set-ops keys
+# (set_union_except, set_intersect — unchanged since r1, re-verified
+# bit-exact in all three full local sweeps this round) yield their
+# slots to the two changed text queries: a changed query's hard
+# signal outranks an untouched one's rotation turn. No-oracle
 # queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
@@ -43,8 +47,6 @@ _SWEEP_FIRST = [
     "window_lag_delta",
     "agg_rollup",
     "join_semi_anti",
-    "set_union_except",
-    "set_intersect",
     "text_stats",
     "text_lang_id",
     "text_fingerprint",
@@ -81,6 +83,8 @@ _SWEEP_FIRST = [
     "flagship_small_quantity",
     "scan_zorder_prune",
     "corpus_pipeline_e2e",
+    "text_lm_score",
+    "text_tfidf_keywords",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
