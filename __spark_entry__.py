@@ -29,12 +29,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # key round 4 ADDED or CHANGED (the 17 new queries, the floor-micro
 # rewrites of text_lm_score / text_tfidf_keywords, the keys under the
 # customers-dim fold / upsert tiebreak / token-budget filter), then
-# high-traffic r03-green keys. Two r02-cohort set-ops keys
-# (set_union_except, set_intersect — unchanged since r1, re-verified
-# bit-exact in all three full local sweeps this round) yield their
-# slots to the two changed text queries: a changed query's hard
-# signal outranks an untouched one's rotation turn. No-oracle
-# queries (rows-only check; recall-tested in tests/) go last.
+# high-traffic r03-green keys. Three r02-cohort set/semi-join keys
+# (set_union_except, set_intersect, join_semi_anti — unchanged since
+# r1, re-verified bit-exact in all three full local sweeps this
+# round) yield their slots to the changed text queries and the new
+# weighted sampler: a changed or new query's hard signal outranks an
+# untouched one's rotation turn. No-oracle queries (rows-only check;
+# recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_count_distinct",
@@ -46,7 +47,6 @@ _SWEEP_FIRST = [
     "window_running_sum",
     "window_lag_delta",
     "agg_rollup",
-    "join_semi_anti",
     "text_stats",
     "text_lang_id",
     "text_fingerprint",
@@ -85,6 +85,7 @@ _SWEEP_FIRST = [
     "corpus_pipeline_e2e",
     "text_lm_score",
     "text_tfidf_keywords",
+    "sample_weighted_k",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

@@ -411,3 +411,87 @@ def pack_oracle_sql(
         WHERE n_tokens > 0
     ) t
     """
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis–Spirakis A-ES): each row draws the deterministic
+    uniform u = hash(seed,id)/2^32 and competes on the key
+    ln(u)/weight — the top-k keys per stratum are a true
+    weight-proportional sample, and the whole draw is reproducible
+    across engines, partitionings and reruns. Completes the sampler
+    family: bernoulli-rate (stratified_sample), uniform-k
+    (domain_cap), token-greedy (token_budget_mix), and now
+    weight-proportional-k.
+
+    Cross-engine determinism: u is an exact integer over 2^32 (both
+    engines compute the identical double), and the ln-derived key
+    COLLAPSES TO INTEGER MICRO-UNITS via the shared IEEE sequence
+    floor(x*1e6 + 0.5) before ranking — never a decimal round — with
+    the id as total-order tiebreak, so a 1-ulp ln() disagreement
+    cannot flip the cut (the text_lm_score lesson, applied at design
+    time). Zero/negative weights are excluded (they have no
+    probability mass; ln(u)/w would order them NaN-ishly).
+
+    Scale shape: identical to domain_cap — the rank filter compiles
+    to WindowGroupLimit, a per-mapper partial top-k BEFORE the single
+    shuffle on the stratum key.
+    """
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(weight_col) > 0)
+    u = (
+        F.conv(hash_uniform_hex(F.col(id_col), seed), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.floor(
+        F.log(u) / F.col(weight_col) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc_nulls_last(key), F.col(id_col)
+    )
+    return (
+        df.withColumn("__wkey", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__wkey")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    stratum_col: str,
+    id_col: str,
+    weight_sql: str,
+    select_cols: str,
+    k: int,
+    seed: str = "wsample-v1",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_k` (same hash, same
+    micro-collapsed key, same tiebreak)."""
+    h = f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+    u = f"(CAST(('0x' || {h}) AS UBIGINT) / 4294967296.0)"
+    key = (
+        f"CAST(floor(ln({u}) / ({weight_sql}) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    SELECT {select_cols}, sample_rank
+    FROM (
+        SELECT {select_cols},
+               CAST(row_number() OVER (
+                   PARTITION BY {stratum_col}
+                   ORDER BY {key} DESC, {id_col}
+               ) AS INTEGER) AS sample_rank
+        FROM {table}
+        WHERE ({weight_sql}) > 0
+    ) t
+    WHERE sample_rank <= {k}
+    """

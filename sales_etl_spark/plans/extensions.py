@@ -2471,3 +2471,24 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.select("doc_id", "source"),
         "source", "doc_id", _E2E_CAP, seed="cap-v1",
     )
+
+
+@query(
+    "sample_weighted_k",
+    oracle=sampling.weighted_sample_oracle_sql(
+        "documents", "source", "doc_id", "n_chars",
+        "doc_id, source, n_chars", k=10, seed="wsample-v1",
+    ),
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement, 10 docs per
+    source with selection probability ∝ n_chars (longer docs carry
+    more training tokens — the A-ES sampler the mixing family was
+    missing). Deterministic across engines/partitionings: exact-
+    integer uniform draw, micro-collapsed ln-key, id tiebreak
+    (operators/sampling.py weighted_sample_k)."""
+    st = _star(spark, sf_dir)
+    return sampling.weighted_sample_k(
+        st.documents.select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", k=10, seed="wsample-v1",
+    )

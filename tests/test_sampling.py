@@ -207,3 +207,44 @@ def test_repetition_signal_orders_boilerplate_first(spark):
     # all-distinct tokens: every 2-gram unique
     assert out[2].top_gram_count == 1
     assert out[2].repetition_ratio == round(1 / 99, 6)
+
+
+def test_weighted_sample_k_proportionality_and_invariance(spark):
+    """A-ES weighted sampler: (a) deterministic under repartitioning;
+    (b) zero/negative weights never sampled; (c) across many seeds, a
+    10x-heavier item is sampled much more often than a light one
+    (weight-proportionality, the property uniform-k lacks)."""
+    from sales_etl_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "s", 400 if i == 0 else 10) for i in range(30)]
+    rows += [(98, "s", 0), (99, "s", -5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+
+    a = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in weighted_sample_k(df, "source", "doc_id", "w", 5).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in weighted_sample_k(
+            df.repartition(7), "source", "doc_id", "w", 5
+        ).collect()
+    )
+    assert a == b and len(a) == 5
+    assert all(d not in (98, 99) for d, _ in a)
+
+    heavy_hits = light_hits = 0
+    for t in range(40):
+        kept = {
+            r.doc_id
+            for r in weighted_sample_k(
+                df, "source", "doc_id", "w", 5, seed=f"t{t}"
+            ).collect()
+        }
+        heavy_hits += 0 in kept
+        light_hits += 1 in kept
+    # heavy carries 400 of ~690 total weight: inclusion in a k=5 draw
+    # is near-certain (theory ~0.98); a 10-weight item sits ~0.15
+    assert heavy_hits >= 34
+    assert light_hits <= 14
+    assert heavy_hits - light_hits >= 15
