@@ -81,6 +81,17 @@ def cosine_prenorm_rounded(
     )
 
 
+def sq_l2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance as a sequential left fold (deterministic
+    IEEE order — same contract as :func:`dot`). The k-means /
+    nearest-centroid workhorse: monotone in true L2, so argmin over
+    sq_l2 is argmin over L2 with no sqrt in the hot loop."""
+    diffs = F.zip_with(
+        to_double(a), to_double(b), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 # ---------------------------------------------------------------------------
 # int8 quantization (the ANN memory-scale path: 4x smaller vectors)
 # ---------------------------------------------------------------------------

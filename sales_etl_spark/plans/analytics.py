@@ -1,0 +1,306 @@
+"""Deep-analytics flagships + clustering (round-4 extension surface).
+
+Three more TPC-H-shaped marts exercising join/agg patterns the
+registry did not yet demonstrate end-to-end, plus the k-means
+assignment step over the embeddings table:
+
+- Q10-shaped returned-item report: agg-below-join grain rewrite, then
+  a dim join on the (already reduced) aggregate, then TakeOrdered;
+- Q14-shaped promo revenue: conditional decimal aggregation over a
+  fact ⨝ dim join collapsing to ONE row;
+- Q4-shaped late-order priority count: correlated-EXISTS semi-join
+  with a non-equi residual predicate;
+- nearest-centroid assignment: broadcast centroid table, fold-based
+  squared-L2, argmin via row_number — the inner loop of Lloyd's
+  algorithm (and of IVF list assignment in operators/similarity.py).
+
+Reference parity: the reference engine (etl/transform.py) stops at
+group-by marts; these queries are the extension tier SURVEY.md §2.4/
+§2.6 lists as the natural Spark upgrades. Determinism rules are the
+registry's (plans/registry.py docstring): decimal money sums, double
+division only on exact operands, full tiebreakers on any top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sales_etl_spark.functions import vectors
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+#: Exact per-line revenue: DECIMAL(18,2) price x DECIMAL(8,4) discount
+#: complement — exact, order-independent under any partitioning.
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(8,4))"
+)
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+
+
+@query(
+    "flagship_returned_items",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               SUM({_REV_SQL}) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS customer_id,
+           c.c_name AS customer_name,
+           CAST(p.rev AS DOUBLE) AS revenue,
+           c.c_acctbal AS acctbal,
+           n.n_name AS nation
+    FROM per_cust p
+    JOIN customer c ON c.c_custkey = p.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY CAST(p.rev AS DOUBLE) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def flagship_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the 20 customers who
+    returned the most revenue in a quarter.
+
+    Spark-first plan: the textbook Q10 joins customer BEFORE
+    aggregating; here the aggregate runs at o_custkey grain FIRST
+    (lineitem['R'] ⨝ date-pruned orders, one exchange), so the
+    customer dim joins against ≤|active customers| aggregate rows,
+    not |lineitem| fact rows — at 100 TB that's the difference
+    between shuffling the fact with all customer payload columns
+    attached and shuffling it with one key. The fixed 25-row nation
+    dim constant-folds to a literal map (no join), and the final
+    top-20 is TakeOrderedAndProject (no global sort materialization).
+    Tiebreak: unique c_custkey after the double revenue sort."""
+    st = _star(spark, sf_dir)
+    nmap = F.create_map(
+        *[
+            F.lit(x)
+            for r in st.nation.select("n_nationkey", "n_name").collect()
+            for x in (r.n_nationkey, r.n_name)
+        ]
+    )
+    o = st.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = st.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("__rev"))
+    )
+    cust = st.customer.select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("__rev").cast("double").alias("revenue"),
+            F.col("c_acctbal").alias("acctbal"),
+            nmap[F.col("c_nationkey")].alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "customer_id")
+        .limit(20)
+    )
+
+
+@query(
+    "flagship_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE)
+               AS promo_pct,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+               AS promo_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def flagship_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share for one ship month.
+
+    Spark-first plan: part is projected to (key, is-promo boolean)
+    before the join — the only dim payload the query needs — so the
+    join carries one bit, not the part row. At test SF the filtered
+    dim broadcasts (AQE); at 100 TB part is SF-scaled and the planner
+    falls back to a shuffle join on the part key, where map-side
+    partial aggregation collapses each task's output to two decimal
+    sums before the single-row final exchange. Division happens once,
+    on exact decimal sums cast to double — one identical IEEE
+    operation in both engines."""
+    st = _star(spark, sf_dir)
+    li = st.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = st.part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("__is_promo")
+    )
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("__is_promo"), _rev()).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("__promo"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        (
+            (F.lit(100.0) * F.col("__promo")) / F.col("total_revenue")
+        ).alias("promo_pct"),
+        F.col("__promo").alias("promo_revenue"),
+        "total_revenue",
+    )
+
+
+@query(
+    "flagship_late_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def flagship_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority report: orders in a quarter with at
+    least one line shipped >90 days after the order date, counted per
+    priority. (The driver's lineitem has no commit/receipt dates —
+    reference Q4's commitdate<receiptdate becomes a ship-lag
+    predicate; the plan shape is identical.)
+
+    Spark-first plan: LEFT SEMI join — EXISTS never duplicates the
+    probe side, so no post-join dedup is needed, and the build side
+    carries only (l_orderkey, l_shipdate). The non-equi ship-lag
+    predicate rides the equi-join as a residual filter (no theta
+    join). The date window prunes the orders scan; at 100 TB the
+    quarter filter makes orders the small side and AQE broadcasts
+    it, turning the semi-join map-side."""
+    st = _star(spark, sf_dir)
+    o = st.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = st.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("n_late_orders"))
+
+
+#: DuckDB twin of functions.vectors.sq_l2 — identical sequential left
+#: fold over double-cast elements, so the result is bit-identical.
+_SQDIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+_KMEANS_K = 8
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cluster_id, embedding AS cv
+        FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               round({_SQDIST_SQL.format(a='e.embedding', b='c.cv')}, 6)
+                   AS dist_sq
+        FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cluster_id, dist_sq
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist_sq, cluster_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / IVF list
+    assignment): every embedding gets the closest of k=8 deterministic
+    seed centroids (the vec_id<8 vectors) by squared L2.
+
+    Spark-first plan: the k-row centroid table BROADCASTS and the
+    corpus is scored map-side (k fold-multiplies per row, no
+    exchange); argmin is a row_number window over exactly k candidate
+    rows per vector. At 100 TB the corpus is never shuffled for
+    scoring — only the k× candidate stream shuffles for the window,
+    and swapping the window for a min_by-style aggregate on
+    (vec_id) keeps that single exchange at corpus cardinality. The
+    round-to-1e-6 collapses last-ulp fold drift exactly as
+    ann_cosine_topk does; ties break on cluster_id."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("__cv"),
+        )
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(cents).select(
+        "vec_id",
+        "cluster_id",
+        F.round(vectors.sq_l2("embedding", "__cv"), 6).alias("dist_sq"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cluster_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -232,7 +232,11 @@ _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
 #: log-prob normalizer) into every row — Spark plans that scalar
 #: attach as a BroadcastNestedLoopJoin, which is the correct shape
 #: for a 1-row side (it is how scalar subqueries compile too).
-_SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords"}
+#: emb_kmeans_assign broadcasts the CONSTANT-k (=8) centroid table
+#: against the corpus — an intended map-side k-fan-out, not a
+#: data-sized product (the corpus side never shuffles for scoring).
+_SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords",
+                   "emb_kmeans_assign"}
 
 
 def test_every_registered_query_obeys_global_plan_invariants(spark):
