@@ -304,3 +304,133 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _kmeans_score(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Broadcast-centroid argmin (the emb_kmeans_assign inner move,
+    shared by both Lloyd stages)."""
+    scored = e.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cents)
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.round(vectors.sq_l2("embedding", "__cv"), 6).alias("dist_sq"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cluster_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT e.vec_id, c.vec_id AS cluster_id,
+               round({_SQDIST_SQL.format(a='e.embedding',
+                                         b='c.embedding')}, 6) AS d
+        FROM embeddings e
+        JOIN embeddings c ON c.vec_id < {_KMEANS_K}
+    ),
+    a0 AS (
+        SELECT vec_id, cluster_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+              FROM s0)
+        WHERE rn = 1
+    ),
+    q1 AS (
+        SELECT a0.cluster_id, CAST(t.i AS INTEGER) AS dim,
+               SUM(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE)
+                              * 1000000000 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id,
+             unnest(generate_series(1, len(e.embedding))) AS t(i)
+        GROUP BY a0.cluster_id, t.i
+    ),
+    c1 AS (
+        SELECT cluster_id,
+               list(CAST(CAST(floor(CAST(sq AS DOUBLE) / 1000000000 / n
+                                    * 1000000 + 0.5) AS BIGINT)
+                         AS DOUBLE) / 1000000.0
+                    ORDER BY dim) AS cv
+        FROM q1 GROUP BY cluster_id
+    ),
+    s1 AS (
+        SELECT e.vec_id, c.cluster_id,
+               round({_SQDIST_SQL.format(a='e.embedding',
+                                         b='c.cv')}, 6) AS dist_sq
+        FROM embeddings e CROSS JOIN c1 c
+    )
+    SELECT vec_id, cluster_id, dist_sq
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist_sq, cluster_id) AS rn
+          FROM s1)
+    WHERE rn = 1
+    """,
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd k-means iteration, bit-exact across engines:
+    seed-assign (vec_id<8 centroids) → centroid UPDATE → re-assign.
+    The iterative-algorithm pattern SURVEY.md's Spark-first design
+    calls for: per-round state is a k×dim centroid table, so each
+    round is (a) one broadcast map-side scoring pass over the corpus
+    — never shuffled — plus one argmin exchange, and (b) one
+    posexplode partial-agg shuffle on (cluster, dim) whose k×dim
+    result (512 rows here) is the ONLY thing the driver collects —
+    the MLlib execution shape exactly (centroids live on the driver
+    between rounds; the corpus never does).
+
+    Float means are order-dependent, so the update quantizes elements
+    to integer nano-units (order-free long sums, the
+    emb_label_centroids move) and re-quantizes the mean to micro-unit
+    doubles via floor(x*1e6+0.5) — the engine-agnostic rounding the
+    registry mandates — making a 2-round distributed Lloyd agree with
+    single-threaded DuckDB to the bit. Clusters emptied by round 1
+    drop identically in both engines."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings.select("vec_id", "embedding")
+    cents0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("__cv"),
+    )
+    a0 = _kmeans_score(e, cents0).select("vec_id", "cluster_id")
+    micro = (
+        a0.join(e, "vec_id")
+        .select(
+            "cluster_id",
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select(
+            "cluster_id",
+            (F.col("pos") + F.lit(1)).alias("dim"),
+            F.floor(
+                F.col("val").cast("double") * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.floor(
+                F.sum("q").cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.count(F.lit(1))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("m")
+        )
+        .collect()  # k x dim rows (bounded: 8 x 64) — the Lloyd driver state
+    )
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in micro:
+        by_cluster.setdefault(r.cluster_id, {})[r.dim] = r.m
+    cent_rows = [
+        (cid, [dims[d] / 1e6 for d in sorted(dims)])
+        for cid, dims in sorted(by_cluster.items())
+    ]
+    cents1 = spark.createDataFrame(
+        cent_rows, "cluster_id long, __cv array<double>"
+    )
+    return _kmeans_score(e, cents1)

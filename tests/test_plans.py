@@ -236,7 +236,7 @@ _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
 #: against the corpus — an intended map-side k-fan-out, not a
 #: data-sized product (the corpus side never shuffles for scoring).
 _SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords",
-                   "emb_kmeans_assign"}
+                   "emb_kmeans_assign", "emb_kmeans_lloyd"}
 
 
 def test_every_registered_query_obeys_global_plan_invariants(spark):
