@@ -434,3 +434,84 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_rows, "cluster_id long, __cv array<double>"
     )
     return _kmeans_score(e, cents1)
+
+
+_BUCKETS = 8
+
+
+@query(
+    "scan_bucketed_join",
+    oracle="""
+    SELECT l.l_orderkey AS order_id,
+           o.o_orderpriority AS priority,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+)
+def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join, written AND exploited
+    end-to-end: lineitem and orders land as catalog tables bucketed
+    8-ways on the order key (one file per bucket via a matching
+    pre-repartition), then order-grain agg ⨝ orders runs with ZERO
+    exchanges — the bucketed scans already satisfy every distribution
+    requirement (agg keys ⊇ bucket key; join keys = bucket key).
+
+    This is the 100 TB answer to the registry's hottest shuffle: the
+    lineitem⨝orders order-key exchange appears in every mart, and
+    bucketing both tables once at ingest amortizes it across every
+    downstream query forever (partition pruning's sibling: one is
+    scan elision, this is exchange elision). The plan-shape test
+    asserts Exchange-free physical plans; Spark's native bucketing
+    uses the same Murmur3 hash as repartition(), so bucket b holds
+    exactly partition b's rows."""
+    from sales_etl_spark.plans.extensions import _scratch
+
+    base = _scratch("bucketed", sf_dir)
+    st = _star(spark, sf_dir)
+    tag = "".join(
+        ch if ch.isalnum() else "_" for ch in base.name.lower()
+    )
+    tbls = {"lineitem": f"b_li_{tag}", "orders": f"b_o_{tag}"}
+    if not spark.catalog.tableExists(tbls["lineitem"]):
+        (
+            st.lineitem.select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            )
+            .repartition(_BUCKETS, "l_orderkey")
+            .write.mode("overwrite")
+            .option("path", str(base / "lineitem"))
+            .bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(tbls["lineitem"])
+        )
+        (
+            st.orders.select("o_orderkey", "o_orderpriority")
+            .repartition(_BUCKETS, "o_orderkey")
+            .write.mode("overwrite")
+            .option("path", str(base / "orders"))
+            .bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(tbls["orders"])
+        )
+    li = spark.table(tbls["lineitem"])
+    o = spark.table(tbls["orders"])
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.sum(_rev()).cast("double").alias("revenue"),
+    )
+    return per_order.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "total_qty",
+        "revenue",
+    )

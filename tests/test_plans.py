@@ -203,6 +203,30 @@ def test_join_bloom_pruned_injects_runtime_bloom_filter(spark):
     assert "BroadcastHashJoin" not in body
 
 
+def test_bucketed_join_elides_every_shuffle(spark):
+    """scan_bucketed_join: both scans must report Bucketed: true and
+    the plan must contain ZERO shuffle Exchange nodes — the order-key
+    agg and the join both ride the bucket distribution. At sf scale
+    the orders side broadcasts (a broadcast, not a shuffle); in the
+    cluster regime (broadcast disabled) the same catalog tables must
+    produce the co-located SortMergeJoin, still shuffle-free."""
+    plan = _formatted(_build(spark, "scan_bucketed_join"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert body.count("Bucketed: true") >= 1, body
+    assert not re.search(r"\(\d+\) Exchange\b", body), body
+
+    from sales_etl_spark.session import pin_semantics
+
+    iso = pin_semantics(spark.newSession())
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plan2 = _formatted(QUERY_REGISTRY["scan_bucketed_join"].builder(iso, SF))
+    body2 = plan2.split("== Physical Plan ==")[1]
+    assert "SortMergeJoin" in body2, body2
+    assert body2.count("Bucketed: true") == 2, body2
+    assert not re.search(r"\(\d+\) Exchange\b", body2), body2
+    assert "BroadcastExchange" not in body2, body2
+
+
 def test_local_volume_constant_folds_nation_region(spark):
     """flagship_local_volume: the ASIA nationkey IN-list must reach
     BOTH the supplier and customer parquet scans (the folded
