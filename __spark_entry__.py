@@ -26,16 +26,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 17 new queries, the floor-micro
-# rewrites of text_lm_score / text_tfidf_keywords, the keys under the
-# customers-dim fold / upsert tiebreak / token-budget filter), then
-# high-traffic r03-green keys. Three r02-cohort set/semi-join keys
-# (set_union_except, set_intersect, join_semi_anti — unchanged since
-# r1, re-verified bit-exact in all three full local sweeps this
-# round) yield their slots to the changed text queries and the new
-# weighted sampler: a changed or new query's hard signal outranks an
-# untouched one's rotation turn. No-oracle queries (rows-only check;
-# recall-tested in tests/) go last.
+# key round 4 ADDED or CHANGED (the 23 new queries — 17 early-round
+# plus the TPC-H-shaped quartet, k-means pair, and bucketed join —
+# and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
+# the keys under the customers-dim fold / upsert tiebreak /
+# token-budget filter), then high-traffic r03-green keys. A new or
+# changed query's hard signal outranks an untouched one's rotation
+# turn, so nine r02-cohort keys yield their slots — three set/semi
+# keys early in the round, and six family-redundant ones late
+# (scan_jsonl/scan_orc beside scan_csv, window_lag_delta beside
+# window_running_sum, agg_rollup beside the r03-green cube/grouping
+# sets, emb_norm_stats beside the vector tier, text_fingerprint
+# beside the text tier) — every demoted key unchanged since r1/r2 and
+# re-verified bit-exact in this session's full local sweeps.
+# No-oracle queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_count_distinct",
@@ -45,16 +49,12 @@ _SWEEP_FIRST = [
     "topk_product_ranking",
     "upsert_last_wins",
     "window_running_sum",
-    "window_lag_delta",
-    "agg_rollup",
     "text_stats",
     "text_lang_id",
-    "text_fingerprint",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_cosine_topk",
-    "emb_norm_stats",
     "multimodal_features",
     "multimodal_frames",
     "events_json_extract",
@@ -64,8 +64,6 @@ _SWEEP_FIRST = [
     "scan_csv",
     "sink_roundtrip",
     "agg_salted_skew",
-    "scan_jsonl",
-    "scan_orc",
     "text_quality_filter",
     "join_salted_skew",
     # -- new in round 4 ----------------------------------------------
@@ -86,6 +84,12 @@ _SWEEP_FIRST = [
     "text_lm_score",
     "text_tfidf_keywords",
     "sample_weighted_k",
+    "flagship_returned_items",
+    "flagship_promo_revenue",
+    "flagship_late_orders",
+    "emb_kmeans_assign",
+    "emb_kmeans_lloyd",
+    "scan_bucketed_join",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",
