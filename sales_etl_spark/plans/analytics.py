@@ -436,6 +436,100 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_score(e, cents1)
 
 
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH ltv AS (
+        SELECT o_custkey AS customer_id,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS lifetime_value
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT customer_id, lifetime_value,
+           CAST(ntile(4) OVER (
+               ORDER BY lifetime_value DESC, customer_id
+           ) AS INTEGER) AS quartile
+    FROM ltv
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value quartiles: decimal-exact per-customer
+    spend, then ntile(4) over the global value order — the RFM-style
+    segmentation mart. ntile is SQL-standard (first ``n mod 4``
+    buckets get the extra row) so both engines agree exactly; the
+    unique customer_id tiebreak makes the global order total.
+
+    Scale note: a global ntile is a single-partition window — fine
+    for |customers| aggregate rows (the window input is POST-agg),
+    wrong on a raw fact. At 100 TB swap ntile for percent_rank
+    computed from a 2-pass count, or interpolate against an
+    approx-quantile sketch, if even the aggregate outgrows one task."""
+    st = _star(spark, sf_dir)
+    ltv = st.orders.groupBy(
+        F.col("o_custkey").alias("customer_id")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("lifetime_value")
+    )
+    w = Window.orderBy(F.desc("lifetime_value"), "customer_id")
+    return ltv.select(
+        "customer_id",
+        "lifetime_value",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+#: Fixed histogram spec for order totals: 12 x 50k buckets, overflow
+#: clamped into the last bucket. Literal bounds — no extra min/max
+#: pass, and floor(x / width) is one identical IEEE op per engine.
+_HIST_WIDTH = 50_000.0
+_HIST_BUCKETS = 12
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / {_HIST_WIDTH}),
+                      {_HIST_BUCKETS - 1}) AS INTEGER) AS bucket,
+           CAST(least(floor(o_totalprice / {_HIST_WIDTH}),
+                      {_HIST_BUCKETS - 1}) * {_HIST_WIDTH} AS DOUBLE)
+               AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS bucket_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (the data-profiling
+    companion to agg_stats): bucket index via one floor-divide,
+    overflow clamped to the last bucket, per-bucket count + exact
+    decimal mass. Map-side combine reduces every task to ≤12 rows
+    before the single tiny exchange — the cheapest possible
+    distribution profile of a 100 TB column."""
+    st = _star(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_HIST_WIDTH)),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        st.orders.select(
+            bucket.cast("int").alias("bucket"),
+            (bucket * F.lit(_HIST_WIDTH)).cast("double").alias("bucket_lo"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_total"),
+        )
+    )
+
+
 _BUCKETS = 8
 
 
