@@ -480,6 +480,85 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_ewma_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           make_timestamp(a.h * 3600000000) AS hour,
+           a.n_events,
+           CAST(SUM(CAST(b.n_events AS DOUBLE)
+                    / CAST(1::BIGINT << CAST(a.h - b.h AS INTEGER)
+                           AS DOUBLE)) AS DOUBLE) AS ewma
+    FROM hourly a
+    JOIN hourly b
+      ON b.event_type = a.event_type
+     AND b.h BETWEEN a.h - 23 AND a.h
+    GROUP BY a.event_type, a.h, a.n_events
+    """,
+)
+def events_ewma_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing event rate per type: each hour's
+    score sums the trailing 24 hourly counts weighted by 2^-(hour
+    gap) — the recency-weighted complement to events_rate_anomaly's
+    uniform baseline, with TRUE hour distance (absent hours decay the
+    weight; a count 5 silent hours ago contributes c/32).
+
+    Why alpha = 1/2 exactly: every weight is a dyadic rational
+    (1 << gap is an exact long; one double divide per term is exact),
+    so every term is an exact multiple of 2^-23 and bounded sums of
+    them are EXACT in IEEE double regardless of order — a decayed
+    float aggregate that is bit-identical distributed vs
+    single-threaded, with no quantization step and no pow() (libm
+    pow is not cross-engine correctly-rounded; shiftleft is).
+
+    Scale shape: the raw stream collapses to (type, hour) grain in
+    one partial-aggregated exchange; the 24x self range-join runs on
+    post-agg |types|x|hours| rows — negligible at any corpus size."""
+    st = _star(spark, sf_dir)
+    hourly = (
+        st.events.select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    a = hourly
+    b = hourly.select(
+        F.col("event_type").alias("__bt"),
+        F.col("h").alias("__bh"),
+        F.col("n_events").alias("__bn"),
+    )
+    term = F.col("__bn").cast("double") / F.expr(
+        "CAST(shiftleft(1L, CAST(h - __bh AS INT)) AS DOUBLE)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("__bt") == F.col("event_type"))
+            & F.col("__bh").between(F.col("h") - F.lit(23), F.col("h")),
+        )
+        .groupBy("event_type", "h", "n_events")
+        .agg(F.sum(term).alias("ewma"))
+        .select(
+            "event_type",
+            F.timestamp_micros(
+                F.col("h") * F.lit(3_600_000_000)
+            ).cast("timestamp_ntz").alias("hour"),
+            "n_events",
+            "ewma",
+        )
+    )
+
+
 #: Fixed histogram spec for order totals: 12 x 50k buckets, overflow
 #: clamped into the last bucket. Literal bounds — no extra min/max
 #: pass, and floor(x / width) is one identical IEEE op per engine.
