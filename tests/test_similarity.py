@@ -161,3 +161,30 @@ def test_label_centroids_match_numpy(spark):
             n_vecs, centroid = got[(label, d + 1)]
             assert n_vecs == len(qs)
             assert abs(centroid - round(m[d] / 1e9 / len(qs), 6)) < 1e-12
+
+
+def test_kmeans_lloyd_improves_inertia_and_matches_numpy_assign(spark):
+    """The Lloyd round must not worsen total inertia (mean distance to
+    the assigned centroid), and the seed assignment must agree with a
+    numpy argmin over the same k seed vectors."""
+    import numpy as np
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    a0 = QUERY_REGISTRY["emb_kmeans_assign"].builder(spark, SF_DIR).collect()
+    a1 = QUERY_REGISTRY["emb_kmeans_lloyd"].builder(spark, SF_DIR).collect()
+    assert len(a0) == len(a1)
+
+    inertia0 = sum(r.dist_sq for r in a0)
+    inertia1 = sum(r.dist_sq for r in a1)
+    # one update step can only tighten (or hold) the k-means objective,
+    # up to the 1e-6 per-row quantization both stages share
+    assert inertia1 <= inertia0 + 1e-5 * len(a0)
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in vecs}
+    cents = {cid: emb[cid] for cid in range(8)}
+    for r in a0:
+        d = {c: float(np.sum((emb[r.vec_id] - cv) ** 2)) for c, cv in cents.items()}
+        best = min(d, key=lambda c: (round(d[c], 6), c))
+        assert r.cluster_id == best, (r.vec_id, r.cluster_id, best)
