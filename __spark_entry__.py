@@ -26,8 +26,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 23 new queries — 17 early-round
-# plus the TPC-H-shaped quartet, k-means pair, and bucketed join —
+# key round 4 ADDED or CHANGED (the 26 new queries — 17 early-round
+# plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
+# histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
 # the keys under the customers-dim fold / upsert tiebreak /
 # token-budget filter), then high-traffic r03-green keys. A new or
@@ -37,8 +38,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (scan_jsonl/scan_orc beside scan_csv, window_lag_delta beside
 # window_running_sum, agg_rollup beside the r03-green cube/grouping
 # sets, emb_norm_stats beside the vector tier, text_fingerprint
-# beside the text tier) — every demoted key unchanged since r1/r2 and
-# re-verified bit-exact in this session's full local sweeps.
+# beside the text tier, then events_window_sliding beside tumbling/
+# session, multimodal_frames beside multimodal_features, and
+# text_lang_id beside text_stats/text_quality_filter) — every demoted
+# key unchanged since r1/r2 and re-verified bit-exact in this
+# session's full local sweeps.
 # No-oracle queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
@@ -50,16 +54,13 @@ _SWEEP_FIRST = [
     "upsert_last_wins",
     "window_running_sum",
     "text_stats",
-    "text_lang_id",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_cosine_topk",
     "multimodal_features",
-    "multimodal_frames",
     "events_json_extract",
     "events_window_tumbling",
-    "events_window_sliding",
     "events_session_window",
     "scan_csv",
     "sink_roundtrip",
@@ -90,6 +91,9 @@ _SWEEP_FIRST = [
     "emb_kmeans_assign",
     "emb_kmeans_lloyd",
     "scan_bucketed_join",
+    "window_ntile_quartiles",
+    "agg_histogram",
+    "events_ewma_rate",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

@@ -66,6 +66,13 @@ HEADLINE = [
     "events_cohort_retention",
     "flagship_local_volume",
     "corpus_overlap_matrix",
+    # round-4 late: broadcast-centroid scoring + agg-below-join top-k
+    # (emb_kmeans_assign, not _lloyd: the Lloyd builder runs its
+    # centroid-update jobs eagerly at plan build, which the memoized
+    # warm-up would absorb — timing only its final pass would
+    # under-report; the assign query IS that measured pass shape)
+    "emb_kmeans_assign",
+    "flagship_returned_items",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).
