@@ -616,3 +616,65 @@ def test_stateful_funnel_tws_converges_to_batch(spark, events_dir):
     if not transform_with_state_available():
         pytest.skip("transformWithStateInPandas needs google.protobuf")
     _run_stateful_funnel(spark, events_dir, funnel_stream, "funnel_tws")
+
+
+def test_stream_kmeans_scoring_equals_batch(spark, tmp_path):
+    """Model-serving twin: nearest-centroid scoring of an embedding
+    STREAM (broadcast constant-k centroid table, argmin as a
+    min(struct) aggregate — streaming plans take no window functions,
+    and min-of-struct is the order-free argmin that needs no
+    watermark semantics) must equal the batch emb_kmeans_assign
+    query row for row."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.functions import vectors
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.plans.analytics import _KMEANS_K
+
+    emb = load_star(spark, SF_DIR).table("embeddings")
+    path = str(tmp_path / "emb_stream")
+    emb.repartition(3).write.mode("overwrite").parquet(path)
+
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("__cv"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .parquet(path)
+        .select("vec_id", "embedding")
+        .crossJoin(cents)
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(vectors.sq_l2("embedding", "__cv"), 6).alias("dist_sq"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist_sq", "cluster_id")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.dist_sq").alias("dist_sq"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kmeans_scoring_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r.vec_id, r.cluster_id, r.dist_sq)
+        for r in spark.sql("SELECT * FROM kmeans_scoring_test").collect()
+    }
+    batch = {
+        (r.vec_id, r.cluster_id, r.dist_sq)
+        for r in QUERY_REGISTRY["emb_kmeans_assign"].builder(spark, SF_DIR).collect()
+    }
+    assert got == batch
