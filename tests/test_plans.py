@@ -203,6 +203,44 @@ def test_join_bloom_pruned_injects_runtime_bloom_filter(spark):
     assert "BroadcastHashJoin" not in body
 
 
+def test_returned_items_aggregates_below_the_dim_join(spark):
+    """flagship_returned_items: the o_custkey-grain aggregate must sit
+    BELOW the customer join (the dim joins aggregate rows, not fact
+    rows), the returnflag filter must reach the lineitem scan, and the
+    top-20 must compile to TakeOrderedAndProject."""
+    plan = _formatted(_build(spark, "flagship_returned_items"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "TakeOrderedAndProject" in body
+    # the aggregate node must appear before any join mentioning c_name
+    agg_pos = body.find("HashAggregate")
+    join_pos = body.find("c_name")
+    assert 0 < agg_pos < join_pos, (agg_pos, join_pos)
+    m = re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
+    assert m, plan
+
+
+def test_late_orders_is_a_semi_join(spark):
+    """flagship_late_orders: EXISTS must compile to LeftSemi with the
+    ship-lag predicate as a join residual (no theta/nested-loop), and
+    the quarter filter must reach the orders scan."""
+    plan = _formatted(_build(spark, "flagship_late_orders"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "LeftSemi" in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
+
+
+def test_ewma_contains_no_pow_and_one_fact_exchange(spark):
+    """events_ewma_rate: the decay weight must be shiftleft-based (no
+    libm pow anywhere in the plan) and the raw events scan must feed
+    exactly one aggregation exchange (the (type, hour) collapse);
+    everything after runs on post-agg rows."""
+    plan = _formatted(_build(spark, "events_ewma_rate"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "POWER" not in body.upper().replace("SHIFTLEFT", "")
+    assert "shiftleft" in body
+
+
 def test_bucketed_join_elides_every_shuffle(spark):
     """scan_bucketed_join: both scans must report Bucketed: true and
     the plan must contain ZERO shuffle Exchange nodes — the order-key
