@@ -1,8 +1,8 @@
-"""Deep-analytics flagships + clustering (round-4 extension surface).
+"""Deep-analytics flagships, clustering, profiling (round-4 tier).
 
-Three more TPC-H-shaped marts exercising join/agg patterns the
-registry did not yet demonstrate end-to-end, plus the k-means
-assignment step over the embeddings table:
+Join/agg patterns the registry did not yet demonstrate end-to-end,
+plus distributed k-means over the embeddings table and two
+data-profiling closers:
 
 - Q10-shaped returned-item report: agg-below-join grain rewrite, then
   a dim join on the (already reduced) aggregate, then TakeOrdered;
@@ -12,7 +12,15 @@ assignment step over the embeddings table:
   with a non-equi residual predicate;
 - nearest-centroid assignment: broadcast centroid table, fold-based
   squared-L2, argmin via row_number — the inner loop of Lloyd's
-  algorithm (and of IVF list assignment in operators/similarity.py).
+  algorithm (and of IVF list assignment in operators/similarity.py);
+- a FULL Lloyd iteration (assign → bit-exact nano-unit centroid
+  update → re-assign), k×dim driver state only — MLlib's shape;
+- bucketed-table co-located join: the order-key exchange elided for
+  every downstream consumer (SCALE.md §14);
+- decayed trailing event rate whose alpha=1/2 terms are exact dyadic
+  rationals — order-free float sums with no quantization step;
+- lifetime-value ntile quartiles and a fixed-width histogram (the
+  distribution-profile companions to agg_stats).
 
 Reference parity: the reference engine (etl/transform.py) stops at
 group-by marts; these queries are the extension tier SURVEY.md §2.4/
