@@ -290,3 +290,29 @@ def product_ranking_grained(
         .select("product_id", "product_name", "total_sold", "total_revenue")
     )
     return _rank_tail(ranking, top_n)
+
+
+def merge_marts(
+    parts: list[DataFrame],
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Algebraic mart merge: same-schema PARTIAL marts (each a group-by
+    over a disjoint slice of the fact) combine by re-summing their
+    mergeable accumulators — counts and exact (decimal/long) sums.
+    Derived ratios (averages, shares) must NOT be merged; recompute
+    them from the merged accumulators at the output boundary.
+
+    This is the 100 TB refresh story for every mart in the registry:
+    a daily load aggregates ONLY its delta (O(delta) work), then
+    merges with the stored mart (O(mart) work, post-agg cardinality)
+    instead of re-scanning the full fact — valid precisely because
+    every accumulator the marts carry is chosen mergeable (the same
+    property that makes Spark's own partial aggregation correct).
+    """
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -617,6 +617,76 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Incremental-refresh cutover: rows before this date are the "stored
+#: base mart"; rows at/after it are the arriving delta batch.
+_REFRESH_CUT = "1999-01-01"
+
+
+@query(
+    "mart_incremental_refresh",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_order_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def mart_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mart refresh ≡ full recompute, proven as a query:
+    the (status, month) order mart is computed as a BASE slice
+    (orders before the cutover — standing in for the stored mart a
+    real deployment reads back, not recomputes) merged with the DELTA
+    slice via operators.aggregates.merge_marts, and the oracle is the
+    flat full-table aggregation. Exact-decimal accumulators make the
+    two-level aggregation tree equal the one-level one bit-for-bit;
+    the derived average recomputes from merged accumulators at the
+    output boundary (ratios don't merge — sums do).
+
+    At 100 TB this is the difference between a daily refresh that
+    costs O(delta) + O(mart) and one that re-scans the fact: the same
+    mergeability property Spark's partial aggregation relies on,
+    surfaced as the ingest contract for every mart in the registry."""
+    from sales_etl_spark.operators.aggregates import merge_marts
+
+    st = _star(spark, sf_dir)
+    cut = F.lit(_REFRESH_CUT).cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("o_orderstatus").alias("status"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("__t"),
+            )
+            .groupBy("status", "month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("__t").alias("__total"),
+            )
+        )
+
+    base = partial(st.orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(st.orders.filter(F.col("o_orderdate") >= cut))
+    merged = merge_marts(
+        [base, delta], keys=["status", "month"],
+        sum_cols=["n_orders", "__total"],
+    )
+    return merged.select(
+        "status",
+        "month",
+        "n_orders",
+        F.col("__total").cast("double").alias("total_price"),
+        (
+            F.col("__total").cast("double") / F.col("n_orders")
+        ).cast("double").alias("avg_order_value"),
+    )
+
+
 _BUCKETS = 8
 
 

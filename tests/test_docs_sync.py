@@ -25,7 +25,7 @@ def test_survey_section8_lists_every_registry_key():
 
 def test_survey_registry_counts_match():
     text = (REPO / "SURVEY.md").read_text()
-    m = re.search(r"Registry: (\d+) queries,\s*(\d+)\s*oracle-backed", text)
+    m = re.search(r"Registry:\s*(\d+) queries,\s*(\d+)\s*oracle-backed", text)
     assert m, "SURVEY.md registry count sentence missing"
     n_oracle = sum(1 for n in QUERY_REGISTRY if QUERY_REGISTRY[n].oracle)
     assert (int(m.group(1)), int(m.group(2))) == (len(QUERY_REGISTRY), n_oracle)
