@@ -284,51 +284,94 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment): every embedding gets the closest of k=8 deterministic
     seed centroids (the vec_id<8 vectors) by squared L2.
 
-    Spark-first plan: the k-row centroid table BROADCASTS and the
-    corpus is scored map-side (k fold-multiplies per row, no
-    exchange); argmin is a row_number window over exactly k candidate
-    rows per vector. At 100 TB the corpus is never shuffled for
-    scoring — only the k× candidate stream shuffles for the window,
-    and swapping the window for a min_by-style aggregate on
-    (vec_id) keeps that single exchange at corpus cardinality. The
-    round-to-1e-6 collapses last-ulp fold drift exactly as
-    ann_cosine_topk does; ties break on cluster_id."""
+    Spark-first plan: MAP-ONLY. The k centroids enter the plan as a
+    literal struct array (collected once — bounded at k rows, the
+    driver state Lloyd's algorithm is about) and each row scores all
+    k and takes the argmin inside ONE projection (transform fold +
+    array_min over (dist_sq, cid) structs) — zero joins, zero
+    exchanges, zero windows; at 100 TB the pass runs at scan speed,
+    where a crossJoin+row_number formulation would shuffle the k×N
+    candidate stream. The round-to-1e-6 collapses last-ulp fold
+    drift exactly as ann_cosine_topk does; struct ordering breaks
+    ties on cluster_id exactly like the oracle's ORDER BY."""
     st = _star(spark, sf_dir)
     e = st.embeddings
-    cents = F.broadcast(
+    seeds = _collect_centroids(
         e.filter(F.col("vec_id") < _KMEANS_K).select(
             F.col("vec_id").alias("cluster_id"),
-            F.col("embedding").alias("__cv"),
+            F.col("embedding").alias("cv"),
         )
     )
-    scored = e.select("vec_id", "embedding").crossJoin(cents).select(
-        "vec_id",
-        "cluster_id",
-        F.round(vectors.sq_l2("embedding", "__cv"), 6).alias("dist_sq"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cluster_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return _kmeans_score(e.select("vec_id", "embedding"), seeds)
+
+
+def _collect_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a (cluster_id, vector) frame into sorted driver state —
+    bounded at k rows, the one collect Lloyd's algorithm is ABOUT
+    (centroids live on the driver between rounds; the corpus never
+    does). Float elements widen to Python doubles exactly."""
+    return sorted(
+        (r.cluster_id, [float(x) for x in r.cv]) for r in df.collect()
     )
 
 
-def _kmeans_score(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Broadcast-centroid argmin (the emb_kmeans_assign inner move,
-    shared by both Lloyd stages)."""
-    scored = e.select("vec_id", "embedding").crossJoin(
-        F.broadcast(cents)
-    ).select(
+def _kmeans_score(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """MAP-ONLY nearest-centroid argmin: the k centroids enter the
+    plan as a literal array of (cid, vector) structs, each row scores
+    all k inside one projection (transform → fold), and array_min
+    over (dist_sq, cid) structs is the argmin — Spark's struct
+    ordering is field-wise, so ties break on cid exactly like the
+    oracle's ORDER BY dist_sq, cluster_id. ZERO joins, ZERO
+    exchanges, no window: at 100 TB the scoring pass is embarrassingly
+    parallel scan-speed work (the shuffle-free shape the plan test
+    locks), vs the k×N candidate shuffle a crossJoin+row_number
+    formulation pays."""
+    best = _kmeans_argmin(cents)
+    return e.select(
         "vec_id",
-        "cluster_id",
-        F.round(vectors.sq_l2("embedding", "__cv"), 6).alias("dist_sq"),
+        best["cluster_id"].alias("cluster_id"),
+        best["dist_sq"].alias("dist_sq"),
     )
-    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cluster_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+
+
+def _kmeans_argmin(cents: list[tuple[int, list[float]]]):
+    """The literal-centroid argmin struct expression over the row's
+    ``embedding`` column (see :func:`_kmeans_score`)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(v) for v in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda c: F.struct(
+                F.round(
+                    vectors.sq_l2(F.col("embedding"), c["cv"]), 6
+                ).alias("dist_sq"),
+                c["cid"].alias("cluster_id"),
+            ),
+        )
+    )
+
+
+def _kmeans_score_with_vec(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Map-only scoring that KEEPS the embedding column beside the
+    assignment — the Lloyd update path (no corpus self-join)."""
+    best = _kmeans_argmin(cents)
+    return e.select(
+        "vec_id",
+        "embedding",
+        best["cluster_id"].alias("cluster_id"),
+        best["dist_sq"].alias("dist_sq"),
     )
 
 
@@ -384,12 +427,15 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-assign (vec_id<8 centroids) → centroid UPDATE → re-assign.
     The iterative-algorithm pattern SURVEY.md's Spark-first design
     calls for: per-round state is a k×dim centroid table, so each
-    round is (a) one broadcast map-side scoring pass over the corpus
-    — never shuffled — plus one argmin exchange, and (b) one
+    round is (a) one MAP-ONLY scoring pass over the corpus (literal
+    centroids + in-row argmin, see _kmeans_score — no join, no
+    exchange, no window; the assignment keeps the embedding beside
+    it, so the update needs no corpus self-join either), and (b) one
     posexplode partial-agg shuffle on (cluster, dim) whose k×dim
     result (512 rows here) is the ONLY thing the driver collects —
     the MLlib execution shape exactly (centroids live on the driver
-    between rounds; the corpus never does).
+    between rounds; the corpus never does). The whole iteration costs
+    exactly ONE exchange, on k×dim post-agg rows.
 
     Float means are order-dependent, so the update quantizes elements
     to integer nano-units (order-free long sums, the
@@ -400,14 +446,17 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop identically in both engines."""
     st = _star(spark, sf_dir)
     e = st.embeddings.select("vec_id", "embedding")
-    cents0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.col("embedding").alias("__cv"),
+    seeds = _collect_centroids(
+        e.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("cv"),
+        )
     )
-    a0 = _kmeans_score(e, cents0).select("vec_id", "cluster_id")
+    # map-only scoring keeps the embedding beside its assignment, so
+    # the centroid update needs NO join back to the corpus
+    scored0 = _kmeans_score_with_vec(e, seeds)
     micro = (
-        a0.join(e, "vec_id")
-        .select(
+        scored0.select(
             "cluster_id",
             F.posexplode("embedding").alias("pos", "val"),
         )
@@ -434,13 +483,10 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_cluster: dict[int, dict[int, int]] = {}
     for r in micro:
         by_cluster.setdefault(r.cluster_id, {})[r.dim] = r.m
-    cent_rows = [
+    cents1 = [
         (cid, [dims[d] / 1e6 for d in sorted(dims)])
         for cid, dims in sorted(by_cluster.items())
     ]
-    cents1 = spark.createDataFrame(
-        cent_rows, "cluster_id long, __cv array<double>"
-    )
     return _kmeans_score(e, cents1)
 
 

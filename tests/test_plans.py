@@ -203,6 +203,17 @@ def test_join_bloom_pruned_injects_runtime_bloom_filter(spark):
     assert "BroadcastHashJoin" not in body
 
 
+def test_kmeans_assignment_is_map_only(spark):
+    """emb_kmeans_assign: literal-centroid in-row argmin — the plan
+    must contain NO exchange, NO join, and NO window of any kind
+    (scan → project, full stop)."""
+    plan = _formatted(_build(spark, "emb_kmeans_assign"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in body, body
+    assert "Join" not in body, body
+    assert "Window" not in body, body
+
+
 def test_returned_items_aggregates_below_the_dim_join(spark):
     """flagship_returned_items: the o_custkey-grain aggregate must sit
     BELOW the customer join (the dim joins aggregate rows, not fact
@@ -294,11 +305,7 @@ _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
 #: log-prob normalizer) into every row — Spark plans that scalar
 #: attach as a BroadcastNestedLoopJoin, which is the correct shape
 #: for a 1-row side (it is how scalar subqueries compile too).
-#: emb_kmeans_assign broadcasts the CONSTANT-k (=8) centroid table
-#: against the corpus — an intended map-side k-fan-out, not a
-#: data-sized product (the corpus side never shuffles for scoring).
-_SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords",
-                   "emb_kmeans_assign", "emb_kmeans_lloyd"}
+_SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords"}
 
 
 def test_every_registered_query_obeys_global_plan_invariants(spark):
