@@ -26,7 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 27 new queries — 17 early-round
+# key round 4 ADDED or CHANGED (the 28 new queries — 17 early-round
 # plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
 # histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
@@ -41,13 +41,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # beside the text tier, then events_window_sliding beside tumbling/
 # session, multimodal_frames beside multimodal_features, and
 # text_lang_id beside text_stats/text_quality_filter, agg_salted_skew
-# beside the round-4-changed join_salted_skew) — every demoted
+# beside the round-4-changed join_salted_skew, agg_count_distinct
+# beside the distinct-order machinery inside agg_avg_check_by_region)
+# — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps.
 # No-oracle queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
-    "agg_count_distinct",
     "agg_order_totals",
     "agg_avg_check_by_region",
     "join_left_region",
@@ -95,6 +96,7 @@ _SWEEP_FIRST = [
     "agg_histogram",
     "events_ewma_rate",
     "mart_incremental_refresh",
+    "text_hash_features",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

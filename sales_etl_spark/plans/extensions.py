@@ -2492,3 +2492,73 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.documents.select("doc_id", "source", "n_chars"),
         "source", "doc_id", "n_chars", k=10, seed="wsample-v1",
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing-trick bag of words)
+# ---------------------------------------------------------------------------
+
+#: Hashing-vectorizer spec: 64 buckets, md5-based (the one hash both
+#: engines compute bit-identically; see the classifier/sampler family).
+_HF_SEED = "hf-v1"
+_HF_DIM = 64
+
+
+@query(
+    "text_hash_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(b AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('{_HF_SEED}:' || t), 1, 8)
+                    AS BIGINT) % {_HF_DIM} AS b
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+              FROM documents) u
+    ) s
+    GROUP BY doc_id, b
+    """,
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (sparse): each token md5-hashes into
+    one of 64 buckets and the doc's feature vector is the per-bucket
+    count, emitted sparse as (doc_id, bucket, n) — the vocabularyless
+    featurization classic (no dictionary to build, broadcast, or keep
+    consistent across 100 TB of shards).
+
+    Spark-first plan: MAP-ONLY. One md5 per token builds the bucket
+    list, an in-row fold accumulates the 64-slot count array, and
+    posexplode + filter emits the sparse pairs — no explode-then-
+    groupBy exchange of the token stream (the right trade at dim=64;
+    for dims ≫ tokens-per-doc the explode + partial-agg shuffle wins
+    and this plan should flip). Counting is order-free integer work,
+    so the map-side fold and the oracle's flat GROUP BY agree
+    exactly."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    bucket = lambda t: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_HF_SEED + ":"), t)), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % _HF_DIM
+    )
+    buckets = F.transform(toks, bucket)
+    counts = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0).cast("long"), _HF_DIM),
+        lambda acc, b: F.transform(
+            acc,
+            lambda c, i: F.when(i.cast("long") == b, c + 1).otherwise(c),
+        ),
+    )
+    return (
+        st.documents.select("doc_id", counts.alias("__c"))
+        .select("doc_id", F.posexplode("__c").alias("bucket", "n"))
+        .filter(F.col("n") > 0)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "n")
+    )
