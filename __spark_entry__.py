@@ -26,7 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 28 new queries — 17 early-round
+# key round 4 ADDED or CHANGED (the 29 new queries — 17 early-round
 # plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
 # histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
@@ -42,7 +42,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # session, multimodal_frames beside multimodal_features, and
 # text_lang_id beside text_stats/text_quality_filter, agg_salted_skew
 # beside the round-4-changed join_salted_skew, agg_count_distinct
-# beside the distinct-order machinery inside agg_avg_check_by_region)
+# beside the distinct-order machinery inside agg_avg_check_by_region,
+# dedup_embedding_pairs as the fenced verification-scale tier whose
+# production twin is recall-tested)
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps.
@@ -58,7 +60,6 @@ _SWEEP_FIRST = [
     "text_stats",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
     "ann_cosine_topk",
     "multimodal_features",
     "events_json_extract",
@@ -97,6 +98,7 @@ _SWEEP_FIRST = [
     "events_ewma_rate",
     "mart_incremental_refresh",
     "text_hash_features",
+    "events_rolling_active_users",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

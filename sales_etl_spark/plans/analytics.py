@@ -663,6 +663,71 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM user_days)
+    SELECT make_timestamp(d.day * 86400000000) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d
+    JOIN user_days u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the windowed-DISTINCT
+    metric (WAU) that plain sliding-window sums cannot express
+    (distinct does not decompose over overlapping windows).
+
+    Spark-first plan: the raw stream first collapses to the DISTINCT
+    (user, day) grain — one exchange doing all the heavy lifting,
+    after which a user active 20× a day is one row. Each (user, day)
+    then EXPLODES into the 7 window-days it contributes to (a
+    generate, not a range join — a day-vs-user-days theta join would
+    plan as a nested-loop product) and an equi-join against the
+    observed-day list (broadcast; |days| rows) drops windows that
+    never happened, before the final count-distinct per window day on
+    post-agg rows. At 100 TB the upgrade path is a per-day HLL sketch
+    union-merged over the trailing window (agg_approx_distinct's
+    machinery) when exactness can yield; this query is the exact
+    tier."""
+    st = _star(spark, sf_dir)
+    user_days = (
+        st.events.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    days = user_days.select("day").distinct()
+    contrib = user_days.select(
+        F.col("user_id").alias("__uid"),
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("__wday"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days), F.col("__wday") == F.col("day")
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("__uid").alias("active_7d"))
+        .select(
+            F.timestamp_micros(
+                F.col("day") * F.lit(86_400_000_000)
+            ).cast("timestamp_ntz").alias("day"),
+            "active_7d",
+        )
+    )
+
+
 #: Incremental-refresh cutover: rows before this date are the "stored
 #: base mart"; rows at/after it are the arriving delta batch.
 _REFRESH_CUT = "1999-01-01"
