@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--list-queries", action="store_true",
         help="list registered query names and exit",
     )
+    p.add_argument(
+        "--explain", action="store_true",
+        help="with --query: print the formatted physical plan "
+        "instead of executing (scan pruning, exchanges, join "
+        "strategies — the scale story of the query, inspectable)",
+    )
     return p
 
 
@@ -92,6 +98,13 @@ def run_query(args) -> int:
         return 1
     spark = get_spark("sales-etl-spark-cli", master=args.master)
     df = QUERY_REGISTRY[args.query].builder(spark, args.sf_dir)
+    if args.explain:
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return 0
     if args.output_dir:
         from sales_etl_spark import load as sinks
 

@@ -106,3 +106,17 @@ def test_cli_end_to_end_lake_sink(spark, tmp_path):
     assert lake.versions(t) == [0, 1]
     assert lake.read_table(spark, t).count() == 3
     assert lake.read_table(spark, t, 0).count() == 3
+
+
+def test_cli_explain_prints_plan(capsys):
+    from sales_etl_spark.__main__ import main
+
+    rc = main([
+        "--query", "agg_histogram",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--explain",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== Physical Plan ==" in out
+    assert "HashAggregate" in out
