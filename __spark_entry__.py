@@ -26,7 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 29 new queries — 17 early-round
+# key round 4 ADDED or CHANGED (the 30 new queries — 17 early-round
 # plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
 # histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
@@ -44,14 +44,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # beside the round-4-changed join_salted_skew, agg_count_distinct
 # beside the distinct-order machinery inside agg_avg_check_by_region,
 # dedup_embedding_pairs as the fenced verification-scale tier whose
-# production twin is recall-tested)
+# production twin is recall-tested, agg_order_totals beside the same
+# order-grain machinery inside the in-window avg-check mart)
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps.
 # No-oracle queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
-    "agg_order_totals",
     "agg_avg_check_by_region",
     "join_left_region",
     "topk_product_ranking",
@@ -99,6 +99,7 @@ _SWEEP_FIRST = [
     "mart_incremental_refresh",
     "text_hash_features",
     "events_rolling_active_users",
+    "emb_standardize",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

@@ -664,6 +664,85 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_standardize",
+    oracle="""
+    WITH vals AS (
+        SELECT e.vec_id, CAST(t.i AS INTEGER) AS dim,
+               CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings e,
+             unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    stats AS (
+        SELECT dim,
+               COUNT(*) AS n,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(q AS DECIMAL(38,0))
+                        * CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS ss
+        FROM vals GROUP BY dim
+    )
+    SELECT v.vec_id, v.dim,
+           CASE WHEN (CAST(ss AS DOUBLE) / n)
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                     > 0
+                THEN round(
+                    (v.q - CAST(s AS DOUBLE) / n)
+                    / sqrt((CAST(ss AS DOUBLE) / n)
+                           - (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n)),
+                    6)
+           END AS z
+    FROM vals v JOIN stats USING (dim)
+    """,
+)
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus
+    (the feature-scaling pass before distance-based models): two-pass
+    — one partial-agg exchange computes per-dim moments, then a
+    broadcast of the 64-row stats table scores every element
+    map-side. NULL z for a zero-variance dimension (undefined, not
+    zero — the agg_stats rule).
+
+    Bit-exactness: elements quantize to integer nano-units; Σq is an
+    order-free long and Σq² an order-free DECIMAL(38,0) (q² alone
+    reaches 4e18 — a long Σq² would overflow), and both engines then
+    evaluate the IDENTICAL double expression (mean, variance, sqrt —
+    correctly-rounded IEEE in both) on the same exact integers. Same
+    playbook as agg_stats / events_rate_anomaly, at corpus scale."""
+    st = _star(spark, sf_dir)
+    vals = st.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.floor(
+            F.col("val").cast("double") * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("q"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    stats = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(qd * qd).cast("decimal(38,0)").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    return (
+        vals.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(
+                var > 0,
+                F.round((F.col("q") - mean) / F.sqrt(var), 6),
+            ).alias("z"),
+        )
+    )
+
+
+@query(
     "events_rolling_active_users",
     oracle="""
     WITH user_days AS (
