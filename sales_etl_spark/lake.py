@@ -224,6 +224,25 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def compact(
+    spark: SparkSession, table_path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: bin-pack the current snapshot into ``target_files``
+    larger files and commit the result atomically as a new overwrite
+    version; prior versions stay time-travelable until vacuumed.
+
+    The small-files problem is the steady-state tax of streaming /
+    incremental ingest — every micro-batch commit adds files, and
+    scan cost grows with file COUNT, not just bytes (footer reads,
+    task scheduling, row-group fragmentation). At 100 TB run this per
+    partition on a schedule, sizing ``target_files`` so each output
+    file lands near the scan split size (maxPartitionBytes): one file
+    per split is the zero-waste layout. ``coalesce`` (not
+    ``repartition``) keeps the rewrite shuffle-free."""
+    df = read_table(spark, table_path).coalesce(target_files)
+    return commit_write(df, table_path, mode="overwrite")
+
+
 def commit_upsert_batch(
     batch_df: DataFrame,
     table_path: str,

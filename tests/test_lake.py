@@ -237,3 +237,33 @@ def test_change_feed_for_append_commits(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         lake.read_changes(spark, t, 0)
+
+
+def test_compact_binpacks_files_and_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE: after many small appends, compact() must produce one
+    new version whose snapshot has identical rows in target_files
+    files, while every pre-compact version stays time-travelable."""
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        lake.commit_write(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            t, "append",
+        )
+    before = _rows(lake.read_table(spark, t))
+    n_files_before = len(
+        json.loads(
+            (Path(t) / "_log" / "00000003.json").read_text()
+        )["files"]
+    )
+    assert n_files_before >= 4
+
+    v = lake.compact(spark, t, target_files=1)
+    assert v == 4
+    manifest = json.loads(
+        (Path(t) / "_log" / "00000004.json").read_text()
+    )
+    assert len(manifest["files"]) == 1
+    assert _rows(lake.read_table(spark, t)) == before
+    # history intact until vacuum
+    assert _rows(lake.read_table(spark, t, 3)) == before
+    assert _rows(lake.read_table(spark, t, 0)) == [(0, "v0")]
