@@ -26,7 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 30 new queries — 17 early-round
+# key round 4 ADDED or CHANGED (the 31 new queries — 17 early-round
 # plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
 # histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
@@ -45,7 +45,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # beside the distinct-order machinery inside agg_avg_check_by_region,
 # dedup_embedding_pairs as the fenced verification-scale tier whose
 # production twin is recall-tested, agg_order_totals beside the same
-# order-grain machinery inside the in-window avg-check mart)
+# order-grain machinery inside the in-window avg-check mart,
+# text_quality_filter beside the four in-window text queries)
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps.
@@ -67,7 +68,6 @@ _SWEEP_FIRST = [
     "events_session_window",
     "scan_csv",
     "sink_roundtrip",
-    "text_quality_filter",
     "join_salted_skew",
     # -- new in round 4 ----------------------------------------------
     "scan_partition_prune",
@@ -100,6 +100,7 @@ _SWEEP_FIRST = [
     "text_hash_features",
     "events_rolling_active_users",
     "emb_standardize",
+    "scan_lake_table",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

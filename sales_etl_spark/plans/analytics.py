@@ -664,6 +664,53 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_lake_table",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_lake_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transaction-log lake exercised end-to-end on the
+    oracle-checked surface: orders land as TWO atomic commits (a base
+    load and an append delta — the incremental-ingest shape), the
+    table is then OPTIMIZE-compacted (lake.compact — an overwrite
+    version; history stays time-travelable), and the query reads the
+    LATEST snapshot through the manifest. The aggregate must equal
+    the flat parquet oracle — proving commit atomicity, append
+    semantics, and the compaction rewrite all preserve the data
+    exactly. Writes are idempotent per scratch table (guarded on the
+    version log), so repeated builds in new sessions never duplicate
+    rows."""
+    from sales_etl_spark import lake
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    path = str(_scratch("lake_orders", sf_dir))
+    if not lake.versions(path):
+        cut = F.lit(_REFRESH_CUT).cast("timestamp_ntz")
+        base = st.orders.filter(F.col("o_orderdate") < cut)
+        delta = st.orders.filter(F.col("o_orderdate") >= cut)
+        lake.commit_write(base, path, mode="append")
+        lake.commit_write(delta, path, mode="append")
+        lake.compact(spark, path, target_files=2)
+    return (
+        lake.read_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
     "emb_standardize",
     oracle="""
     WITH vals AS (
