@@ -275,6 +275,18 @@ def test_bucketed_join_elides_every_shuffle(spark):
     assert not re.search(r"\(\d+\) Exchange\b", body2), body2
     assert "BroadcastExchange" not in body2, body2
 
+    # bucket PRUNING: an equality filter on the bucket key must scan
+    # exactly one bucket (the point-lookup payoff of the same layout)
+    from pyspark.sql import functions as F
+
+    point = spark.table("b_o_bucketed_sf0_001").filter(
+        F.col("o_orderkey") == 42
+    )
+    plan3 = _formatted(point)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan3)
+    assert m, plan3
+    assert (int(m.group(1)), int(m.group(2))) == (1, 8), plan3
+
 
 def test_local_volume_constant_folds_nation_region(spark):
     """flagship_local_volume: the ASIA nationkey IN-list must reach
