@@ -276,10 +276,16 @@ def test_bucketed_join_elides_every_shuffle(spark):
     assert "BroadcastExchange" not in body2, body2
 
     # bucket PRUNING: an equality filter on the bucket key must scan
-    # exactly one bucket (the point-lookup payoff of the same layout)
+    # exactly one bucket (the point-lookup payoff of the same layout).
+    # autoBucketedScan demotes a joinless bucketed scan to a plain one
+    # (dropping the pruning with it), so pin it on for this check —
+    # the conf a point-lookup-serving cluster would run with.
     from pyspark.sql import functions as F
 
-    point = spark.table("b_o_bucketed_sf0_001").filter(
+    iso.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    point = iso.table("b_o_bucketed_sf0_001").filter(
         F.col("o_orderkey") == 42
     )
     plan3 = _formatted(point)
