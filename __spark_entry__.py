@@ -26,7 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 31 new queries — 17 early-round
+# key round 4 ADDED or CHANGED (the 32 new queries — 17 early-round
 # plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
 # histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
@@ -46,7 +46,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # dedup_embedding_pairs as the fenced verification-scale tier whose
 # production twin is recall-tested, agg_order_totals beside the same
 # order-grain machinery inside the in-window avg-check mart,
-# text_quality_filter beside the four in-window text queries)
+# text_quality_filter beside the four in-window text queries,
+# join_left_region whose broadcast-dim-with-Unknown-fill machinery
+# runs inside the in-window avg-check and returned-items marts)
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps.
@@ -54,7 +56,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_avg_check_by_region",
-    "join_left_region",
     "topk_product_ranking",
     "upsert_last_wins",
     "window_running_sum",
@@ -101,6 +102,7 @@ _SWEEP_FIRST = [
     "events_rolling_active_users",
     "emb_standardize",
     "scan_lake_table",
+    "window_topn_per_group",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

@@ -613,6 +613,60 @@ def events_ewma_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_topn_per_group",
+    oracle="""
+    WITH part_rev AS (
+        SELECT o.o_orderpriority AS category,
+               l.l_partkey AS product_id,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(8,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT category, CAST(rnk AS INTEGER) AS rank, product_id, revenue
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY category
+              ORDER BY revenue DESC, product_id) AS rnk
+          FROM part_rev)
+    WHERE rnk <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 products per order priority by revenue — per-GROUP top-N
+    (the global ranking's harder sibling: a limit can't express it).
+
+    Spark-first plan: after the (category, product) aggregate, the
+    rank filter compiles to WindowGroupLimit — each task keeps only
+    its local top-3 per category BEFORE the window exchange, so the
+    sort/shuffle sees ≤3·|categories| rows per task instead of the
+    full product list (the optimization the exact-ANN tier
+    (cosine_topk) relies on, demonstrated on the relational side and
+    locked by a plan test). Double revenue sort with product_id
+    tiebreak — identical total order in both engines."""
+    st = _star(spark, sf_dir)
+    li = st.lineitem.select("l_orderkey", "l_partkey", _rev().alias("__r"))
+    o = st.orders.select("o_orderkey", "o_orderpriority")
+    part_rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("category"),
+            F.col("l_partkey").alias("product_id"),
+        )
+        .agg(F.sum("__r").cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("category").orderBy(
+        F.desc("revenue"), "product_id"
+    )
+    return (
+        part_rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("category", F.col("rank").cast("int").alias("rank"),
+                "product_id", "revenue")
+    )
+
+
 #: Fixed histogram spec for order totals: 12 x 50k buckets, overflow
 #: clamped into the last bucket. Literal bounds — no extra min/max
 #: pass, and floor(x / width) is one identical IEEE op per engine.

@@ -203,6 +203,15 @@ def test_join_bloom_pruned_injects_runtime_bloom_filter(spark):
     assert "BroadcastHashJoin" not in body
 
 
+def test_topn_per_group_uses_window_group_limit(spark):
+    """window_topn_per_group: the rank<=3 filter must push into a
+    WindowGroupLimit pair (partial before the exchange, final after)
+    so tasks ship only their local top-3 per category."""
+    plan = _formatted(_build(spark, "window_topn_per_group"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert body.count("WindowGroupLimit") >= 2, body
+
+
 def test_kmeans_assignment_is_map_only(spark):
     """emb_kmeans_assign: literal-centroid in-row argmin — the plan
     must contain NO exchange, NO join, and NO window of any kind
