@@ -136,3 +136,51 @@ def test_bucketed_agg_on_bucket_key_has_no_exchange(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_agg_b")
+
+
+def test_aqe_skew_join_splits_the_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin is the AUTOMATIC counterpart to
+    salted_join: with skew thresholds dialed down to demo scale, a
+    sort-merge join against a hot-keyed left side must execute with
+    the hot partition SPLIT (the final adaptive plan marks the join
+    skew=true) — and return exactly the plain join's rows. salting
+    remains for the cases AQE can't rescue (aggregation skew, or a
+    skewed BROADCAST build side)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.session import pin_semantics
+
+    iso = pin_semantics(spark.newSession())
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    iso.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2"
+    )
+    iso.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8KB",
+    )
+    iso.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+    )
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # 50k rows on ONE hot key + a uniform tail; dim side 100 keys
+    left = iso.range(0, 50_000).select(
+        F.when(F.col("id") < 45_000, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = iso.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    joined = left.join(right, "k")
+    # collect() executes THIS plan (count() would execute a different
+    # one), after which executedPlan is the final adaptive plan
+    assert len(joined.collect()) == 50_000
+
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan, final_plan[:2000]
+    assert "skew=true" in final_plan, final_plan[:4000]
