@@ -76,6 +76,17 @@ def build_parser() -> argparse.ArgumentParser:
         "instead of executing (scan pruning, exchanges, join "
         "strategies — the scale story of the query, inspectable)",
     )
+    # -- lake maintenance mode ----------------------------------------
+    p.add_argument(
+        "--lake-compact", metavar="TABLE_PATH",
+        help="OPTIMIZE a transaction-log lake table: bin-pack the "
+        "current snapshot into --target-files files as a new atomic "
+        "version (history stays time-travelable until vacuum)",
+    )
+    p.add_argument(
+        "--target-files", type=int, default=1,
+        help="output file count for --lake-compact",
+    )
     return p
 
 
@@ -148,6 +159,23 @@ def main(argv: list[str] | None = None) -> int:
             return run_query(args)
         except Exception:
             logger.exception("query run failed")
+            return 1
+    if args.lake_compact:
+        from sales_etl_spark import lake
+        from sales_etl_spark.session import get_spark
+
+        try:
+            spark = get_spark("sales-etl-spark-cli", master=args.master)
+            v = lake.compact(
+                spark, args.lake_compact, target_files=args.target_files
+            )
+            logger.info(
+                "compacted %s -> version %d (%d files)",
+                args.lake_compact, v, args.target_files,
+            )
+            return 0
+        except Exception:
+            logger.exception("lake compaction failed")
             return 1
     if not (args.sales and args.customers):
         logger.error(

@@ -120,3 +120,19 @@ def test_cli_explain_prints_plan(capsys):
     assert rc == 0
     assert "== Physical Plan ==" in out
     assert "HashAggregate" in out
+
+
+def test_cli_lake_compact(spark, tmp_path, caplog):
+    from sales_etl_spark import lake
+    from sales_etl_spark.__main__ import main
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        lake.commit_write(
+            spark.createDataFrame([(i,)], "k long"), t, "append"
+        )
+    rc = main(["--lake-compact", t, "--target-files", "1"])
+    assert rc == 0
+    assert lake.versions(t) == [0, 1, 2, 3]
+    got = sorted(r.k for r in lake.read_table(spark, t).collect())
+    assert got == [0, 1, 2]
