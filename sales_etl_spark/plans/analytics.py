@@ -10,9 +10,10 @@ data-profiling closers:
   fact ⨝ dim join collapsing to ONE row;
 - Q4-shaped late-order priority count: correlated-EXISTS semi-join
   with a non-equi residual predicate;
-- nearest-centroid assignment: broadcast centroid table, fold-based
-  squared-L2, argmin via row_number — the inner loop of Lloyd's
-  algorithm (and of IVF list assignment in operators/similarity.py);
+- nearest-centroid assignment: MAP-ONLY — literal centroid array,
+  fold-based squared-L2, in-row argmin via array_min over structs —
+  the inner loop of Lloyd's algorithm (and of IVF list assignment in
+  operators/similarity.py);
 - a FULL Lloyd iteration (assign → bit-exact nano-unit centroid
   update → re-assign), k×dim driver state only — MLlib's shape;
 - bucketed-table co-located join: the order-key exchange elided for
@@ -20,7 +21,11 @@ data-profiling closers:
 - decayed trailing event rate whose alpha=1/2 terms are exact dyadic
   rationals — order-free float sums with no quantization step;
 - lifetime-value ntile quartiles and a fixed-width histogram (the
-  distribution-profile companions to agg_stats).
+  distribution-profile companions to agg_stats);
+- per-group top-N (WindowGroupLimit pushdown), rolling 7-day distinct
+  users (contribution explode), per-dim z-score standardization,
+  incremental mart refresh ≡ full recompute, and the transaction-log
+  lake on the oracle-checked surface (scan_lake_table).
 
 Reference parity: the reference engine (etl/transform.py) stops at
 group-by marts; these queries are the extension tier SURVEY.md §2.4/
