@@ -550,3 +550,73 @@ def test_pack_sequences_conservation_and_span_invariants(spark, rows):
         seq_len=7, n_shards=3, seed="prop",
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+_mart_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # group key
+        st.integers(min_value=0, max_value=9999),  # cents
+    ),
+    min_size=0, max_size=30,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_mart_rows, split=st.integers(min_value=0, max_value=30))
+def test_merge_marts_invariant_under_any_partition(spark, rows, split):
+    """The incremental-refresh law: aggregating any base/delta split
+    separately and merging with merge_marts equals the flat aggregate
+    over everything — for ANY split point, including empty slices."""
+    from sales_etl_spark.operators.aggregates import merge_marts
+
+    split = min(split, len(rows))
+    schema = "k string, cents long"
+
+    def partial(data):
+        df = spark.createDataFrame(data, schema) if data else (
+            spark.createDataFrame([], schema)
+        )
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(18,0)")).alias("total"),
+        )
+
+    merged = merge_marts(
+        [partial(rows[:split]), partial(rows[split:])],
+        keys=["k"], sum_cols=["n", "total"],
+    )
+    flat = partial(rows)
+    got = {(r.k, r.n, r.total) for r in merged.collect()}
+    want = {(r.k, r.n, r.total) for r in flat.collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(counts=st.lists(st.integers(min_value=0, max_value=5000),
+                       min_size=1, max_size=24),
+       perm_seed=st.integers(min_value=0, max_value=999))
+def test_dyadic_ewma_sum_is_order_free(spark, counts, perm_seed):
+    """The events_ewma_rate exactness claim, isolated: terms
+    c/(1<<gap) over gaps 0..23 sum to the IDENTICAL double under any
+    summation order (every term an exact multiple of 2^-23, bounded),
+    so a distributed sum cannot drift from the sequential one."""
+    import random
+
+    terms = [c / (1 << gap) for gap, c in enumerate(counts)]
+    sequential = 0.0
+    for t in terms:
+        sequential += t
+    shuffled = list(terms)
+    random.Random(perm_seed).shuffle(shuffled)
+    out_of_order = 0.0
+    for t in shuffled:
+        out_of_order += t
+    assert sequential == out_of_order  # bit-exact, no tolerance
