@@ -71,11 +71,20 @@ def _read_manifest(table_path: str, version: int) -> dict:
     return json.loads(_manifest_path(table_path, version).read_text())
 
 
+class CommitConflict(RuntimeError):
+    """Raised when ``expected_base`` no longer matches the table's
+    latest version — another writer committed in between. The caller
+    must RE-READ the table and redo its transformation before
+    retrying (its staged output was derived from a stale snapshot, so
+    blindly bumping the version number would publish lost updates)."""
+
+
 def commit_write(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     max_retries: int = 10,
+    expected_base: int | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     atomically as the next table version. Returns the version number.
@@ -83,6 +92,13 @@ def commit_write(
     ``mode='append'`` adds the files to the previous snapshot;
     ``mode='overwrite'`` makes them the whole snapshot (old files stay
     on disk for time travel until vacuumed).
+
+    ``expected_base`` turns the commit into a compare-and-swap: if the
+    table's latest version is no longer ``expected_base`` at publish
+    time, :class:`CommitConflict` is raised instead of silently
+    rebasing. REQUIRED for read-modify-write commits (compaction,
+    merge rewrites) whose staged files were derived from a snapshot —
+    for pure appends the default blind rebase is correct and cheaper.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
@@ -105,6 +121,13 @@ def commit_write(
     # 2. commit: O_EXCL manifest create, retry on version races
     for _ in range(max_retries):
         existing = versions(table_path)
+        if expected_base is not None:
+            latest = existing[-1] if existing else None
+            if latest != expected_base:
+                raise CommitConflict(
+                    f"table advanced to v{latest} while staging against "
+                    f"v{expected_base}; re-read and retry"
+                )
         version = (existing[-1] + 1) if existing else 0
         if mode == "append" and existing:
             files = _read_manifest(table_path, existing[-1])["files"] + new_files
@@ -225,7 +248,10 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
 
 
 def compact(
-    spark: SparkSession, table_path: str, target_files: int = 1
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 1,
+    max_retries: int = 5,
 ) -> int:
     """OPTIMIZE: bin-pack the current snapshot into ``target_files``
     larger files and commit the result atomically as a new overwrite
@@ -238,9 +264,32 @@ def compact(
     partition on a schedule, sizing ``target_files`` so each output
     file lands near the scan split size (maxPartitionBytes): one file
     per split is the zero-waste layout. ``coalesce`` (not
-    ``repartition``) keeps the rewrite shuffle-free."""
-    df = read_table(spark, table_path).coalesce(target_files)
-    return commit_write(df, table_path, mode="overwrite")
+    ``repartition``) keeps the rewrite shuffle-free.
+
+    Concurrency: the overwrite is a READ-MODIFY-WRITE, so it commits
+    with compare-and-swap against the snapshot version it compacted
+    (``expected_base``) — an append that lands mid-compaction raises
+    :class:`CommitConflict` inside and the compaction re-reads and
+    retries, instead of silently republishing the stale snapshot and
+    dropping the new rows (the lost-update OPTIMIZE bug Delta's
+    conflict checker exists to prevent)."""
+    for _ in range(max_retries):
+        vs = versions(table_path)
+        if not vs:
+            raise ValueError(f"no committed versions at {table_path}")
+        base = vs[-1]
+        df = read_table(spark, table_path, version=base).coalesce(
+            target_files
+        )
+        try:
+            return commit_write(
+                df, table_path, mode="overwrite", expected_base=base
+            )
+        except CommitConflict:
+            continue  # someone appended mid-compaction: re-read, redo
+    raise RuntimeError(
+        f"compaction contention: {max_retries} conflicts at {table_path}"
+    )
 
 
 def commit_upsert_batch(

@@ -267,3 +267,50 @@ def test_compact_binpacks_files_and_preserves_rows_and_history(spark, tmp_path):
     # history intact until vacuum
     assert _rows(lake.read_table(spark, t, 3)) == before
     assert _rows(lake.read_table(spark, t, 0)) == [(0, "v0")]
+
+
+def test_compact_refuses_to_drop_a_concurrent_append(spark, tmp_path, monkeypatch):
+    """Lost-update guard: an append that lands between compact()'s
+    snapshot read and its publish must NOT vanish — the CAS commit
+    detects the advanced version and the compaction re-reads,
+    retries, and keeps the new row."""
+    t = str(tmp_path / "tbl")
+    for i in range(2):
+        lake.commit_write(
+            spark.createDataFrame([(i,)], "k long"), t, "append"
+        )
+
+    real_commit = lake.commit_write
+    raced = {"done": False}
+
+    def racing_commit(df, table_path, mode="append", max_retries=10,
+                      expected_base=None):
+        # inject a concurrent append the first time compact() publishes
+        if expected_base is not None and not raced["done"]:
+            raced["done"] = True
+            real_commit(
+                spark.createDataFrame([(99,)], "k long"), t, "append"
+            )
+        return real_commit(
+            df, table_path, mode=mode, max_retries=max_retries,
+            expected_base=expected_base,
+        )
+
+    monkeypatch.setattr(lake, "commit_write", racing_commit)
+    v = lake.compact(spark, t, target_files=1)
+    got = sorted(r.k for r in lake.read_table(spark, t).collect())
+    assert got == [0, 1, 99]  # the racing append survived compaction
+    assert v == lake.versions(t)[-1]
+
+
+def test_commit_write_cas_raises_on_stale_base(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    lake.commit_write(spark.createDataFrame([(1,)], "k long"), t)
+    lake.commit_write(spark.createDataFrame([(2,)], "k long"), t, "append")
+    import pytest as _pytest
+
+    with _pytest.raises(lake.CommitConflict):
+        lake.commit_write(
+            spark.createDataFrame([(3,)], "k long"), t, "overwrite",
+            expected_base=0,
+        )
