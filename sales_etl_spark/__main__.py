@@ -110,11 +110,7 @@ def run_query(args) -> int:
     spark = get_spark("sales-etl-spark-cli", master=args.master)
     df = QUERY_REGISTRY[args.query].builder(spark, args.sf_dir)
     if args.explain:
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        df.explain(mode="formatted")  # public API; prints to stdout
         return 0
     if args.output_dir:
         from sales_etl_spark import load as sinks

@@ -310,6 +310,11 @@ def merge_marts(
     every accumulator the marts carry is chosen mergeable (the same
     property that makes Spark's own partial aggregation correct).
     """
+    if not parts:
+        raise ValueError(
+            "merge_marts needs at least one partial mart (a dynamic "
+            "delta list came up empty — skip the merge, keep the base)"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

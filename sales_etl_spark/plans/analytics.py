@@ -742,21 +742,29 @@ def scan_lake_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATEST snapshot through the manifest. The aggregate must equal
     the flat parquet oracle — proving commit atomicity, append
     semantics, and the compaction rewrite all preserve the data
-    exactly. Writes are idempotent per scratch table (guarded on the
-    version log), so repeated builds in new sessions never duplicate
-    rows."""
+    exactly. Builds are idempotent per scratch table AND crash-safe:
+    a completion sentinel (written last) guards reuse, and a table
+    left half-built by an interrupted run is torn down and rebuilt
+    rather than served — version-log presence alone would latch a
+    partial load forever."""
+    import shutil
+    from pathlib import Path
+
     from sales_etl_spark import lake
     from sales_etl_spark.plans.extensions import _scratch
 
     st = _star(spark, sf_dir)
     path = str(_scratch("lake_orders", sf_dir))
-    if not lake.versions(path):
+    done = Path(path) / "_build_complete"
+    if not done.exists():
+        shutil.rmtree(path, ignore_errors=True)
         cut = F.lit(_REFRESH_CUT).cast("timestamp_ntz")
         base = st.orders.filter(F.col("o_orderdate") < cut)
         delta = st.orders.filter(F.col("o_orderdate") >= cut)
         lake.commit_write(base, path, mode="append")
         lake.commit_write(delta, path, mode="append")
         lake.compact(spark, path, target_files=2)
+        done.touch()
     return (
         lake.read_table(spark, path)
         .groupBy(F.col("o_orderstatus").alias("status"))
@@ -1025,7 +1033,10 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch if ch.isalnum() else "_" for ch in base.name.lower()
     )
     tbls = {"lineitem": f"b_li_{tag}", "orders": f"b_o_{tag}"}
-    if not spark.catalog.tableExists(tbls["lineitem"]):
+    # require BOTH tables: an interrupted first build that landed only
+    # lineitem must re-run the (overwrite-mode, idempotent) writes
+    # rather than erroring forever on the missing orders table
+    if not all(spark.catalog.tableExists(t) for t in tbls.values()):
         (
             st.lineitem.select(
                 "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"

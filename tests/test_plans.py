@@ -250,15 +250,19 @@ def test_late_orders_is_a_semi_join(spark):
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
 
 
-def test_ewma_contains_no_pow_and_one_fact_exchange(spark):
+def test_ewma_contains_no_pow_and_bounded_exchanges(spark):
     """events_ewma_rate: the decay weight must be shiftleft-based (no
-    libm pow anywhere in the plan) and the raw events scan must feed
-    exactly one aggregation exchange (the (type, hour) collapse);
-    everything after runs on post-agg rows."""
+    libm pow anywhere in the plan), and the raw events scan must feed
+    exactly one pre-aggregation exchange — the (type, hour) collapse;
+    the only other exchange is the final post-join group on already-
+    aggregated rows. A third exchange means the fact stream started
+    shuffling twice."""
     plan = _formatted(_build(spark, "events_ewma_rate"))
     body = plan.split("== Physical Plan ==")[1]
-    assert "POWER" not in body.upper().replace("SHIFTLEFT", "")
+    assert not re.search(r"\bpow(er)?\(", body, re.I), body
     assert "shiftleft" in body
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}"
 
 
 def test_bucketed_join_elides_every_shuffle(spark):
