@@ -50,3 +50,23 @@ def days_since(start: Column | str, snapshot: Column) -> Column:
     is nondeterministic and stays out of the engine)."""
     col = F.col(start) if isinstance(start, str) else start
     return F.datediff(snapshot, col)
+
+
+#: Exact per-line revenue — the ONE definition of the money contract
+#: shared by every lineitem-revenue query and its DuckDB oracle twin:
+#: DECIMAL(18,2) price x DECIMAL(8,4) discount complement — exact and
+#: order-independent under any partitioning. ``q`` is the SQL table
+#: qualifier ('' or 'l.'). Keep the Column form and the SQL template
+#: in lockstep: the oracles hash-check against the Spark expression.
+LINE_REVENUE_SQL = (
+    "CAST({q}l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - {q}l_discount AS DECIMAL(8,4))"
+)
+
+
+def line_revenue() -> Column:
+    """Column twin of :data:`LINE_REVENUE_SQL` over unaliased lineitem
+    columns."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sales_etl_spark.functions import vectors
+from sales_etl_spark.functions import scalars, vectors
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -51,18 +51,10 @@ def _star(spark: SparkSession, sf_dir: str):
     return load_star(spark, sf_dir)
 
 
-#: Exact per-line revenue: DECIMAL(18,2) price x DECIMAL(8,4) discount
-#: complement — exact, order-independent under any partitioning.
-_REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * CAST(1 - l_discount AS DECIMAL(8,4))"
-)
-
-
-def _rev() -> F.Column:
-    return F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(8,4)")
+#: The shared money contract (functions/scalars.py) — one definition
+#: for every lineitem-revenue query and oracle in the registry.
+_REV_SQL = scalars.LINE_REVENUE_SQL.format(q="l.")
+_rev = scalars.line_revenue
 
 
 @query(

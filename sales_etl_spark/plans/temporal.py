@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sales_etl_spark.functions.scalars import month_str
+from sales_etl_spark.functions.scalars import (
+    LINE_REVENUE_SQL,
+    line_revenue,
+    month_str,
+)
 from sales_etl_spark.operators import aggregates, temporal
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
@@ -474,10 +478,7 @@ def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = st.lineitem.filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-    )
+    rev = line_revenue()  # the shared money contract (scalars)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -912,10 +913,7 @@ def flagship_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = st.lineitem.select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-    )
+    rev = line_revenue()  # the shared money contract (scalars)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -29,3 +29,18 @@ def test_survey_registry_counts_match():
     assert m, "SURVEY.md registry count sentence missing"
     n_oracle = sum(1 for n in QUERY_REGISTRY if QUERY_REGISTRY[n].oracle)
     assert (int(m.group(1)), int(m.group(2))) == (len(QUERY_REGISTRY), n_oracle)
+
+
+def test_inline_revenue_oracles_match_the_shared_money_contract():
+    """The two temporal-module oracles keep their revenue SQL inline
+    (plain literals); this pins them to functions.scalars
+    LINE_REVENUE_SQL so the money contract cannot drift in one place
+    only."""
+    import re
+
+    from sales_etl_spark.functions.scalars import LINE_REVENUE_SQL
+
+    want = re.sub(r"\s+", " ", LINE_REVENUE_SQL.format(q="l."))
+    for name in ("flagship_shipping_priority", "flagship_local_volume"):
+        oracle = re.sub(r"\s+", " ", QUERY_REGISTRY[name].oracle)
+        assert want in oracle, name
