@@ -96,9 +96,10 @@ def commit_write(
     ``expected_base`` turns the commit into a compare-and-swap: if the
     table's latest version is no longer ``expected_base`` at publish
     time, :class:`CommitConflict` is raised instead of silently
-    rebasing. REQUIRED for read-modify-write commits (compaction,
-    merge rewrites) whose staged files were derived from a snapshot —
-    for pure appends the default blind rebase is correct and cheaper.
+    rebasing (pass ``-1`` to assert the table is still EMPTY).
+    REQUIRED for read-modify-write commits (compaction, merge
+    rewrites) whose staged files were derived from a snapshot — for
+    pure appends the default blind rebase is correct and cheaper.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
@@ -122,7 +123,7 @@ def commit_write(
     for _ in range(max_retries):
         existing = versions(table_path)
         if expected_base is not None:
-            latest = existing[-1] if existing else None
+            latest = existing[-1] if existing else -1
             if latest != expected_base:
                 raise CommitConflict(
                     f"table advanced to v{latest} while staging against "
@@ -309,25 +310,47 @@ def commit_upsert_batch(
     the duplicate work never happens at all).
 
     Returns the committed version, or None for a skipped replay.
+
+    The merge is a read-modify-write, so it commits with
+    compare-and-swap against the snapshot it merged (see
+    :func:`compact`): a foreign commit landing mid-merge (a scheduled
+    compaction, an unexpected second writer) triggers a re-read and
+    re-merge instead of a silent overwrite of the other writer's rows.
     """
-    vs = versions(table_path)
-    if vs:
-        last = _read_manifest(table_path, vs[-1])
-        if last.get("batch_id") is not None and batch_id <= last["batch_id"]:
-            return None  # replay of an already-committed batch
-        from sales_etl_spark.operators.upsert import upsert_last_wins
+    from sales_etl_spark.operators.upsert import upsert_last_wins
 
-        spark = batch_df.sparkSession
-        merged = upsert_last_wins(
-            read_table(spark, table_path).unionByName(batch_df),
-            keys,
-            order_by,
-        )
+    for _ in range(5):
+        vs = versions(table_path)
+        base = vs[-1] if vs else None
+        if vs:
+            last = _read_manifest(table_path, base)
+            if (
+                last.get("batch_id") is not None
+                and batch_id <= last["batch_id"]
+            ):
+                return None  # replay of an already-committed batch
+            spark = batch_df.sparkSession
+            merged = upsert_last_wins(
+                read_table(spark, table_path, version=base).unionByName(
+                    batch_df
+                ),
+                keys,
+                order_by,
+            )
+        else:
+            merged = upsert_last_wins(batch_df, keys, order_by)
+        try:
+            version = commit_write(
+                merged, table_path, mode="overwrite",
+                expected_base=base if base is not None else -1,
+            )
+            break
+        except CommitConflict:
+            continue  # foreign commit mid-merge: re-read, re-merge
     else:
-        from sales_etl_spark.operators.upsert import upsert_last_wins
-
-        merged = upsert_last_wins(batch_df, keys, order_by)
-    version = commit_write(merged, table_path, mode="overwrite")
+        raise RuntimeError(
+            f"upsert contention: 5 conflicts at {table_path}"
+        )
     manifest = _read_manifest(table_path, version)
     manifest["batch_id"] = batch_id
     # rewrite-in-place is safe: same content + idempotence marker, and
