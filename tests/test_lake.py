@@ -314,3 +314,44 @@ def test_commit_write_cas_raises_on_stale_base(spark, tmp_path):
             spark.createDataFrame([(3,)], "k long"), t, "overwrite",
             expected_base=0,
         )
+
+
+def test_upsert_remerges_when_compaction_lands_mid_merge(spark, tmp_path, monkeypatch):
+    """A scheduled compaction landing between an upsert's snapshot
+    read and its publish must force a re-merge (CommitConflict), not
+    be overwritten away."""
+    t = str(tmp_path / "tbl")
+    lake.commit_upsert_batch(
+        spark.createDataFrame([(1, 1, "a")], "k long, v long, p string"),
+        t, keys=["k"], order_by=["v"], batch_id=0,
+    )
+    lake.commit_write(
+        spark.createDataFrame([(2, 1, "b")], "k long, v long, p string"),
+        t, "append",
+    )
+
+    real_commit = lake.commit_write
+    raced = {"done": False}
+
+    def racing_commit(df, table_path, mode="append", max_retries=10,
+                      expected_base=None):
+        if expected_base is not None and not raced["done"]:
+            raced["done"] = True
+            # compaction completes first: rewrites the 2-row snapshot
+            lake.compact(spark, t, target_files=1)
+        return real_commit(
+            df, table_path, mode=mode, max_retries=max_retries,
+            expected_base=expected_base,
+        )
+
+    monkeypatch.setattr(lake, "commit_write", racing_commit)
+    v = lake.commit_upsert_batch(
+        spark.createDataFrame([(1, 2, "a2")], "k long, v long, p string"),
+        t, keys=["k"], order_by=["v"], batch_id=1,
+    )
+    assert v == lake.versions(t)[-1]
+    got = sorted((r.k, r.v, r.p) for r in lake.read_table(spark, t).collect())
+    # k=1 took the newer payload, and no row was lost to the blind
+    # overwrite the CAS exists to prevent (the first publish attempt
+    # was staged against the pre-compaction version)
+    assert got == [(1, 2, "a2"), (2, 1, "b")]
