@@ -76,6 +76,15 @@ def build_parser() -> argparse.ArgumentParser:
         "instead of executing (scan pruning, exchanges, join "
         "strategies — the scale story of the query, inspectable)",
     )
+    # -- ad-hoc SQL mode ----------------------------------------------
+    p.add_argument(
+        "--sql", metavar="QUERY",
+        help="run an ad-hoc SQL query against the star schema (tables "
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings registered as temp views, plus the "
+        "reference views sales/customers_dim/products); prints "
+        "--limit rows or writes --output-dir parquet",
+    )
     # -- lake maintenance mode ----------------------------------------
     p.add_argument(
         "--lake-compact", metavar="TABLE_PATH",
@@ -124,6 +133,41 @@ def run_query(args) -> int:
     return 0
 
 
+def run_sql(args) -> int:
+    """Ad-hoc SQL entry point: every star table (and the reference
+    model views) pre-registered as temp views, the user's statement
+    handed straight to Catalyst — the engine's open query surface
+    (the reference exposes pandas frames; the Spark-first equivalent
+    is SQL over the same relations)."""
+    from sales_etl_spark import schemas
+    from sales_etl_spark.session import get_spark
+    from sales_etl_spark.sources.star import load_star
+
+    if not args.sf_dir:
+        logger.error("--sql requires --sf-dir")
+        return 1
+    spark = get_spark("sales-etl-spark-cli", master=args.master)
+    st = load_star(spark, args.sf_dir)
+    for t in schemas.STAR_REQUIRED:
+        st.table(t).createOrReplaceTempView(t)
+    st.sales().createOrReplaceTempView("sales")
+    st.customers().createOrReplaceTempView("customers_dim")
+    st.products().createOrReplaceTempView("products")
+    df = spark.sql(args.sql)
+    if args.explain:
+        df.explain(mode="formatted")
+        return 0
+    if args.output_dir:
+        from sales_etl_spark import load as sinks
+
+        out = f"{args.output_dir}/sql_result"
+        sinks.write_parquet(df, out)
+        logger.info("wrote %s", out)
+    else:
+        print(df._jdf.showString(args.limit, 40, False))
+    return 0
+
+
 def _format_report(rows) -> str:
     """Pretty-print the avg-check mart (reference main.py:80 logs the
     frame via to_string)."""
@@ -155,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
             return run_query(args)
         except Exception:
             logger.exception("query run failed")
+            return 1
+    if args.sql:
+        try:
+            return run_sql(args)
+        except Exception:
+            logger.exception("sql run failed")
             return 1
     if args.lake_compact:
         from sales_etl_spark import lake

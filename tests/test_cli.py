@@ -136,3 +136,22 @@ def test_cli_lake_compact(spark, tmp_path, caplog):
     assert lake.versions(t) == [0, 1, 2, 3]
     got = sorted(r.k for r in lake.read_table(spark, t).collect())
     assert got == [0, 1, 2]
+
+
+def test_cli_sql_mode(capsys):
+    from sales_etl_spark.__main__ import main
+
+    rc = main([
+        "--sql",
+        "SELECT r_name FROM region ORDER BY r_name LIMIT 2",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "AFRICA" in out
+
+
+def test_cli_sql_requires_sf_dir():
+    from sales_etl_spark.__main__ import main
+
+    assert main(["--sql", "SELECT 1"]) == 1
