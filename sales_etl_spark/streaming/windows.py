@@ -131,3 +131,53 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase joins every click by
+    the same user within the preceding ``horizon`` (click-to-buy
+    attribution). Both sides carry watermarks and the join condition
+    bounds event-time distance, so Spark can size the state store and
+    EVICT rows no future match can reach — the two requirements that
+    make an unbounded two-stream join feasible at all. Without the
+    time-range condition the state grows forever; with it, state is
+    O(rate x (horizon + watermark)) regardless of total volume.
+
+    Batch twin: the identical equi+interval join on static frames
+    (the unified-model guarantee, asserted in tests). In production
+    both sides are Kafka topics; here the file-source stand-in."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )

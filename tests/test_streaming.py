@@ -678,3 +678,70 @@ def test_stream_kmeans_scoring_equals_batch(spark, tmp_path):
         for r in QUERY_REGISTRY["emb_kmeans_assign"].builder(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, events_dir):
+    """Stream-stream attribution join (watermarked, time-bounded state)
+    must produce exactly the batch interval join's rows — the
+    unified-model guarantee on the hardest streaming operator."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.streaming.windows import (
+        read_events_stream,
+        stream_stream_attribution_join,
+    )
+
+    clicks = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    # the fixture's files are randomly partitioned, so event time is
+    # NOT monotone across micro-batches — a production-sized watermark
+    # would (correctly!) drop cross-file stragglers as late. Equality
+    # with batch therefore needs a watermark covering the fixture's
+    # whole span; the default stays production-sized.
+    q = (
+        stream_stream_attribution_join(
+            clicks, purchases, watermark="40 days"
+        )
+        .writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous: the fixture produces matches
