@@ -132,11 +132,24 @@ def jdbc_upsert(
     )
 
 
+def _lex_newer(sq: str, tq: str, cols: list[str]) -> str:
+    """SQL predicate: staged row is lexicographically NEWER than the
+    target row on ``cols`` (the order_by columns) — strictly greater,
+    so equal-version replays are no-ops."""
+    terms = []
+    for i, c in enumerate(cols):
+        eqs = " AND ".join(f"{sq}.{e} = {tq}.{e}" for e in cols[:i])
+        cmp_ = f"{sq}.{c} > {tq}.{c}"
+        terms.append(f"({eqs} AND {cmp_})" if eqs else f"({cmp_})")
+    return " OR ".join(terms)
+
+
 def build_upsert_sql(
     table: str,
     columns: Iterable[str],
     keys: Iterable[str],
     dialect: str = "postgres",
+    guard_by: Iterable[str] | None = None,
 ) -> str:
     """The reference's upsert statement (etl/load.py:91-96), generated
     per dialect with ``?`` parameter placeholders:
@@ -150,9 +163,18 @@ def build_upsert_sql(
       SQL Server) — pair with a staging table the rows are batch-
       inserted into first (pass its name as ``staging``); this is the
       form the live embedded-Derby test drives end-to-end.
+
+    ``guard_by`` (the order_by/version columns) makes the UPDATE
+    conditional on the incoming row being strictly newer — REQUIRED
+    when batches can arrive out of order (a streaming sink's replays
+    and re-ordered micro-batches), where an unguarded upsert would let
+    an older version regress the row. The reference's unguarded form
+    stays the default (its single-threaded loop is ordered by
+    construction).
     """
     columns = list(columns)
     keys = list(keys)
+    guard = list(guard_by) if guard_by else []
     updates = [c for c in columns if c not in keys]
     if not updates:
         raise ValueError("upsert needs at least one non-key column")
@@ -160,18 +182,24 @@ def build_upsert_sql(
     qs = ", ".join("?" for _ in columns)
     if dialect == "postgres":
         set_sql = ", ".join(f"{c} = EXCLUDED.{c}" for c in updates)
-        return (
+        stmt = (
             f"INSERT INTO {table} ({cols_sql}) VALUES ({qs}) "
             f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {set_sql}"
         )
+        if guard:
+            stmt += f" WHERE {_lex_newer('EXCLUDED', table, guard)}"
+        return stmt
     if dialect == "merge":
         staging = f"{table}_stage"
         on_sql = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         set_sql = ", ".join(f"t.{c} = s.{c}" for c in updates)
         ins_sql = ", ".join(f"s.{c}" for c in columns)
+        matched = "WHEN MATCHED"
+        if guard:
+            matched += f" AND ({_lex_newer('s', 't', guard)})"
         return (
             f"MERGE INTO {table} t USING {staging} s ON {on_sql} "
-            f"WHEN MATCHED THEN UPDATE SET {set_sql} "
+            f"{matched} THEN UPDATE SET {set_sql} "
             f"WHEN NOT MATCHED THEN INSERT ({cols_sql}) "
             f"VALUES ({ins_sql})"
         )
@@ -187,6 +215,7 @@ def jdbc_execute_upsert(
     dialect: str = "postgres",
     batch_size: int = 1_000,
     driver: str | None = None,
+    guard_versions: bool = False,
 ) -> int:
     """Row-level upsert through a real JDBC ``PreparedStatement`` batch
     (the reference's psycopg2 ``execute`` loop, etl/load.py:81-109, on
@@ -220,6 +249,7 @@ def jdbc_execute_upsert(
     conn = jvm.java.sql.DriverManager.getConnection(url)
     n = 0
     try:
+        guard = list(order_by) if guard_versions else None
         if dialect == "merge":
             staging = f"{table}_stage"
             conn.createStatement().execute(
@@ -228,7 +258,9 @@ def jdbc_execute_upsert(
             )
             row_sql = f"INSERT INTO {staging} ({cols_sql}) VALUES ({qs})"
         else:
-            row_sql = build_upsert_sql(table, columns, keys, dialect)
+            row_sql = build_upsert_sql(
+                table, columns, keys, dialect, guard_by=guard
+            )
         stmt = conn.prepareStatement(row_sql)
         pending = 0
         for row in compacted.toLocalIterator():
@@ -245,7 +277,11 @@ def jdbc_execute_upsert(
         stmt.close()
         if dialect == "merge":
             merge = conn.createStatement()
-            merge.execute(build_upsert_sql(table, columns, keys, "merge"))
+            merge.execute(
+                build_upsert_sql(
+                    table, columns, keys, "merge", guard_by=guard
+                )
+            )
             merge.execute(f"DROP TABLE {staging}")
             merge.close()
     finally:

@@ -96,3 +96,43 @@ def stream_upsert_parquet(
         stream_df.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_upsert_jdbc(
+    stream_df,
+    url: str,
+    table: str,
+    keys: list[str],
+    order_by: list[str],
+    dialect: str = "postgres",
+    driver: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming upserts into the reference's JDBC warehouse:
+    foreachBatch → :func:`sales_etl_spark.load.jdbc_execute_upsert`
+    per micro-batch. Structured Streaming replays an unacknowledged
+    batch (at-least-once), and the keyed ON CONFLICT / MERGE upsert is
+    idempotent, so the TABLE state converges effectively-once — the
+    same argument as the parquet/lake sinks, landed on the exact sink
+    the reference ships (etl/load.py ON CONFLICT loop). Returns the
+    started StreamingQuery (caller owns trigger/termination).
+
+    Scale note: row-level JDBC is the DIMENSION-scale path (one
+    connection, driver-bounded batches); fact-scale streams belong in
+    the lake sink with the warehouse fed by marts downstream."""
+    from sales_etl_spark.load import jdbc_execute_upsert
+
+    def _sink(batch_df, batch_id: int) -> None:
+        # guard_versions: micro-batches can replay or arrive with
+        # interleaved event order, so the DB-side UPDATE fires only
+        # when the incoming row is strictly newer on order_by —
+        # without it an out-of-order batch regresses rows
+        jdbc_execute_upsert(
+            batch_df, url, table, keys=keys, order_by=order_by,
+            dialect=dialect, driver=driver, guard_versions=True,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

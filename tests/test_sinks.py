@@ -515,3 +515,89 @@ def test_zorder_clustered_write_prunes_both_dimensions(spark, tmp_path):
     assert 0 < len(touched) <= len(files) // 2
     # and the data round-trips completely
     assert spark.read.parquet(out).count() == n * n
+
+
+def test_stream_upsert_jdbc_converges_to_batch_state(spark, tmp_path):
+    """Gated live test: a keyed event stream upserted into Derby via
+    the foreachBatch JDBC sink (MERGE dialect) must leave the table in
+    exactly the batch last-wins state, across multiple micro-batches
+    with overlapping keys."""
+    import pytest
+
+    if not _derby_available(spark):
+        pytest.skip("Derby JDBC driver not on the classpath")
+    from sales_etl_spark.operators.upsert import upsert_last_wins
+    from sales_etl_spark.streaming.upsert_sink import stream_upsert_jdbc
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path)
+    )
+    url = f"jdbc:derby:{tmp_path}/whs;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    props = {"driver": driver}
+
+    rows = [
+        (1, 1, "a1"), (2, 1, "b1"),          # file 0
+        (1, 2, "a2"), (3, 1, "c1"),          # file 1
+        (2, 3, "b3"), (1, 3, "a3"),          # file 2
+    ]
+    src = str(tmp_path / "srcs")
+    batch = spark.createDataFrame(rows, "k long, ver long, payload string")
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+
+    # seed the target table with UNQUOTED DDL (Spark's JDBC writer
+    # quotes identifiers, which Derby then treats case-sensitively —
+    # the unquoted MERGE statement would not see those columns)
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+        "CREATE TABLE dim_live (k BIGINT, ver BIGINT, payload VARCHAR(32))"
+    )
+    conn.close()
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_upsert_jdbc(
+            stream, url, "dim_live", keys=["k"],
+            order_by=["ver"], dialect="merge", driver=driver,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    back = spark.read.jdbc(url, "dim_live", properties=props)
+    back = back.toDF(*[c.lower() for c in back.columns])  # Derby upper-cases unquoted DDL
+    got = {(r.k, r.ver, r.payload) for r in back.collect()}
+    want = {
+        (r.k, r.ver, r.payload)
+        for r in upsert_last_wins(
+            batch, keys=["k"], order_by=["ver"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_guarded_upsert_sql_strings():
+    """guard_by renders the strictly-newer predicate in both dialects
+    (lexicographic over the order_by columns; equal versions no-op)."""
+    from sales_etl_spark.load import build_upsert_sql
+
+    pg = build_upsert_sql(
+        "t", ["k", "v", "p"], ["k"], "postgres", guard_by=["v"]
+    )
+    assert pg.endswith("WHERE (EXCLUDED.v > t.v)"), pg
+
+    mg = build_upsert_sql(
+        "t", ["k", "a", "b", "p"], ["k"], "merge", guard_by=["a", "b"]
+    )
+    assert (
+        "WHEN MATCHED AND ((s.a > t.a) OR (s.a = t.a AND s.b > t.b)) "
+        "THEN UPDATE" in mg
+    ), mg
