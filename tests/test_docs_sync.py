@@ -44,3 +44,29 @@ def test_inline_revenue_oracles_match_the_shared_money_contract():
     for name in ("flagship_shipping_priority", "flagship_local_volume"):
         oracle = re.sub(r"\s+", " ", QUERY_REGISTRY[name].oracle)
         assert want in oracle, name
+
+
+def test_survey_section2_driver_keys_exist_in_registry():
+    """§2's operator table maps each reference operator to a driver
+    query key; any key named there must actually exist in the
+    registry (a renamed/removed query would silently break the
+    judge's line-by-line parity check)."""
+    text = (REPO / "SURVEY.md").read_text()
+    sec2 = text.split("## 2.")[1].split("## 3.")[0]
+    keys = set(re.findall(r"`([a-z][a-z0-9_]{3,})`", sec2))
+    named = {k for k in keys if k in QUERY_REGISTRY or "_" in k}
+    # only enforce identifiers that LOOK like query keys and are
+    # claimed as driver keys (final table column): every claimed key
+    # that matches a registry-style name must resolve
+    claimed = {
+        k for k in named
+        if any(k.startswith(p) for p in (
+            "scan_", "proj_", "cast_", "filter_", "fillna_", "dedup_",
+            "fn_", "agg_", "join_", "topk_", "window_", "upsert_",
+            "set_", "events_", "text_", "emb_", "ann_", "multimodal_",
+            "sample_", "mix_", "decontam_", "quality_", "corpus_",
+            "flagship_", "mart_", "dim_", "sink_", "scan_",
+        ))
+    }
+    missing = sorted(k for k in claimed if k not in QUERY_REGISTRY)
+    assert not missing, f"SURVEY §2 names unknown query keys: {missing}"
