@@ -26,7 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the dict
 # returned by ``queries()``.  Rotation policy (round-4): lead with the
 # r01/r02-cohort keys whose last driver row predates r03, then every
-# key round 4 ADDED or CHANGED (the 32 new queries — 17 early-round
+# key round 4 ADDED or CHANGED (the 33 new queries — 17 early-round
 # plus the TPC-H-shaped trio, k-means pair, bucketed join, quartile/
 # histogram profiling, and the dyadic-exact EWMA —
 # and the floor-micro rewrites of text_lm_score / text_tfidf_keywords,
@@ -48,7 +48,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # order-grain machinery inside the in-window avg-check mart,
 # text_quality_filter beside the four in-window text queries,
 # join_left_region whose broadcast-dim-with-Unknown-fill machinery
-# runs inside the in-window avg-check and returned-items marts)
+# runs inside the in-window avg-check and returned-items marts,
+# window_running_sum beside the in-window prefix-sum machinery of
+# events_cumulative_users and the two newer window queries)
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps.
@@ -58,7 +60,6 @@ _SWEEP_FIRST = [
     "agg_avg_check_by_region",
     "topk_product_ranking",
     "upsert_last_wins",
-    "window_running_sum",
     "text_stats",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
@@ -103,6 +104,7 @@ _SWEEP_FIRST = [
     "emb_standardize",
     "scan_lake_table",
     "window_topn_per_group",
+    "scan_binary_files",
     # -- r03-green keys touched or shadowed by round-4 changes -------
     "mix_token_budget",
     "agg_sales_summary",

@@ -769,6 +769,70 @@ def scan_lake_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: binaryFile ingestion fixture: this many docs land as loose files.
+_BINFILE_N = 100
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < {_BINFILE_N}
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — how image/audio/video corpora
+    actually arrive (directories of opaque files, not parquet): a
+    fixture of loose ``doc_<id>.bin`` files is scanned as (path,
+    length, content) rows, the id recovered from the file name and
+    the payload fingerprinted. The oracle recomputes byte length and
+    md5 from the documents table the fixture was written from, so the
+    ENTIRE ingest loop — file write → distributed directory scan →
+    binary column → fingerprint — is hash-verified.
+
+    Scale notes: binaryFile scans parallelize across files like any
+    file source (one row per file; partition count follows
+    maxPartitionBytes over file sizes); pair with
+    ``pathGlobFilter``/``recursiveFileLookup`` for lake layouts, and
+    hand the binary column to the multimodal tier
+    (operators/multimodal.py) for Arrow-batched decode. The fixture
+    write is driver-side and bounded (one-time, {_BINFILE_N} small
+    files, guarded by a completion sentinel)."""
+    from pathlib import Path
+
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    root = Path(_scratch("binfiles", sf_dir))
+    done = root / "_complete"
+    if not done.exists():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        (root / "data").mkdir(parents=True)
+        rows = (
+            st.documents.filter(F.col("doc_id") < _BINFILE_N)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            (root / "data" / f"doc_{r.doc_id}.bin").write_bytes(
+                r.text.encode("utf-8")
+            )
+        done.touch()
+    files = spark.read.format("binaryFile").load(str(root / "data"))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 @query(
     "emb_standardize",
     oracle="""
