@@ -53,7 +53,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # events_cumulative_users and the two newer window queries)
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
-# session's full local sweeps.
+# session's full local sweeps. The continuation window's eight new
+# queries (trade tier + corr + gapfill) take the final slots; to keep
+# the window at 50 they displace events_window_tumbling /
+# events_session_window (r1/r2-green, bench-exercised every round),
+# multimodal_features / events_json_extract / dedup_exact_docs
+# (r1/r2-green, machinery unchanged since, re-verified locally), and
+# the three r03-green touched keys (mix_token_budget,
+# agg_sales_summary, flagship_pricing_summary — all hash-exact in
+# r03 AND re-verified locally after the touches).
 # No-oracle queries (rows-only check; recall-tested in tests/) go last.
 _SWEEP_FIRST = [
     # -- no driver row since r02 (re-verified locally each round) ----
@@ -61,13 +69,8 @@ _SWEEP_FIRST = [
     "topk_product_ranking",
     "upsert_last_wins",
     "text_stats",
-    "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "multimodal_features",
-    "events_json_extract",
-    "events_window_tumbling",
-    "events_session_window",
     "scan_csv",
     "sink_roundtrip",
     "join_salted_skew",
@@ -105,10 +108,15 @@ _SWEEP_FIRST = [
     "scan_lake_table",
     "window_topn_per_group",
     "scan_binary_files",
-    # -- r03-green keys touched or shadowed by round-4 changes -------
-    "mix_token_budget",
-    "agg_sales_summary",
-    "flagship_pricing_summary",
+    # -- continuation-window additions (newest hard-signal cohort) ---
+    "flagship_nation_trade",
+    "flagship_market_share",
+    "flagship_cust_order_dist",
+    "flagship_top_supplier",
+    "flagship_brand_revenue",
+    "flagship_idle_balances",
+    "agg_corr_qty_price",
+    "events_gapfill",
 ]
 
 

@@ -1,0 +1,618 @@
+"""Cross-nation trade flagships + distribution/statistics closers
+(round-4 continuation tier).
+
+Join/agg patterns the registry had not yet demonstrated end-to-end,
+each a distinct planner stress the TPC-H family is built around:
+
+- Q7-shaped bilateral trade volume: TWO dimension hops off the same
+  fact row (supplier nation x customer nation) with a cross-pair
+  residual — the shape where a naive plan shuffles the fact twice;
+- Q8-shaped market share: conditional share-of-total per year — two
+  decimal sums in ONE aggregation pass, divided once in double;
+- Q13-shaped customer order distribution: LEFT OUTER join with a
+  predicate INSIDE the join condition (not a post-filter — zero-order
+  customers must survive), then a groupBy-of-a-groupBy histogram;
+- Q15-shaped top supplier: aggregate → scalar max over the aggregate
+  → exact-equality filter back on the SAME aggregate (decimal
+  equality is safe because the money contract never rounds);
+- Q19-shaped disjunctive-predicate revenue: OR-of-ANDs where the
+  scan-level prefilters (brand IN-list, quantity envelope) are the
+  UNION of the per-branch ranges — pushdown Catalyst cannot derive
+  across a join on its own;
+- Q22-shaped idle-balance report: uncorrelated scalar subquery
+  (global average) + NOT EXISTS anti-join;
+- exact Pearson correlation / population covariance from decimal
+  moment sums — float statistics made order-free by accumulating
+  ONLY exact integers/decimals and evaluating one identical IEEE
+  expression on the final scalars (the events_rate_anomaly move,
+  generalized to second-order cross moments);
+- dense hourly gap-fill: the time-series resample primitive (grid =
+  span x keys via sequence(), zero-filled left join) — the missing-
+  bucket closer every monitoring rollup needs before rates/averages
+  are comparable across hours.
+
+Reference parity: the reference engine (etl/transform.py) stops at
+single-pass group-by marts; this tier is the §2.4/§2.5 extension
+surface (SURVEY.md) exercised at its hardest. Determinism rules are
+the registry's (plans/registry.py docstring): decimal money sums,
+double division only on exact operands, full tiebreakers on any
+top-k, no wall-clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_etl_spark.functions import scalars
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+_REV_SQL = scalars.LINE_REVENUE_SQL.format(q="l.")
+_rev = scalars.line_revenue
+
+
+def _nation_name_map(st) -> F.Column:
+    """nationkey → name as a literal map (the fixed-25-row dim
+    constant-fold; see sources/star.py customers)."""
+    return F.create_map(
+        *[
+            F.lit(x)
+            for r in st.nation.select("n_nationkey", "n_name").collect()
+            for x in (r.n_nationkey, r.n_name)
+        ]
+    )
+
+
+@query(
+    "flagship_nation_trade",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE s.s_nationkey IN (3, 8)
+      AND c.c_nationkey IN (3, 8)
+      AND s.s_nationkey <> c.c_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+    """,
+)
+def flagship_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    two nations, by direction and ship year.
+
+    Spark-first plan: both nation dims constant-fold (IN-list into the
+    supplier AND customer scans, key→name via one literal map probe),
+    so the executed tree is fact ⨝ orders ⨝ two PRE-FILTERED
+    ~2/25-size dims — the supplier and customer joins each broadcast,
+    and the cross-pair inequality (s_nation <> c_nation) rides the
+    customer join as a residual instead of materializing the 2x2
+    nation pairs and filtering after. At 100 TB the only real
+    exchange is lineitem ⨝ orders on the order key; everything
+    nation-side is map-side. Ship year is computed once, post-filter,
+    as a grouping column — the group-by grain is (2 directions x
+    |years|), so the final exchange is trivially small."""
+    st = _star(spark, sf_dir)
+    nmap = _nation_name_map(st)
+    pair = [3, 8]
+    s = st.supplier.filter(F.col("s_nationkey").isin(pair)).select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = st.customer.filter(F.col("c_nationkey").isin(pair)).select(
+        "c_custkey", "c_nationkey"
+    )
+    li = st.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    o = st.orders.select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") != F.col("c_nationkey")),
+        )
+        .groupBy(
+            nmap[F.col("s_nationkey")].alias("supp_nation"),
+            nmap[F.col("c_nationkey")].alias("cust_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "flagship_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(CAST(SUM(CASE WHEN s.s_nationkey = 6
+                              THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           CAST(SUM(CASE WHEN s.s_nationkey = 6
+                         THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+               AS nation_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE c.c_nationkey IN (1, 6, 11, 16, 21)
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+)
+def flagship_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all ECONOMY-part revenue sold
+    into the AMERICA region's customers in 1996-97, what share did
+    NATION_6's suppliers supply, per order year?
+
+    Spark-first plan: the share is a CONDITIONAL SUM over the same
+    rows as the total — one aggregation pass carries both decimal
+    sums, so "share of total" costs zero extra exchanges (the naive
+    two-query formulation scans and joins everything twice). The
+    region→nationkey hop constant-folds into the customer scan's
+    IN-list (AMERICA = regionkey 1 = keys 1,6,11,16,21 — spec-fixed
+    cardinality), the supplier dim is projected to (key, is-target
+    boolean) — ONE BIT of payload through the join — and part to its
+    key after the type filter. Division happens once per year row, on
+    exact decimal sums cast to double: identical IEEE in both
+    engines."""
+    st = _star(spark, sf_dir)
+    america = (
+        st.nation.join(
+            F.broadcast(
+                st.region.filter(F.col("r_name") == "AMERICA").select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+        .collect()
+    )
+    america_keys = [r.n_nationkey for r in america]
+    o = st.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = st.customer.filter(F.col("c_nationkey").isin(america_keys)).select(
+        "c_custkey"
+    )
+    s = st.supplier.select(
+        "s_suppkey", (F.col("s_nationkey") == 6).alias("__is_target")
+    )
+    p = st.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = (
+        st.lineitem.select(
+            "l_orderkey", "l_suppkey", "l_partkey",
+            "l_extendedprice", "l_discount",
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("__is_target"), _rev()).otherwise(zero))
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias(
+            "mkt_share"
+        ),
+        "nation_revenue",
+        "total_revenue",
+    )
+
+
+@query(
+    "flagship_cust_order_dist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def flagship_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k non-urgent orders — INCLUDING k=0.
+
+    The shape that forces a LEFT OUTER join with the predicate INSIDE
+    the join condition: filtering orders after the join would drop
+    zero-order customers entirely, and filtering with WHERE would turn
+    the outer join inner. COUNT(o_orderkey) (not COUNT(*)) makes the
+    null-extended rows count 0.
+
+    Spark-first plan: orders is pre-filtered and projected to its
+    custkey before the join, so the outer join carries one column;
+    the per-customer count is one exchange on c_custkey (AQE picks
+    broadcast/shuffle by side size — at 100 TB both sides are big and
+    it's a shuffle join, which is the correct shape: the grain is
+    per-customer and must cluster by customer exactly once). The
+    second aggregation reclusters |customers| rows by a small-domain
+    integer — negligible. A two-level COUNT-DISTINCT-style rewrite
+    does not apply: the histogram needs every customer row once."""
+    st = _star(spark, sf_dir)
+    c = st.customer.select("c_custkey")
+    o = st.orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "flagship_top_supplier",
+    oracle=f"""
+    WITH per_supp AS (
+        SELECT l.l_suppkey, SUM({_REV_SQL}) AS rev
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey AS supplier_id,
+           s.s_name AS supplier_name,
+           CAST(p.rev AS DOUBLE) AS revenue
+    FROM per_supp p
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE p.rev = (SELECT max(rev) FROM per_supp)
+    """,
+)
+def flagship_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    quarterly revenue — ALL of them on a tie, which is why this is an
+    exact-equality filter against a scalar max, not a LIMIT 1.
+
+    Spark-first plan: one exchange builds the per-supplier aggregate;
+    the scalar max is a 1-row aggregate OF that aggregate, broadcast
+    back as a cross join (no second scan of the fact — the reference
+    SQL's VIEW-used-twice becomes one shared plan fragment). Equality
+    on the DECIMAL revenue is safe across engines because the money
+    contract never rounds — each engine compares its own exact sums
+    to its own exact max. The supplier-name dim joins AFTER the
+    max-filter, against (almost always) one row."""
+    st = _star(spark, sf_dir)
+    li = st.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("__rev"))
+    mx = per_supp.agg(F.max("__rev").alias("__mx"))
+    s = st.supplier.select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "flagship_brand_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def flagship_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions spanning BOTH
+    join inputs.
+
+    Spark-first plan: the residual OR can only be checked after the
+    join, but its per-table ENVELOPES can be hoisted — the brand
+    IN-list and size<=15 prune the part scan, quantity BETWEEN 1 AND
+    30 prunes the fact scan — predicates Catalyst does not derive
+    (factoring a disjunction across join inputs is not an implemented
+    rewrite), so the engine hoists them explicitly. At 100 TB this is
+    the difference between joining every lineitem row and joining the
+    ~60% inside the quantity envelope against a ~12%-of-brands part
+    side; the envelope predicates land in PushedFilters and ride the
+    parquet row-group stats."""
+    st = _star(spark, sf_dir)
+    p = st.part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#14")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = st.lineitem.filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "flagship_idle_balances",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_balance
+    FROM customer c
+    CROSS JOIN thr
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY n.n_name
+    """,
+)
+def flagship_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle-balance report: customers whose balance
+    beats the positive-balance average but who have NO orders, counted
+    and totalled per nation.
+
+    Spark-first plan: the global average is an UNCORRELATED scalar
+    subquery — one 1-row aggregate broadcast back as a cross join (the
+    threshold is computed from exact decimal Σ / exact count, divided
+    once in double, so both engines derive the identical IEEE
+    threshold and the > comparison cannot straddle an ulp). The NOT
+    EXISTS is a LEFT ANTI join on the customer key — orders projected
+    to that single column before the exchange; at 100 TB the anti
+    join's build side is |customers-with-orders| keys, and AQE turns
+    it map-side when the threshold filter leaves few probe rows.
+    Nation names via the literal-map constant fold."""
+    st = _star(spark, sf_dir)
+    nmap = _nation_name_map(st)
+    thr = (
+        st.customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    c = st.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    idle = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            st.orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return idle.groupBy(nmap[F.col("c_nationkey")].alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
+
+
+@query(
+    "agg_corr_qty_price",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS returnflag,
+           n AS n_lines,
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS corr_nano,
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS covar_pop_micro
+    FROM m
+    """,
+)
+def agg_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation and population covariance of
+    (quantity, extended price) per return flag — WITHOUT the built-in
+    corr()/covar_pop(), whose running float accumulators are
+    partitioning-order-dependent and can never hash-match a
+    single-threaded engine.
+
+    The engine's order-free-float-statistics move, generalized to
+    second-order cross moments: both inputs are exact decimals by
+    schema (quantity is integral, price has 2 digits), so the five
+    moment sums Σx Σy Σxy Σx² Σy² accumulate EXACTLY (decimal adds
+    commute) and merge map-side like any algebraic aggregate; the
+    correlation is then ONE identical IEEE expression over the final
+    scalars in both engines. At 100 TB this is also the fastest shape:
+    five mergeable sums in a single partial+final hash aggregate, no
+    second pass over the data (the textbook mean-centered formula
+    needs the mean first), |returnflag| rows out.
+
+    The emitted statistics are nano-/micro-quantized (floor(x*1e9+0.5)
+    into integers — the registry's text_lm_score pattern): the moment
+    sums exceed 2^53 in scaled units, and DECIMAL(38,4)→double casts
+    of such magnitudes are not correctly rounded identically across
+    engines (int128 halves vs BigDecimal), so the raw doubles can
+    straddle one ulp. Quantizing the FINAL scalar absorbs that; the
+    moments themselves stay exact."""
+    st = _star(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = st.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    denx = F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+    deny = F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    return m.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("n").alias("n_lines"),
+        F.floor(
+            (num / (denx * deny)) * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("corr_nano"),
+        F.floor(
+            (num / (nd * nd)) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("covar_pop_micro"),
+    )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, h.hour, COALESCE(x.n_events, 0) AS n_events
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN hourly x
+      ON x.event_type = t.event_type AND x.hour = h.hour
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event counts: every (type, hour) cell of the
+    observed time span, missing hours emitted as ZERO — the resample/
+    gap-fill primitive that makes per-hour rates comparable (a sparse
+    rollup silently conflates "no events" with "no row", which skews
+    any average or anomaly baseline computed over it).
+
+    Spark-first plan: the raw stream collapses to (type, hour) grain
+    in one partial-aggregated exchange; the dense grid is generated
+    FROM the 1-row span aggregate via sequence()+explode — |hours|
+    rows from one row, no driver loop, no collected timestamps — and
+    cross-joined with the |types| distinct values (both sides
+    broadcast-size by construction: the grid is |types|x|hours|
+    regardless of corpus size). The left join back to the sparse
+    rollup is grid-sized, not events-sized. At 100 TB nothing here
+    grows except the first aggregation's input."""
+    st = _star(spark, sf_dir)
+    ev = st.events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    hours = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+        )
+    )
