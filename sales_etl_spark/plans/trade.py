@@ -304,20 +304,27 @@ def flagship_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarterly revenue — ALL of them on a tie, which is why this is an
     exact-equality filter against a scalar max, not a LIMIT 1.
 
-    Spark-first plan: one exchange builds the per-supplier aggregate;
-    the scalar max is a 1-row aggregate OF that aggregate, broadcast
-    back as a cross join (no second scan of the fact — the reference
-    SQL's VIEW-used-twice becomes one shared plan fragment). Equality
-    on the DECIMAL revenue is safe across engines because the money
-    contract never rounds — each engine compares its own exact sums
-    to its own exact max. The supplier-name dim joins AFTER the
-    max-filter, against (almost always) one row."""
+    Spark-first plan: one exchange builds the per-supplier aggregate,
+    which is CACHED — the SQL formulation reads its view twice (probe
+    + scalar max), and neither static ReuseExchange nor AQE stage
+    reuse dedupes the two branches (verified on the executed plan:
+    two ShuffleQueryStages, two fact scans), so the engine pins the
+    |active suppliers|-row exchange OUTPUT instead (SCALE.md §13's
+    rule: cache exchange outputs, not inputs — this is the smallest
+    one in the registry). The scalar max is then a 1-row aggregate of
+    the cache, broadcast back. Equality on the DECIMAL revenue is
+    safe across engines because the money contract never rounds —
+    each engine compares its own exact sums to its own exact max.
+    The supplier-name dim joins AFTER the max-filter, against
+    (almost always) one row."""
     st = _star(spark, sf_dir)
     li = st.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("__rev"))
+    per_supp = (
+        li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("__rev")).cache()
+    )
     mx = per_supp.agg(F.max("__rev").alias("__mx"))
     s = st.supplier.select("s_suppkey", "s_name")
     return (

@@ -336,7 +336,15 @@ _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
 #: log-prob normalizer) into every row — Spark plans that scalar
 #: attach as a BroadcastNestedLoopJoin, which is the correct shape
 #: for a 1-row side (it is how scalar subqueries compile too).
-_SCALAR_BNLJ_OK = {"text_lm_score", "text_tfidf_keywords"}
+_SCALAR_BNLJ_OK = {
+    "text_lm_score",
+    "text_tfidf_keywords",
+    # 1-row global-average threshold broadcast into the customer scan
+    "flagship_idle_balances",
+    # 1-row span aggregate -> sequence() grid, then the |types|x|hours|
+    # grid cross — every side bounded by construction, never data-sized
+    "events_gapfill",
+}
 
 
 def test_every_registered_query_obeys_global_plan_invariants(spark):
@@ -364,6 +372,109 @@ def test_every_registered_query_obeys_global_plan_invariants(spark):
         ):
             bad.append(f"{name}: nested-loop join")
     assert not bad, bad
+
+
+def test_brand_revenue_hoists_disjunct_envelopes_to_scans(spark):
+    """flagship_brand_revenue: the OR-of-ANDs spans both join inputs,
+    so Catalyst cannot push any of it down on its own — the builder
+    hoists the per-table ENVELOPES explicitly. Locks: quantity
+    [1,30] reaches the lineitem scan's PushedFilters, the brand
+    IN-list reaches the part scan, and the dim join broadcasts."""
+    plan = _formatted(_build(spark, "flagship_brand_revenue"))
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity,1\.0\)", plan
+    ), plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity,30\.0\)", plan
+    ), plan
+    assert re.search(r"PushedFilters: \[[^\]]*In\(p_brand", plan), plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cust_order_dist_keeps_the_outer_join_outer(spark):
+    """flagship_cust_order_dist: the priority predicate lives INSIDE
+    the left-outer join condition; a regression that turns the join
+    inner (predicate as post-filter) or flips it would silently drop
+    the zero-order customers that ARE the k=0 histogram bucket. The
+    pushed filter on the orders scan is fine (it only prunes the
+    nullable side's input) and locked as present."""
+    plan = _formatted(_build(spark, "flagship_cust_order_dist"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "LeftOuter" in body, body
+    assert re.search(
+        r"PushedFilters: \[[^\]]*Not\(EqualTo\(o_orderpriority,1-URGENT\)\)",
+        plan,
+    ), plan
+
+
+def test_top_supplier_caches_the_aggregate_not_the_fact(spark):
+    """flagship_top_supplier: the per-supplier aggregate feeds both
+    the probe side and the scalar max. Neither static ReuseExchange
+    nor AQE stage reuse dedupes the two branches (verified: the
+    un-cached form executes two ShuffleQueryStages and scans the fact
+    twice), so the builder caches the exchange OUTPUT — the plan must
+    read the InMemoryRelation in both branches and contain the
+    parquet fact scan exactly once (inside the cache populate)."""
+    plan = _formatted(_build(spark, "flagship_top_supplier"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "InMemoryTableScan" in body, body
+    assert len(re.findall(r"\(\d+\) Scan parquet", body)) <= 2  # fact+dim
+
+
+def test_nation_trade_constant_folds_both_nation_dims(spark):
+    """flagship_nation_trade / flagship_market_share: the nation (and
+    region) dims must NOT appear in the executed plan — they constant-
+    fold into scan IN-lists and a literal map at build time. Locks the
+    IN-list pushdown on the supplier and customer scans too."""
+    for name in ("flagship_nation_trade", "flagship_market_share"):
+        plan = _formatted(_build(spark, name))
+        body = plan.split("== Physical Plan ==")[1]
+        assert "nation.parquet" not in body, name
+        assert "region.parquet" not in body, name
+    trade = _formatted(_build(spark, "flagship_nation_trade"))
+    assert re.search(r"PushedFilters: \[In\(s_nationkey", trade), trade
+    assert re.search(r"PushedFilters: \[In\(c_nationkey", trade), trade
+
+
+def test_idle_balances_is_an_anti_join(spark):
+    """flagship_idle_balances: NOT EXISTS must compile to LeftAnti on
+    the customer key with orders projected to that one column — and
+    the 1-row threshold attaches as a broadcast, never a shuffle."""
+    plan = _formatted(_build(spark, "flagship_idle_balances"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "LeftAnti" in body, body
+    assert re.search(r"ReadSchema: [^\n]*o_custkey", plan), plan
+
+
+def test_corr_moments_single_aggregation_pass(spark):
+    """agg_corr_qty_price: all five moment sums plus the count ride
+    ONE partial+final hash aggregate — exactly one exchange in the
+    whole plan, no second pass for the means (the mean-centered
+    formula's extra scan is the thing the moment form exists to
+    avoid)."""
+    plan = _formatted(_build(spark, "agg_corr_qty_price"))
+    body = plan.split("== Physical Plan ==")[1]
+    # count node headers "(N) Exchange" — the formatted body repeats
+    # each node in the tree sketch AND a detail section
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", body))
+    assert n_exchanges == 1, body
+    assert len(re.findall(r"\(\d+\) Scan parquet", body)) == 1
+
+
+def test_gapfill_grid_is_generated_not_scanned(spark):
+    """events_gapfill: the dense grid must come from sequence() over
+    the 1-row span aggregate (a Generate node), with the events
+    parquet scanned at most twice (sparse rollup + distinct types) —
+    never once per grid row; and the sparse rollup joins back via
+    broadcast (the grid and rollup are both bounded). Catalyst prunes
+    the span branch to a direct min/max over the single ts column, so
+    the file is scanned three times — each scan 1-2 columns wide and
+    page-cache-cheap, which beats materializing the rollup to dodge
+    one narrow re-read."""
+    plan = _formatted(_build(spark, "events_gapfill"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Generate" in body, body
+    assert len(re.findall(r"\(\d+\) Scan parquet", body)) <= 3
 
 
 def test_salted_join_never_broadcasts_the_replica(spark):
