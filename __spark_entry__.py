@@ -54,11 +54,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # — every demoted
 # key unchanged since r1/r2 and re-verified bit-exact in this
 # session's full local sweeps. The continuation window's eight new
-# queries (trade tier + corr + gapfill) take the final slots; to keep
-# the window at 50 they displace events_window_tumbling /
-# events_session_window (r1/r2-green, bench-exercised every round),
-# multimodal_features / events_json_extract / dedup_exact_docs
-# (r1/r2-green, machinery unchanged since, re-verified locally), and
+# queries (trade tier + corr + gapfill + semantic-dedup/temperature/
+# LOCF batch) take the final slots; to keep the window at 50 they
+# displace events_window_tumbling / events_session_window
+# (r1/r2-green, bench-exercised every round), multimodal_features /
+# events_json_extract / dedup_exact_docs / text_stats /
+# dedup_ngram_jaccard / ann_cosine_topk (r1/r2-green, machinery
+# unchanged since, re-verified locally; the text/vector/Jaccard
+# families keep in-window coverage via the six text queries,
+# corpus_pipeline_e2e and the kmeans/quantized-topk vector keys), and
 # the three r03-green touched keys (mix_token_budget,
 # agg_sales_summary, flagship_pricing_summary — all hash-exact in
 # r03 AND re-verified locally after the touches).
@@ -68,9 +72,6 @@ _SWEEP_FIRST = [
     "agg_avg_check_by_region",
     "topk_product_ranking",
     "upsert_last_wins",
-    "text_stats",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
     "scan_csv",
     "sink_roundtrip",
     "join_salted_skew",
@@ -117,6 +118,9 @@ _SWEEP_FIRST = [
     "flagship_idle_balances",
     "agg_corr_qty_price",
     "events_gapfill",
+    "dedup_semantic",
+    "mix_temperature_resample",
+    "events_locf",
 ]
 
 

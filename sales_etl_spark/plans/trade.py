@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_etl_spark.functions import scalars
+from sales_etl_spark.functions import scalars, vectors
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -622,4 +622,331 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: semantic dedup, temperature mixing, LOCF gap-fill
+# ---------------------------------------------------------------------------
+
+#: Same sequential-fold squared-L2 the k-means tier uses — one DuckDB
+#: twin of functions.vectors.sq_l2 (bit-identical fold order).
+_SQDIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+#: Near-duplicate radius (squared L2, micro-rounded): within-cluster
+#: pairs closer than this are semantic duplicates. Chosen from the
+#: measured pair-distance distribution (p1~1.35, p5~1.51 at sf0.01) so
+#: a real fraction of the synthetic corpus dedups at every scale.
+_SEMDEDUP_DELTA = 1.45
+
+_SEMDEDUP_K = 8
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cluster_id, embedding AS cv
+        FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cluster_id,
+               round({_SQDIST_SQL.format(a='e.embedding', b='c.cv')}, 6)
+                   AS dist_sq
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, embedding, cluster_id, dist_sq
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist_sq, cluster_id) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cluster_id, a.dist_sq
+    FROM a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM a b
+        WHERE b.cluster_id = a.cluster_id
+          AND b.vec_id <> a.vec_id
+          AND round({_SQDIST_SQL.format(a='a.embedding', b='b.embedding')},
+                    6) <= {_SEMDEDUP_DELTA}
+          AND (b.dist_sq < a.dist_sq
+               OR (b.dist_sq = a.dist_sq AND b.vec_id < a.vec_id))
+    )
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the embedding
+    corpus, then within each cluster drop every vector that has a
+    near-duplicate neighbor (sq_l2 <= delta) which is MORE CENTRAL
+    (closer to the centroid; vec_id tiebreak) — keeping one
+    representative per semantic neighborhood, preferring central
+    points. Survivors emitted with their cluster and centroid
+    distance.
+
+    Spark-first plan: assignment is the map-only literal-centroid
+    argmin (emb_kmeans_assign's kernel — zero exchanges); candidate
+    pairs are generated ONLY within a cluster via a self-join on
+    cluster_id, and the drop rule is a single LEFT ANTI join (NOT
+    EXISTS with no post-dedup — anti joins never duplicate the probe
+    side). The quadratic work is per-cluster, which is the published
+    algorithm's actual shape: k grows with the corpus (k ~ sqrt(N)
+    in production SemDeDup), holding cluster populations — and so
+    per-cluster pair counts — bounded. k=8 here is bench-scale; the
+    8-key self-join exchange is the known skew point at this k and
+    disappears at production k. Both anti-join inputs re-run the
+    map-only scoring pass rather than caching it: duplicating
+    scan-speed map work is cheaper than materializing the corpus
+    (cache exchange outputs, not map lineage — SCALE.md §13).
+
+    Reference parity: extends dedup_embedding_pairs (exact all-pairs
+    tier, fenced to verification scale) with the bucketed production
+    path; same family as operators/dedup.py's MinHash-LSH ladder but
+    over dense vectors."""
+    from sales_etl_spark.plans.analytics import (
+        _collect_centroids,
+        _kmeans_score_with_vec,
+    )
+
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    seeds = _collect_centroids(
+        e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    assigned = _kmeans_score_with_vec(
+        e.select("vec_id", "embedding"), seeds
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("cluster_id").alias("b_cluster_id"),
+        F.col("dist_sq").alias("b_dist_sq"),
+    )
+    pair_d = F.round(
+        vectors.sq_l2(F.col("embedding"), F.col("b_embedding")), 6
+    )
+    survivors = assigned.join(
+        b,
+        (F.col("cluster_id") == F.col("b_cluster_id"))
+        & (F.col("b_vec_id") != F.col("vec_id"))
+        & (pair_d <= F.lit(_SEMDEDUP_DELTA))
+        & (
+            (F.col("b_dist_sq") < F.col("dist_sq"))
+            | (
+                (F.col("b_dist_sq") == F.col("dist_sq"))
+                & (F.col("b_vec_id") < F.col("vec_id"))
+            )
+        ),
+        "left_anti",
+    )
+    return survivors.select("vec_id", "cluster_id", "dist_sq")
+
+
+#: Temperature-mix parameters: total document target and the mixing
+#: hash seed. Temperature is FIXED at 2 (w ~ mass^(1/2)) because sqrt
+#: is correctly rounded in IEEE — an arbitrary pow(x, 1/T) is not,
+#: and one-ulp pow drift across engines would flip floor() targets.
+_TEMP_MIX_TARGET = 240
+_TEMP_MIX_SEED = "temp-v1"
+
+
+@query(
+    "mix_temperature_resample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {{bpe}} AS n_tokens
+        FROM documents
+    ),
+    mass AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000
+                          + 0.5) AS BIGINT) AS w_micro
+        FROM toks GROUP BY source
+    ),
+    tot AS (SELECT SUM(w_micro) AS w_tot FROM mass),
+    targets AS (
+        SELECT m.source,
+               CAST(floor({_TEMP_MIX_TARGET}
+                          * (CAST(m.w_micro AS DOUBLE)
+                             / CAST(t.w_tot AS DOUBLE))) AS BIGINT)
+                   AS n_target
+        FROM mass m CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source, d.n_tokens,
+           CAST(d.rk AS BIGINT) AS rk,
+           g.n_target
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5('{_TEMP_MIX_SEED}:'
+                                       || CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id
+               ) AS rk
+        FROM toks
+    ) d
+    JOIN targets g ON g.source = d.source
+    WHERE d.rk <= g.n_target
+    """.replace(
+        "{bpe}",
+        r"CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER)",
+    ),
+)
+def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LLM
+    rebalancing move): per-source sampling targets proportional to
+    sqrt(token mass) — up-weighting small sources relative to their
+    raw share — then a deterministic hash-ordered prefix of each
+    source fills its target.
+
+    Cross-engine exactness: the weight chain is BIGINT token sums →
+    one sqrt (correctly rounded IEEE) → micro-quantized BIGINT
+    weights → exact integer total → one double division+multiplication
+    → floor. No accumulation ever happens in floating point, and
+    temperature is fixed at 2 precisely because sqrt is the one power
+    that IS correctly rounded everywhere.
+
+    Scale shape: token counting is map-side; the per-source mass is
+    one tiny aggregate (|sources| rows, broadcast back); ranking is
+    one exchange on the source key. Unlike sample_domain_cap the cap
+    varies per source, so no WindowGroupLimit partial pushdown —
+    compose with domain_cap(cap = max target) first when a single
+    source holds billions of rows."""
+    from sales_etl_spark.functions import text as TX
+    from sales_etl_spark.operators.sampling import hash_uniform_hex
+    from pyspark.sql.window import Window
+
+    st = _star(spark, sf_dir)
+    toks = st.documents.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    mass = toks.groupBy("source").agg(
+        F.floor(
+            F.sqrt(F.sum("n_tokens").cast("double")) * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_micro")
+    )
+    tot = mass.agg(F.sum("w_micro").alias("w_tot"))
+    targets = mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(_TEMP_MIX_TARGET)
+            * (F.col("w_micro").cast("double") / F.col("w_tot").cast("double"))
+        )
+        .cast("long")
+        .alias("n_target"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        hash_uniform_hex(F.col("doc_id"), _TEMP_MIX_SEED), F.col("doc_id")
+    )
+    ranked = toks.withColumn("rk", F.row_number().over(w).cast("long"))
+    return ranked.join(F.broadcast(targets), "source").filter(
+        F.col("rk") <= F.col("n_target")
+    ).select("doc_id", "source", "n_tokens", "rk", "n_target")
+
+
+@query(
+    "events_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type, h.hour,
+               COALESCE(x.n_events, 0) AS n_events,
+               x.total_value
+        FROM hours h
+        CROSS JOIN types t
+        LEFT JOIN hourly x
+          ON x.event_type = t.event_type AND x.hour = h.hour
+    )
+    SELECT event_type, hour, n_events,
+           n_events = 0 AS filled,
+           CAST(last_value(total_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS total_value_locf
+    FROM grid
+    """,
+)
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly totals with last-observation-carried-forward:
+    every (type, hour) cell of the span, empty hours carrying the most
+    recent hour's total (NULL before the first observation — carrying
+    nothing backwards is the point). The second half of the resample
+    story events_gapfill starts: gapfill makes rates comparable, LOCF
+    makes LEVEL metrics (balances, gauges, last-known state)
+    comparable.
+
+    Exactness: the carried value is an exact DECIMAL hourly sum; LOCF
+    SELECTS one of those decimals (no accumulation), and the single
+    double cast happens after — both engines pick the identical value.
+
+    Scale shape: identical to events_gapfill (one fact-sized
+    aggregation, bounded grid) plus ONE window over the grid —
+    |types| partitions of |hours| rows each, negligible at any corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    st = _star(spark, sf_dir)
+    ev = st.events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    )
+    span = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            "total_value",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "hour",
+        "n_events",
+        (F.col("n_events") == 0).alias("filled"),
+        F.last("total_value", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("total_value_locf"),
     )

@@ -344,6 +344,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row span aggregate -> sequence() grid, then the |types|x|hours|
     # grid cross — every side bounded by construction, never data-sized
     "events_gapfill",
+    "events_locf",
+    # 1-row weight-total broadcast into the |sources|-row mass frame
+    "mix_temperature_resample",
 }
 
 
@@ -475,6 +478,22 @@ def test_gapfill_grid_is_generated_not_scanned(spark):
     body = plan.split("== Physical Plan ==")[1]
     assert "Generate" in body, body
     assert len(re.findall(r"\(\d+\) Scan parquet", body)) <= 3
+
+
+def test_semantic_dedup_is_cluster_bucketed_anti_join(spark):
+    """dedup_semantic: candidate pairs must be generated ONLY within a
+    cluster (equi-join on cluster_id — never a cartesian/theta pair
+    stream), the survivor selection must be a LEFT ANTI join (NOT
+    EXISTS without post-dedup), and the centroid scoring must stay
+    map-only (no extra exchange between the scans and the join)."""
+    plan = _formatted(_build(spark, "dedup_semantic"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "LeftAnti" in body, body
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    # map-only scoring: the only exchanges are the anti-join's own
+    # (at most one per side + AQE reads); no aggregate exchange exists
+    assert "HashAggregate" not in body, body
 
 
 def test_salted_join_never_broadcasts_the_replica(spark):
