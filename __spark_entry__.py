@@ -85,7 +85,6 @@ _SWEEP_FIRST = [
     "corpus_overlap_matrix",
     "flagship_local_volume",
     "events_rate_anomaly",
-    "quality_expectations_long",
     "events_cumulative_users",
     "flagship_small_quantity",
     "scan_zorder_prune",
@@ -121,6 +120,10 @@ _SWEEP_FIRST = [
     "dedup_semantic",
     "mix_temperature_resample",
     "events_locf",
+    # (quality_expectations_long yields its slot to dedup_containment:
+    # the long form is a native-unpivot reshape of the in-window
+    # quality_expectations report — same aggregation machinery)
+    "dedup_containment",
 ]
 
 

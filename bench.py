@@ -73,6 +73,10 @@ HEADLINE = [
     # under-report; the assign query IS that measured pass shape)
     "emb_kmeans_assign",
     "flagship_returned_items",
+    # continuation window: deepest remaining join tree + the
+    # cluster-bucketed pair join (the two heaviest new shapes)
+    "flagship_market_share",
+    "dedup_semantic",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

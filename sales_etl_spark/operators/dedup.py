@@ -206,6 +206,30 @@ def ngram_jaccard_pairs(
     NOTE: set sizes are computed AFTER the cap, so jaccard stays a true
     Jaccard over the capped shingle sets — both sides of the oracle
     comparison must apply the same cap when it is low enough to bite."""
+    stats = _ngram_pair_stats(df, id_col, text_col, n, max_shingle_df)
+    return (
+        stats.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def _ngram_pair_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index pair statistics: (doc_a < doc_b, common,
+    size_a, size_b) over distinct word n-gram sets — the common core
+    of every exact set-overlap score (Jaccard, containment, overlap
+    coefficient, dice; each is one arithmetic expression over these
+    four columns)."""
     # The RAW stream is cached (it is reused four times: the DF-cap
     # frequency pass + index sides a/b + set sizes), so the corpus is
     # scanned and shingled exactly ONCE; the cap re-applies per
@@ -225,16 +249,39 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Exact containment-similar pairs (a < b): common / min(|A|, |B|)
+    — the ASYMMETRIC sibling of Jaccard that catches document-inside-
+    document near-dups (a quote, a mirrored article inside a longer
+    page, boilerplate-wrapped reposts). A short doc fully contained in
+    a long one scores containment 1.0 while its Jaccard can be
+    arbitrarily low — which is exactly the pair class Jaccard-threshold
+    dedup ships to training by mistake.
+
+    Same plan as :func:`ngram_jaccard_pairs` (one cached shingle scan,
+    DF-capped inverted-index join, one arithmetic score over the pair
+    stats); same 100 TB shape, same cap caveat: sizes are post-cap."""
+    stats = _ngram_pair_stats(df, id_col, text_col, n, max_shingle_df)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
+        stats.withColumn(
+            "containment",
             F.col("common").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+            / F.least(F.col("size_a"), F.col("size_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b", "common", "size_a", "size_b", "containment"
+        )
     )
 
 

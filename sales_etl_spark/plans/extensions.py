@@ -829,6 +829,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT c.doc_a, c.doc_b, c.common,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(c.common AS DOUBLE)
+               / least(sa.set_size, sb.set_size) AS containment
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc
+    JOIN sizes sb ON c.doc_b = sb.doc
+    WHERE CAST(c.common AS DOUBLE)
+          / least(sa.set_size, sb.set_size) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram containment pairs ≥ 0.6 (common / min set size) —
+    the asymmetric near-dup detector for document-INSIDE-document
+    cases (quotes, mirrored articles, boilerplate-wrapped reposts)
+    that a Jaccard threshold structurally misses: full containment of
+    a short doc in a long one has containment 1.0 but arbitrarily low
+    Jaccard. Shares the single cached shingle scan + DF-capped
+    inverted index with dedup_ngram_jaccard (operators/dedup.py:
+    _ngram_pair_stats); the two scores are different one-line
+    arithmetic over the same pair statistics."""
+    st = _star(spark, sf_dir)
+    return dedup.ngram_containment_pairs(
+        st.documents, "doc_id", "text", n=3, threshold=0.6,
+        max_shingle_df=10_000,
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH near-dup candidates (est. Jaccard ≥

@@ -288,3 +288,84 @@ def test_scrub_hot_lines_df_threshold_and_invariance(spark):
         ).collect()
     )
     assert a == b == [(1, "unique one"), (2, "unique two")]
+
+
+def test_semantic_dedup_survivors_are_delta_separated(spark):
+    """The drop rule (drop x iff a more-central neighbor sits within
+    delta) implies survivors within a cluster are pairwise FARTHER
+    than delta apart: for any surviving pair within delta, one side is
+    more central (centrality is a total order with the vec_id
+    tiebreak) and the other would have been dropped. This is the
+    operator's contract — one representative per delta-neighborhood."""
+    from itertools import combinations
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.plans.trade import _SEMDEDUP_DELTA
+
+    sf = "/root/testdata/sf0.001"
+    surv = QUERY_REGISTRY["dedup_semantic"].builder(spark, sf).collect()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in surv:
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    assert sum(len(v) for v in by_cluster.values()) == len(surv) > 0
+    for members in by_cluster.values():
+        for a, b in combinations(members, 2):
+            d = round(
+                sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b])), 6
+            )
+            assert d > _SEMDEDUP_DELTA, (a, b, d)
+
+
+def test_containment_dominates_jaccard(spark):
+    """containment = common/min(|A|,|B|) >= jaccard for every pair
+    (min(|A|,|B|) <= union), so the jaccard-qualified pairs at a given
+    threshold are a SUBSET of the containment-qualified pairs at the
+    same threshold — the reason containment is the doc-inside-doc
+    catcher."""
+    from sales_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert set(jac) <= set(cont)
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-12, (pair, cont[pair], j)
+
+
+def test_containment_catches_doc_inside_doc_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment 1.0,
+    jaccard far below threshold — the pair class the operator exists
+    for."""
+    from sales_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"filler{i} word{i} token{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", threshold=0.9)
+    rows = cont.collect()
+    assert len(rows) == 1 and rows[0].containment == 1.0
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    assert jac.count() == 0

@@ -248,3 +248,39 @@ def test_weighted_sample_k_proportionality_and_invariance(spark):
     assert heavy_hits >= 34
     assert light_hits <= 14
     assert heavy_hits - light_hits >= 15
+
+
+def test_temperature_resample_targets_and_fill(spark):
+    """mix_temperature_resample: every source's survivor count equals
+    min(its sqrt-mass target, its doc count), and targets are
+    monotone in token mass (more tokens never means a smaller
+    target)."""
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERY_REGISTRY["mix_temperature_resample"].builder(spark, sf)
+    got = {
+        r.source: (r.n, r.n_target)
+        for r in out.groupBy("source", "n_target")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("source", "n", "n_target")
+        .collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", TX.token_count(F.col("text")).alias("t")
+    )
+    per_src = {
+        r.source: (r.n_docs, r.mass)
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("mass"))
+        .collect()
+    }
+    for src, (n, target) in got.items():
+        n_docs, _ = per_src[src]
+        assert n == min(target, n_docs), (src, n, target, n_docs)
+    # monotone: sort sources by mass; targets must be non-decreasing
+    by_mass = sorted(per_src, key=lambda s: per_src[s][1])
+    targets = [got[s][1] for s in by_mass if s in got]
+    assert targets == sorted(targets)
