@@ -79,7 +79,6 @@ _SWEEP_FIRST = [
     "scan_partition_prune",
     "decontam_shuffled",
     "join_bloom_pruned",
-    "dim_scd2_history",
     "quality_expectations",
     "mix_pack_sequences",
     "corpus_overlap_matrix",
@@ -122,8 +121,12 @@ _SWEEP_FIRST = [
     "events_locf",
     # (quality_expectations_long yields its slot to dedup_containment:
     # the long form is a native-unpivot reshape of the in-window
-    # quality_expectations report — same aggregation machinery)
+    # quality_expectations report — same aggregation machinery;
+    # dim_scd2_history yields to join_scd2_pointintime, whose oracle
+    # embeds the ENTIRE SCD2 CTE — the history is re-verified inside
+    # its consumer every sweep)
     "dedup_containment",
+    "join_scd2_pointintime",
 ]
 
 

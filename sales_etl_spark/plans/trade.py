@@ -954,3 +954,117 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value_locf"),
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey AS customer_id,
+               o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS ts,
+               o_orderkey AS uid
+        FROM orders
+    ),
+    chg AS (
+        SELECT *, lag(priority) OVER (
+            PARTITION BY customer_id ORDER BY ts, uid
+        ) AS prev
+        FROM src
+    ),
+    keep AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> priority),
+    hist AS (
+        SELECT customer_id, priority, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY customer_id ORDER BY ts, uid
+               ) AS valid_to
+        FROM keep
+    ),
+    fact AS (
+        SELECT o.o_custkey AS customer_id,
+               CAST(l.l_shipdate AS DATE) AS d,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT COALESCE(h.priority, 'none') AS priority_at_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(f.rev) AS DOUBLE) AS revenue
+    FROM fact f
+    LEFT JOIN hist h
+      ON h.customer_id = f.customer_id
+     AND h.valid_from <= f.d
+     AND (f.d < h.valid_to OR h.valid_to IS NULL)
+    GROUP BY COALESCE(h.priority, 'none')
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension — the
+    feature-store "no leakage" join: every shipped line is attributed
+    to the customer's priority state AS OF the ship date (lines before
+    a customer's first recorded state get 'none'), rolled up to a
+    lines/revenue report per state.
+
+    Spark-first plan: the oracle's interval theta join (valid_from <=
+    d < valid_to) NEVER executes — SCD2 intervals are change-
+    compressed, per-key disjoint, contiguous and open-ended at the
+    tail, so the latest valid_from <= d IS the covering interval, and
+    the engine runs the backward AS-OF join (operators/temporal.py:
+    one shuffle on the customer key + one in-partition sort-carry)
+    instead of an |facts| x |history rows per customer| interval
+    probe. Same-day state flips compress to an empty [d, d) interval,
+    which the builder drops pre-join (it can cover no fact and would
+    tie the as-of on valid_from); the surviving intervals stay
+    contiguous, keeping the as-of == interval-join equivalence exact.
+    Reference parity: composes dim_scd2_history (upsert family) with
+    join_asof machinery — the consumer the SCD2 timeline exists for."""
+    from sales_etl_spark.operators import upsert
+    from sales_etl_spark.operators.temporal import asof_join
+
+    st = _star(spark, sf_dir)
+    src = st.orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+        F.col("o_orderkey").alias("uid"),
+    )
+    hist = upsert.scd2_history(
+        src,
+        keys=["customer_id"],
+        order_by=["ts", "uid"],
+        attrs=["priority"],
+        ts_col="ts",
+    ).filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    fact = (
+        st.lineitem.select(
+            "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        .join(
+            st.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_shipdate").cast("date").alias("d"),
+            _rev().alias("rev"),
+        )
+    )
+    joined = asof_join(
+        fact,
+        hist.select("customer_id", "valid_from", "priority"),
+        by=["customer_id"],
+        left_ts="d",
+        right_ts="valid_from",
+        right_payload=["priority"],
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("priority"), F.lit("none")).alias(
+            "priority_at_ship"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )

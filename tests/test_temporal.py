@@ -309,3 +309,59 @@ def test_generic_funnel_four_steps_planted(spark):
             for d in derived
         )
         assert want == expect[:4], uid
+
+
+def test_scd2_pointintime_same_day_flip_matches_interval_semantics(spark):
+    """Two state changes on the SAME day produce an empty [d, d)
+    interval; the point-in-time join must attribute a fact on d to the
+    LAST change of the day (what the interval predicate d < valid_to
+    selects), and facts before the first interval get no state. This
+    is the edge where a naive as-of on valid_from would tie — the
+    builder drops empty intervals so the as-of stays the exact
+    interval join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.operators import upsert
+    from sales_etl_spark.operators.temporal import asof_join
+
+    d = dt.date
+    src = spark.createDataFrame(
+        [
+            (1, "LOW", d(2024, 1, 10), 1),
+            (1, "HIGH", d(2024, 1, 10), 2),   # same-day flip
+            (1, "MED", d(2024, 2, 1), 3),
+        ],
+        "customer_id long, priority string, ts date, uid long",
+    )
+    hist = upsert.scd2_history(
+        src, keys=["customer_id"], order_by=["ts", "uid"],
+        attrs=["priority"], ts_col="ts",
+    ).filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 5)),    # before any state -> null
+            (1, d(2024, 1, 10)),   # flip day -> HIGH (last change)
+            (1, d(2024, 1, 20)),   # inside [1-10, 2-1) -> HIGH
+            (1, d(2024, 3, 1)),    # open tail -> MED
+        ],
+        "customer_id long, d date",
+    )
+    got = {
+        r.d: r.priority
+        for r in asof_join(
+            facts, hist.select("customer_id", "valid_from", "priority"),
+            by=["customer_id"], left_ts="d", right_ts="valid_from",
+            right_payload=["priority"],
+        ).collect()
+    }
+    assert got == {
+        d(2024, 1, 5): None,
+        d(2024, 1, 10): "HIGH",
+        d(2024, 1, 20): "HIGH",
+        d(2024, 3, 1): "MED",
+    }
