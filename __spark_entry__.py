@@ -72,7 +72,6 @@ _SWEEP_FIRST = [
     "agg_avg_check_by_region",
     "topk_product_ranking",
     "upsert_last_wins",
-    "scan_csv",
     "sink_roundtrip",
     "join_salted_skew",
     # -- new in round 4 ----------------------------------------------
@@ -115,7 +114,6 @@ _SWEEP_FIRST = [
     "flagship_brand_revenue",
     "flagship_idle_balances",
     "agg_corr_qty_price",
-    "events_gapfill",
     "dedup_semantic",
     "mix_temperature_resample",
     "events_locf",
@@ -127,6 +125,12 @@ _SWEEP_FIRST = [
     # its consumer every sweep)
     "dedup_containment",
     "join_scd2_pointintime",
+    # (events_gapfill yields its slot to events_locf, whose oracle
+    # embeds the entire gapfill pipeline plus the carry-forward;
+    # scan_csv — unchanged three rounds, r1/r2-green, locally
+    # re-verified — yields to the two newest keys)
+    "events_twap",
+    "sample_quality_deciles",
 ]
 
 

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_etl_spark.functions import scalars, vectors
-from sales_etl_spark.plans.registry import query
+from sales_etl_spark.plans.registry import QUERY_REGISTRY, query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
 
@@ -1067,4 +1067,225 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "events_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, ts, event_id,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               lead(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS next_ts
+        FROM events
+    ),
+    held AS (
+        SELECT event_type, v,
+               date_diff('microsecond', ts, next_ts) AS dur_us
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(floor(CAST(SUM(v * dur_us) AS DOUBLE)
+                      / CAST(SUM(dur_us) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS twap_micro
+    FROM held
+    GROUP BY event_type
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each event's
+    value is held until the type's next event; the average weights
+    each value by its holding duration, not its count — the metric
+    that makes irregularly-sampled gauges comparable (a count-weighted
+    mean over-represents bursts). The open tail after the last event
+    holds nothing (no duration exists for it).
+
+    Exactness: durations are exact integer microseconds, values are
+    cast to DECIMAL once, and the weighted sum Σ v·dur accumulates in
+    DECIMAL — both engines divide the same two exact scalars once.
+    Ties on ts are totally ordered by event_id in BOTH engines. The
+    emitted average is micro-quantized: the weighted sum exceeds 2^53
+    in scaled units, where DECIMAL→double casts are not identically
+    rounded across engines (the agg_corr_qty_price hazard).
+
+    Scale shape: one shuffle on the type key, one in-partition sort
+    for lead(), one mergeable aggregation — the same cost as any
+    sessionization pass; nothing global, no scalar broadcast (the
+    tail is dropped, so no span aggregate is needed)."""
+    from pyspark.sql.window import Window
+
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = st.events.select(
+        "event_type", "ts", "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    ).withColumn("next_ts", F.lead("ts").over(w))
+    held = seq.filter(F.col("next_ts").isNotNull()).select(
+        "event_type",
+        "v",
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dur_us"),
+    )
+    return held.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").alias("total_us"),
+        F.floor(
+            F.sum(F.col("v") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("twap_micro"),
+    )
+
+
+#: Quality-decile sampling: keep rate grows with the decile (decile d
+#: keeps d/10 of its docs) — the quality-aware subsampling move.
+_QDECILE_SEED = "qdecile-v1"
+
+
+def _qdecile_oracle() -> str:
+    """DuckDB twin, assembled at import: the classifier score reuses
+    the EXACT weight expression quality_classifier_score's oracle uses
+    (extensions._QW_INT_SQL — one definition of the hashed weights),
+    and the per-decile hash thresholds are Python-generated literals
+    from the same threshold_hex the Spark side calls (decile 10 keeps
+    everything unconditionally: an 8-hex-char draw has no < 1.0
+    threshold representation)."""
+    from sales_etl_spark.operators.sampling import threshold_hex
+    from sales_etl_spark.plans.extensions import _QW_INT_SQL
+
+    kept_cases = " ".join(
+        f"WHEN bucket = {b} THEN CASE WHEN "
+        f"substr(md5('{_QDECILE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{threshold_hex(b * 0.1)}' THEN 1 ELSE 0 END"
+        for b in range(1, 10)
+    )
+    return rf"""
+    WITH sc AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                    THEN round(CAST(list_sum(list_transform(toks,
+                             t -> {_QW_INT_SQL})) AS DOUBLE)
+                         / 4294967296 / len(toks), 6)
+                    ELSE 0.0 END AS score
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+')
+                         AS toks
+              FROM documents) t
+    ),
+    dist AS (
+        SELECT score, COUNT(*) AS c FROM sc GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               SUM(c) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_c,
+               SUM(c) OVER () AS n
+        FROM dist
+    ),
+    bounds AS (
+        SELECT d, MIN(score) AS boundary
+        FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d)
+        WHERE cum_c >= ceil(n * d / 10.0)
+        GROUP BY d
+    ),
+    bucketed AS (
+        SELECT s.doc_id, s.score,
+               CAST(1 + COUNT(b.d) AS INTEGER) AS bucket
+        FROM sc s LEFT JOIN bounds b ON s.score > b.boundary
+        GROUP BY s.doc_id, s.score
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE {kept_cases} ELSE 1 END) AS BIGINT) AS n_kept
+    FROM bucketed
+    GROUP BY bucket
+    """
+
+
+_QDECILE_ORACLE = _qdecile_oracle()
+
+
+@query(
+    "sample_quality_deciles",
+    oracle=_QDECILE_ORACLE,
+)
+def sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware subsampling report: docs bucketed into score
+    DECILES of the hashed-classifier quality distribution, then
+    down-sampled at a rate that grows with quality (decile d keeps
+    d/10) — the standard move for skimming a web corpus toward its
+    better half without discarding diversity. Emits per-decile totals
+    and kept counts.
+
+    Spark-first plan: scoring is the map-only classifier fold; the
+    decile BOUNDARIES come from the micro-rounded score's distinct-
+    value histogram (one exchange to a bounded frame — scores have
+    1e-6 granularity, so the distribution frame cannot exceed the
+    value domain no matter the corpus), cumulated in one tiny window
+    and broadcast back as 9 literal-joined boundary rows; per-doc
+    bucketing is a broadcast join + count, never a global sort of the
+    corpus (row_number over an unpartitioned window — the naive
+    decile — funnels 100 TB through one task). Sampling is the
+    hash-threshold primitive (operators/sampling.py), map-side.
+
+    Tie semantics: equal scores share a bucket (quantile-with-ties),
+    so bucket populations are approximately n/10, exactly reproducible
+    in both engines."""
+    from pyspark.sql.window import Window
+    from sales_etl_spark.operators.sampling import (
+        hash_uniform_hex,
+        threshold_hex,
+    )
+
+    st = _star(spark, sf_dir)
+    qd = QUERY_REGISTRY["quality_classifier_score"]
+    sc = qd.builder(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    dist = sc.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = dist.select(
+        "score",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("d"))
+    bounds = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.col("cum_c") >= F.ceil(F.col("n") * F.col("d") / 10.0))
+        .groupBy("d")
+        .agg(F.min("score").alias("boundary"))
+    )
+    bucketed = (
+        sc.join(F.broadcast(bounds), F.col("score") > F.col("boundary"),
+                "left")
+        .groupBy("doc_id", "score")
+        .agg((F.count("d") + 1).cast("int").alias("bucket"))
+    )
+    # decile 10 keeps everything unconditionally — rate 1.0 has no
+    # 8-hex-char threshold representation (threshold_hex domain is
+    # [0, 1)); deciles 1-9 compare the uniform draw to a literal
+    kept = F.lit(1)
+    for b in range(9, 0, -1):
+        kept = F.when(
+            F.col("bucket") == b,
+            F.when(
+                hash_uniform_hex(F.col("doc_id"), _QDECILE_SEED)
+                < F.lit(threshold_hex(b * 0.1)),
+                1,
+            ).otherwise(0),
+        ).otherwise(kept)
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
     )

@@ -347,6 +347,9 @@ _SCALAR_BNLJ_OK = {
     "events_locf",
     # 1-row weight-total broadcast into the |sources|-row mass frame
     "mix_temperature_resample",
+    # 9-row decile frame cross + non-equi (score > boundary) broadcast
+    # join against the 9-row boundary frame — both sides literal-sized
+    "sample_quality_deciles",
 }
 
 
