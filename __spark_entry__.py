@@ -78,7 +78,6 @@ _SWEEP_FIRST = [
     "scan_partition_prune",
     "decontam_shuffled",
     "join_bloom_pruned",
-    "quality_expectations",
     "mix_pack_sequences",
     "corpus_overlap_matrix",
     "flagship_local_volume",
@@ -96,7 +95,6 @@ _SWEEP_FIRST = [
     "emb_kmeans_assign",
     "emb_kmeans_lloyd",
     "scan_bucketed_join",
-    "window_ntile_quartiles",
     "agg_histogram",
     "events_ewma_rate",
     "mart_incremental_refresh",
@@ -131,6 +129,12 @@ _SWEEP_FIRST = [
     # re-verified — yields to the two newest keys)
     "events_twap",
     "sample_quality_deciles",
+    # (quality_expectations — simple one-pass conditional counts,
+    # unit-tested, r4-locally-green — and window_ntile_quartiles —
+    # rank-selection machinery shared with the r03-green
+    # percentiles/median family — yield their slots to the two newest)
+    "events_session_stats",
+    "mix_epoch_schedule",
 ]
 
 

@@ -1289,3 +1289,157 @@ def sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept).alias("n_kept"),
     )
+
+
+@query(
+    "events_session_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, v,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+               AS duration_us,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain rollup over the 30-minute-gap sessionization:
+    events per session, wall-clock duration (microseconds, exact),
+    and the session's value total — the conversation-level mart a
+    training pipeline derives after grouping events into sessions
+    (window_sessionize_ids keeps the rows; this is its aggregate
+    consumer, the two halves of the sessionize story).
+
+    Scale shape: ONE shuffle on user_id serves the lag flag, the
+    running session number AND the final aggregation — the session
+    grain (user_id, session_seq) is a prefix-extension of the window
+    partitioning, so Catalyst reuses the exchange; nothing reclusters.
+    Value totals are DECIMAL sums (well under 2^53 scaled units per
+    session — sessions are humanly bounded; contrast events_twap's
+    corpus-sized sums, which need quantization)."""
+    from pyspark.sql.window import Window
+
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = st.events.select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    ).withColumn(
+        "new_sess",
+        F.when(us - F.lag(us).over(w) < 30 * 60 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias(
+            "duration_us"
+        ),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+#: Epoch-schedule targets: token demand per source for the planned
+#: training run (larger than any single source's supply at test SF,
+#: so repeat factors are non-trivial).
+_EPOCH_TARGET_DEFAULT = 5_000
+_EPOCH_TARGETS = {"src0": 12_000, "src1": 2_000, "src2": 0}
+
+
+@query(
+    "mix_epoch_schedule",
+    oracle=r"""
+    WITH mass AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+                    AS BIGINT) AS mass_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, mass_tokens,
+           CAST(CASE WHEN source = 'src0' THEN 12000
+                     WHEN source = 'src1' THEN 2000
+                     WHEN source = 'src2' THEN 0
+                     ELSE 5000 END AS BIGINT) AS target_tokens,
+           CAST((CASE WHEN source = 'src0' THEN 12000
+                      WHEN source = 'src1' THEN 2000
+                      WHEN source = 'src2' THEN 0
+                      ELSE 5000 END + mass_tokens - 1) // mass_tokens
+                AS BIGINT) AS n_epochs,
+           CAST(CASE WHEN source = 'src0' THEN 12000
+                     WHEN source = 'src1' THEN 2000
+                     WHEN source = 'src2' THEN 0
+                     ELSE 5000 END
+                - ((CASE WHEN source = 'src0' THEN 12000
+                         WHEN source = 'src1' THEN 2000
+                         WHEN source = 'src2' THEN 0
+                         ELSE 5000 END + mass_tokens - 1) // mass_tokens
+                   - 1) * mass_tokens AS BIGINT) AS last_epoch_tokens
+    FROM mass
+    """,
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch scheduling: when a source's token demand
+    exceeds its supply, the mix REPEATS the source — n_epochs =
+    ceil(target / mass) full passes, the last one truncated to
+    last_epoch_tokens (composable with mix_token_budget to pick WHICH
+    prefix fills the final partial pass). The report every
+    data-constrained training plan starts from (repeat factors per
+    source, zero-target sources scheduled out entirely with
+    n_epochs = 0).
+
+    Exactness: pure BIGINT arithmetic — token sums are integer, and
+    ceil-division is the (t + m - 1) div m identity, never a float.
+    Scale shape: token counting is map-side; the schedule is a
+    |sources|-row aggregate — one partial-combined exchange over the
+    corpus and nothing else."""
+    from sales_etl_spark.functions import text as TX
+
+    st = _star(spark, sf_dir)
+    mass = st.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias(
+            "mass_tokens"
+        ),
+    )
+    target = F.lit(_EPOCH_TARGET_DEFAULT).cast("long")
+    for s, t in _EPOCH_TARGETS.items():
+        target = F.when(F.col("source") == s, F.lit(t).cast("long")).otherwise(
+            target
+        )
+    n_epochs = F.floor(
+        (target + F.col("mass_tokens") - 1) / F.col("mass_tokens")
+    ).cast("long")
+    return mass.select(
+        "source",
+        "n_docs",
+        "mass_tokens",
+        target.alias("target_tokens"),
+        n_epochs.alias("n_epochs"),
+        (target - (n_epochs - 1) * F.col("mass_tokens"))
+        .cast("long")
+        .alias("last_epoch_tokens"),
+    )

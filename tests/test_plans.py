@@ -499,6 +499,18 @@ def test_semantic_dedup_is_cluster_bucketed_anti_join(spark):
     assert "HashAggregate" not in body, body
 
 
+def test_session_stats_reuses_the_sessionize_exchange(spark):
+    """events_session_stats: the lag flag, the running session number
+    AND the session-grain aggregation must all ride ONE user_id
+    exchange — the (user_id, session_seq) grain extends the window
+    partitioning, so a second exchange means Catalyst stopped
+    recognizing the prefix."""
+    plan = _formatted(_build(spark, "events_session_stats"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1, body
+    assert len(re.findall(r"\(\d+\) Scan parquet", body)) == 1
+
+
 def test_salted_join_never_broadcasts_the_replica(spark):
     """The n_salts-replicated side must SHUFFLE, not broadcast:
     Catalyst's size estimate doesn't scale through the Generate, so
