@@ -98,7 +98,6 @@ _SWEEP_FIRST = [
     "agg_histogram",
     "events_ewma_rate",
     "mart_incremental_refresh",
-    "text_hash_features",
     "events_rolling_active_users",
     "emb_standardize",
     "scan_lake_table",
@@ -135,6 +134,10 @@ _SWEEP_FIRST = [
     # percentiles/median family — yield their slots to the two newest)
     "events_session_stats",
     "mix_epoch_schedule",
+    # (text_hash_features — a map-only integer-hash fold, locally
+    # green at three scales — yields to the VARIANT demonstration,
+    # which has no driver row yet)
+    "events_variant_agg",
 ]
 
 

@@ -1443,3 +1443,47 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_epoch_tokens"),
     )
+
+
+@query(
+    "events_variant_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    props parses ONCE into the binary variant encoding, and every
+    downstream extraction (`try_variant_get`) walks the encoded tree
+    instead of re-running a string JSON parser per path — the
+    parse-once/extract-many contract that matters when a 100 TB event
+    stream carries deep props and queries touch several paths each
+    (get_json_object re-parses the string per call;
+    events_json_extract keeps that legacy single-path form for
+    contrast). try_variant_get nulls malformed rows instead of
+    failing the job, matching the engine's null-on-error cast
+    posture (SURVEY P3). Integer-only aggregates — exact in both
+    engines."""
+    st = _star(spark, sf_dir)
+    v = st.events.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "long")
+    return v.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
