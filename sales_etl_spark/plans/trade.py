@@ -1389,15 +1389,20 @@ _EPOCH_TARGETS = {"src0": 12_000, "src1": 2_000, "src2": 0}
                       WHEN source = 'src2' THEN 0
                       ELSE 5000 END + mass_tokens - 1) // mass_tokens
                 AS BIGINT) AS n_epochs,
-           CAST(CASE WHEN source = 'src0' THEN 12000
-                     WHEN source = 'src1' THEN 2000
-                     WHEN source = 'src2' THEN 0
-                     ELSE 5000 END
-                - ((CASE WHEN source = 'src0' THEN 12000
-                         WHEN source = 'src1' THEN 2000
-                         WHEN source = 'src2' THEN 0
-                         ELSE 5000 END + mass_tokens - 1) // mass_tokens
-                   - 1) * mass_tokens AS BIGINT) AS last_epoch_tokens
+           CAST(CASE WHEN (CASE WHEN source = 'src0' THEN 12000
+                                WHEN source = 'src1' THEN 2000
+                                WHEN source = 'src2' THEN 0
+                                ELSE 5000 END) = 0 THEN 0
+                ELSE CASE WHEN source = 'src0' THEN 12000
+                          WHEN source = 'src1' THEN 2000
+                          WHEN source = 'src2' THEN 0
+                          ELSE 5000 END
+                     - ((CASE WHEN source = 'src0' THEN 12000
+                              WHEN source = 'src1' THEN 2000
+                              WHEN source = 'src2' THEN 0
+                              ELSE 5000 END + mass_tokens - 1)
+                        // mass_tokens - 1) * mass_tokens
+                END AS BIGINT) AS last_epoch_tokens
     FROM mass
     """,
 )
@@ -1439,8 +1444,13 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mass_tokens",
         target.alias("target_tokens"),
         n_epochs.alias("n_epochs"),
-        (target - (n_epochs - 1) * F.col("mass_tokens"))
-        .cast("long")
+        # a zero-target source is scheduled out: 0 epochs, 0 tokens
+        # (the raw identity would claim a full phantom pass of -0th
+        # epoch: target - (0-1)*mass = mass)
+        F.when(target == 0, F.lit(0).cast("long"))
+        .otherwise(
+            (target - (n_epochs - 1) * F.col("mass_tokens")).cast("long")
+        )
         .alias("last_epoch_tokens"),
     )
 
