@@ -765,8 +765,9 @@ _TEMP_MIX_SEED = "temp-v1"
     "mix_temperature_resample",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, source, {{bpe}} AS n_tokens
-        FROM documents
+        SELECT doc_id, source, n_tokens
+        FROM (SELECT doc_id, source, {{bpe}} AS n_tokens FROM documents)
+        WHERE n_tokens > 0
     ),
     mass AS (
         SELECT source,
@@ -808,7 +809,10 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalancing move): per-source sampling targets proportional to
     sqrt(token mass) — up-weighting small sources relative to their
     raw share — then a deterministic hash-ordered prefix of each
-    source fills its target.
+    source fills its target. Zero-token documents are dropped up
+    front (the token_budget_mix contract): they carry no mass, and
+    letting them occupy target slots would fill a "token" budget with
+    empty documents.
 
     Cross-engine exactness: the weight chain is BIGINT token sums →
     one sqrt (correctly rounded IEEE) → micro-quantized BIGINT
@@ -830,7 +834,7 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _star(spark, sf_dir)
     toks = st.documents.select(
         "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
-    )
+    ).filter(F.col("n_tokens") > 0)
     mass = toks.groupBy("source").agg(
         F.floor(
             F.sqrt(F.sum("n_tokens").cast("double")) * F.lit(1000000)
