@@ -50,3 +50,30 @@ def test_date_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert m and "order_year" in m.group(1), plan
     # and the pruned read agrees with the unpruned filter
     assert df.count() == orders.filter(F.col("order_year") == 1997).count()
+
+
+def test_variant_extraction_nulls_malformed_and_missing(spark):
+    """The VARIANT path (events_variant_agg's kernel): parse_json +
+    try_variant_get must null out missing paths and wrong-typed
+    values rather than fail the job; unparseable JSON must not
+    propagate an error through try_parse_json."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7}'),
+            (2, '{"k": "not-an-int"}'),
+            (3, '{"other": 1}'),
+            (4, "not json at all"),
+            (5, None),
+        ],
+        "id long, props string",
+    )
+    out = {
+        r.id: r.k
+        for r in df.select(
+            "id",
+            F.try_variant_get(
+                F.try_parse_json(F.col("props")), "$.k", "long"
+            ).alias("k"),
+        ).collect()
+    }
+    assert out == {1: 7, 2: None, 3: None, 4: None, 5: None}
