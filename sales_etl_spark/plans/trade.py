@@ -43,8 +43,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sales_etl_spark.functions import scalars, vectors
+from sales_etl_spark.functions import text as TX
+from sales_etl_spark.operators.sampling import (
+    hash_uniform_hex,
+    threshold_hex,
+)
 from sales_etl_spark.plans.registry import QUERY_REGISTRY, query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -827,10 +833,6 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     varies per source, so no WindowGroupLimit partial pushdown —
     compose with domain_cap(cap = max target) first when a single
     source holds billions of rows."""
-    from sales_etl_spark.functions import text as TX
-    from sales_etl_spark.operators.sampling import hash_uniform_hex
-    from pyspark.sql.window import Window
-
     st = _star(spark, sf_dir)
     toks = st.documents.select(
         "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
@@ -912,8 +914,6 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, bounded grid) plus ONE window over the grid —
     |types| partitions of |hours| rows each, negligible at any corpus
     size."""
-    from pyspark.sql.window import Window
-
     st = _star(spark, sf_dir)
     ev = st.events.select(
         "event_type",
@@ -1120,8 +1120,6 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lead(), one mergeable aggregation — the same cost as any
     sessionization pass; nothing global, no scalar broadcast (the
     tail is dropped, so no span aggregate is needed)."""
-    from pyspark.sql.window import Window
-
     st = _star(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = st.events.select(
@@ -1242,12 +1240,6 @@ def sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie semantics: equal scores share a bucket (quantile-with-ties),
     so bucket populations are approximately n/10, exactly reproducible
     in both engines."""
-    from pyspark.sql.window import Window
-    from sales_etl_spark.operators.sampling import (
-        hash_uniform_hex,
-        threshold_hex,
-    )
-
     st = _star(spark, sf_dir)
     qd = QUERY_REGISTRY["quality_classifier_score"]
     sc = qd.builder(spark, sf_dir).select(
@@ -1338,8 +1330,6 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value totals are DECIMAL sums (well under 2^53 scaled units per
     session — sessions are humanly bounded; contrast events_twap's
     corpus-sized sums, which need quantization)."""
-    from pyspark.sql.window import Window
-
     st = _star(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1425,7 +1415,6 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counting is map-side; the schedule is a
     |sources|-row aggregate — one partial-combined exchange over the
     corpus and nothing else."""
-    from sales_etl_spark.functions import text as TX
 
     st = _star(spark, sf_dir)
     mass = st.documents.groupBy("source").agg(
