@@ -8,8 +8,9 @@ Layout::
 
     table/
       data/<version>-<uuid>-partN.parquet   (immutable, write-once)
-      _log/00000000.json                    (manifest: file list + mode)
-      _log/00000001.json
+      deletes/<uuid>-dvN.parquet            (positional deletion vectors)
+      _log/00000000.json                    (manifest: file list + mode
+      _log/00000001.json                     + optional delete_files)
 
 Guarantees (local/posix filesystem; object stores need the usual
 if-none-match put, same protocol):
@@ -130,8 +131,15 @@ def commit_write(
                     f"v{expected_base}; re-read and retry"
                 )
         version = (existing[-1] + 1) if existing else 0
+        carried_dv: list[str] = []
         if mode == "append" and existing:
-            files = _read_manifest(table_path, existing[-1])["files"] + new_files
+            prev = _read_manifest(table_path, existing[-1])
+            files = prev["files"] + new_files
+            # deletion vectors target immutable existing files — an
+            # append must carry them forward or deleted rows would
+            # silently resurrect (new files can't collide: unique
+            # uuid names, vectors reference files by name)
+            carried_dv = prev.get("delete_files") or []
         else:
             files = list(new_files)
         manifest = {
@@ -140,6 +148,8 @@ def commit_write(
             "files": files,
             "n_new_files": len(new_files),
         }
+        if carried_dv:
+            manifest["delete_files"] = carried_dv
         target = _manifest_path(table_path, version)
         # fully-written unique temp, then hard-link to the version
         # name: link() is create-if-absent WITH content — the claim
@@ -170,7 +180,13 @@ def read_table(
     the file schemas (schema EVOLUTION across commits: a column added
     in a later version reads as NULL for earlier files — the additive
     half of Delta's evolution support; renames/drops still need a
-    rewrite)."""
+    rewrite).
+
+    If the manifest carries deletion vectors (``delete_files``, see
+    :func:`delete_where`), the deleted (file, position) pairs are
+    anti-joined out at read time via the parquet reader's hidden
+    ``_metadata.row_index`` column — rows vanish without their data
+    files having been rewritten."""
     vs = versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {table_path}")
@@ -178,13 +194,34 @@ def read_table(
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"version {version} not in {vs}")
-    files = _read_manifest(table_path, version)["files"]
+    manifest = _read_manifest(table_path, version)
+    files = manifest["files"]
     if not files:
         return spark.read.parquet(str(Path(table_path) / "data")).limit(0)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[str(Path(table_path) / f) for f in files])
+    df = reader.parquet(*[str(Path(table_path) / f) for f in files])
+    delete_files = manifest.get("delete_files") or []
+    if delete_files:
+        from pyspark.sql import functions as F
+
+        dv = spark.read.parquet(
+            *[str(Path(table_path) / f) for f in delete_files]
+        )
+        cols = df.columns
+        df = (
+            df.withColumn(
+                "__file",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
+            .select(*cols)
+        )
+    return df
 
 
 def read_changes(
@@ -223,6 +260,100 @@ def read_changes(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    max_retries: int = 5,
+) -> int | None:
+    """Row-level DELETE without rewriting data files — positional
+    deletion vectors (Iceberg v2 / Delta DV shape): the rows matching
+    ``predicate`` (a SQL boolean expression over the table's columns)
+    are recorded as (file, row position) pairs in small parquet
+    "delete files" under ``deletes/``; the data files stay byte-
+    identical, and :func:`read_table` anti-joins the vectors out.
+
+    Why this exists: an overwrite commit rewrites the ENTIRE snapshot
+    to drop a handful of rows (GDPR erasure, bad-record retraction) —
+    at 100 TB that is the difference between touching terabytes and
+    writing kilobytes. Deletes COMPOSE (each commit appends vectors;
+    positions are stable because data files are immutable), time
+    travel still shows pre-delete versions, and the next
+    :func:`compact` MATERIALIZES the deletions (its rewrite reads
+    through the vectors and commits a clean file list, clearing
+    ``delete_files``).
+
+    Returns the committed version, or None when nothing matched (a
+    no-op must not burn a version: idempotent retention jobs re-run
+    their predicates daily).
+
+    Concurrency: read-modify-write — positions are computed against a
+    snapshot, so the commit is compare-and-swapped against it and
+    retried on conflict, like :func:`compact`."""
+    from pyspark.sql import functions as F
+
+    table = Path(table_path)
+    for _ in range(max_retries):
+        vs = versions(table_path)
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {table_path}")
+        base = vs[-1]
+        manifest = _read_manifest(table_path, base)
+        files = manifest["files"]
+        if not files:
+            return None
+        # positions of surviving-then-matching rows, against this
+        # exact snapshot (existing vectors applied first — a row
+        # already deleted must not be re-recorded)
+        df = spark.read.parquet(*[str(table / f) for f in files])
+        df = df.withColumn(
+            "__file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        old_dv_files = manifest.get("delete_files") or []
+        if old_dv_files:
+            old_dv = spark.read.parquet(
+                *[str(table / f) for f in old_dv_files]
+            )
+            df = df.join(F.broadcast(old_dv), ["__file", "__pos"], "left_anti")
+        matches = df.filter(F.expr(predicate)).select("__file", "__pos")
+        if matches.isEmpty():
+            return None
+        # stage the new delete files, then CAS-publish the manifest
+        token = uuid.uuid4().hex[:12]
+        staging = table / f"_staging-dv-{token}"
+        matches.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        dv_dir = table / "deletes"
+        dv_dir.mkdir(parents=True, exist_ok=True)
+        new_dv = []
+        for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+            name = f"{token}-dv{i:05d}.parquet"
+            os.rename(part, dv_dir / name)
+            new_dv.append(f"deletes/{name}")
+        shutil.rmtree(staging, ignore_errors=True)
+
+        next_manifest = {
+            "version": base + 1,
+            "mode": "delete",
+            "files": list(files),
+            "n_new_files": 0,
+            "delete_files": old_dv_files + new_dv,
+        }
+        target = _manifest_path(table_path, base + 1)
+        tmp = _log_dir(table_path) / f".tmp-{token}-{base + 1}.json"
+        tmp.write_text(json.dumps(next_manifest))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            tmp.unlink()
+            continue  # foreign commit mid-delete: recompute positions
+        tmp.unlink()
+        return base + 1
+    raise RuntimeError(
+        f"delete contention: {max_retries} conflicts at {table_path}"
+    )
+
+
 def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     """Drop data files unreferenced by the ``keep_versions`` newest
     manifests (and the older manifests themselves). Returns the
@@ -234,14 +365,19 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     keep = vs[-keep_versions:]
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(table_path, v)["files"])
+        m = _read_manifest(table_path, v)
+        live.update(m["files"])
+        live.update(m.get("delete_files") or [])
     deleted = []
-    data_dir = Path(table_path) / "data"
-    for f in sorted(data_dir.glob("*.parquet")):
-        rel = f"data/{f.name}"
-        if rel not in live:
-            f.unlink()
-            deleted.append(rel)
+    for sub in ("data", "deletes"):
+        d = Path(table_path) / sub
+        if not d.is_dir():
+            continue
+        for f in sorted(d.glob("*.parquet")):
+            rel = f"{sub}/{f.name}"
+            if rel not in live:
+                f.unlink()
+                deleted.append(rel)
     for v in vs:
         if v not in keep:
             _manifest_path(table_path, v).unlink()

@@ -355,3 +355,105 @@ def test_upsert_remerges_when_compaction_lands_mid_merge(spark, tmp_path, monkey
     # overwrite the CAS exists to prevent (the first publish attempt
     # was staged against the pre-compaction version)
     assert got == [(1, 2, "a2"), (2, 1, "b")]
+
+
+def test_delete_where_removes_rows_without_rewriting_files(spark, tmp_path):
+    """Deletion vectors: DELETE drops rows at read time, data files
+    stay byte-identical, time travel shows pre-delete state, and a
+    no-match predicate burns no version."""
+    t = str(tmp_path / "tbl")
+    v0 = lake.commit_write(
+        spark.createDataFrame(
+            [(i, "keep" if i % 2 else "drop") for i in range(10)],
+            "k long, v string",
+        ),
+        t,
+    )
+    data_files = sorted((Path(t) / "data").glob("*.parquet"))
+    before = [(f.name, f.stat().st_size, f.stat().st_mtime_ns) for f in data_files]
+
+    v1 = lake.delete_where(spark, t, "v = 'drop'")
+    assert v1 == v0 + 1
+    after = [(f.name, f.stat().st_size, f.stat().st_mtime_ns)
+             for f in sorted((Path(t) / "data").glob("*.parquet"))]
+    assert before == after  # data files untouched
+    assert _rows(lake.read_table(spark, t)) == [
+        (i, "keep") for i in range(10) if i % 2
+    ]
+    # time travel: pre-delete snapshot intact
+    assert len(_rows(lake.read_table(spark, t, version=v0))) == 10
+    # no-match delete is a no-op, not a version
+    assert lake.delete_where(spark, t, "v = 'nope'") is None
+    assert lake.versions(t)[-1] == v1
+
+
+def test_deletes_compose_and_append_carries_vectors_forward(spark, tmp_path):
+    """A second DELETE composes with the first, and an APPEND after a
+    delete must carry the vectors forward — otherwise deleted rows
+    resurrect in the appended snapshot."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        ),
+        t,
+    )
+    lake.delete_where(spark, t, "k = 1")
+    lake.delete_where(spark, t, "k = 3")
+    assert _rows(lake.read_table(spark, t)) == [(2, "b"), (4, "d")]
+    lake.commit_write(
+        spark.createDataFrame([(5, "e")], "k long, v string"), t, "append"
+    )
+    assert _rows(lake.read_table(spark, t)) == [(2, "b"), (4, "d"), (5, "e")]
+    # the delete commit is row-level: CDC must refuse to cross it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lake.read_changes(spark, t, from_version=0)
+
+
+def test_compact_materializes_deletions_and_vacuum_reclaims_vectors(
+    spark, tmp_path
+):
+    """OPTIMIZE reads through the vectors and commits a clean file
+    list (delete_files cleared, rows still absent); vacuum then
+    reclaims the now-unreferenced vector files."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(i, str(i)) for i in range(8)], "k long, v string"
+        ),
+        t,
+    )
+    lake.delete_where(spark, t, "k >= 6")
+    v = lake.compact(spark, t, target_files=1)
+    m = json.loads((Path(t) / "_log" / f"{v:08d}.json").read_text())
+    assert not m.get("delete_files")
+    assert _rows(lake.read_table(spark, t)) == [(i, str(i)) for i in range(6)]
+    reclaimed = lake.vacuum(t, keep_versions=1)
+    assert any(r.startswith("deletes/") for r in reclaimed)
+    assert _rows(lake.read_table(spark, t)) == [(i, str(i)) for i in range(6)]
+
+
+def test_delete_does_not_rerecord_already_deleted_rows(spark, tmp_path):
+    """An overlapping predicate must only record NEW positions: the
+    second delete's vectors exclude rows the first already removed
+    (re-recording would be harmless for reads but would grow vectors
+    unboundedly under repeated retention sweeps)."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(i, "x") for i in range(6)], "k long, v string"
+        ),
+        t,
+    )
+    lake.delete_where(spark, t, "k < 4")       # deletes 0-3
+    lake.delete_where(spark, t, "k < 5")       # only 4 is newly deleted
+    m = json.loads(
+        (Path(t) / "_log" / f"{lake.versions(t)[-1]:08d}.json").read_text()
+    )
+    dv = spark.read.parquet(
+        *[str(Path(t) / f) for f in m["delete_files"]]
+    )
+    assert dv.count() == 5  # 4 + 1, not 4 + 5
+    assert _rows(lake.read_table(spark, t)) == [(5, "x")]
