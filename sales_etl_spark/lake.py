@@ -354,6 +354,106 @@ def delete_where(
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    max_retries: int = 5,
+) -> int:
+    """Atomic MERGE (upsert semantics): rows of ``source`` whose keys
+    exist in the table REPLACE the stored rows; the rest INSERT — in
+    ONE commit combining deletion vectors (for the replaced rows'
+    old positions) with new data files (for the entire source), so a
+    reader sees either the pre-merge or the post-merge table, never a
+    half-applied state. This is the Delta/Iceberg ``MERGE INTO``
+    shape, and the transaction-log upgrade of the reference's
+    ON CONFLICT upsert (etl/load.py:91-96): same semantics, but
+    file-rewrite-free on the un-touched data (an overwrite-based
+    upsert rewrites the whole snapshot; here old files stay and only
+    their replaced positions are masked).
+
+    ``source`` must be key-unique (pre-dedup with upsert_last_wins
+    for versioned streams). Read-modify-write: CAS against the
+    snapshot the positions were computed on, retried on conflict."""
+    from pyspark.sql import functions as F
+
+    table = Path(table_path)
+    for _ in range(max_retries):
+        vs = versions(table_path)
+        base = vs[-1] if vs else None
+        if base is None:
+            return commit_write(source, table_path, expected_base=-1)
+        manifest = _read_manifest(table_path, base)
+        files = manifest["files"]
+        old_dv_files = manifest.get("delete_files") or []
+        # positions of live rows whose key appears in the source
+        snap = spark.read.parquet(*[str(table / f) for f in files])
+        snap = snap.withColumn(
+            "__file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if old_dv_files:
+            old_dv = spark.read.parquet(
+                *[str(table / f) for f in old_dv_files]
+            )
+            snap = snap.join(
+                F.broadcast(old_dv), ["__file", "__pos"], "left_anti"
+            )
+        replaced = snap.join(
+            source.select(*keys).dropDuplicates(keys), keys, "left_semi"
+        ).select("__file", "__pos")
+
+        token = uuid.uuid4().hex[:12]
+        # stage new data files (the whole source: updates + inserts)
+        staging = table / f"_staging-{token}"
+        source.write.mode("overwrite").parquet(str(staging))
+        data_dir = table / "data"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        new_files = []
+        for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+            name = f"{token}-part{i:05d}.parquet"
+            os.rename(part, data_dir / name)
+            new_files.append(f"data/{name}")
+        shutil.rmtree(staging, ignore_errors=True)
+        # stage deletion vectors for the replaced positions (if any)
+        new_dv: list[str] = []
+        if not replaced.isEmpty():
+            dv_staging = table / f"_staging-dv-{token}"
+            replaced.coalesce(1).write.mode("overwrite").parquet(
+                str(dv_staging)
+            )
+            dv_dir = table / "deletes"
+            dv_dir.mkdir(parents=True, exist_ok=True)
+            for i, part in enumerate(sorted(dv_staging.glob("*.parquet"))):
+                name = f"{token}-dv{i:05d}.parquet"
+                os.rename(part, dv_dir / name)
+                new_dv.append(f"deletes/{name}")
+            shutil.rmtree(dv_staging, ignore_errors=True)
+
+        next_manifest = {
+            "version": base + 1,
+            "mode": "merge",
+            "files": files + new_files,
+            "n_new_files": len(new_files),
+        }
+        if old_dv_files or new_dv:
+            next_manifest["delete_files"] = old_dv_files + new_dv
+        target = _manifest_path(table_path, base + 1)
+        tmp = _log_dir(table_path) / f".tmp-{token}-{base + 1}.json"
+        tmp.write_text(json.dumps(next_manifest))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            tmp.unlink()
+            continue  # foreign commit mid-merge: recompute everything
+        tmp.unlink()
+        return base + 1
+    raise RuntimeError(
+        f"merge contention: {max_retries} conflicts at {table_path}"
+    )
+
+
 def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     """Drop data files unreferenced by the ``keep_versions`` newest
     manifests (and the older manifests themselves). Returns the

@@ -457,3 +457,80 @@ def test_delete_does_not_rerecord_already_deleted_rows(spark, tmp_path):
     )
     assert dv.count() == 5  # 4 + 1, not 4 + 5
     assert _rows(lake.read_table(spark, t)) == [(5, "x")]
+
+
+def test_merge_into_updates_and_inserts_in_one_commit(spark, tmp_path):
+    """MERGE: matched keys replaced, new keys inserted, ONE version
+    bump; untouched data files stay byte-identical and the pre-merge
+    snapshot time-travels."""
+    t = str(tmp_path / "tbl")
+    v0 = lake.commit_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        t,
+    )
+    before = [
+        (f.name, f.stat().st_size, f.stat().st_mtime_ns)
+        for f in sorted((Path(t) / "data").glob("*.parquet"))
+    ]
+    v1 = lake.merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        keys=["k"],
+    )
+    assert v1 == v0 + 1
+    assert _rows(lake.read_table(spark, t)) == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    ]
+    assert _rows(lake.read_table(spark, t, version=v0)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    now = [
+        (f.name, f.stat().st_size, f.stat().st_mtime_ns)
+        for f in sorted((Path(t) / "data").glob("*.parquet"))
+    ]
+    assert set(before) <= set(now)  # original files untouched, new added
+
+
+def test_merge_into_empty_table_is_insert(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v = lake.merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        keys=["k"],
+    )
+    assert v == 0
+    assert _rows(lake.read_table(spark, t)) == [(1, "a")]
+
+
+def test_merge_composes_with_deletes_and_compaction(spark, tmp_path):
+    """delete -> merge -> compact: the merge must respect prior
+    vectors (a deleted row's key counts as absent, so its re-merge is
+    an INSERT that does not resurrect the old row), and compaction
+    materializes the whole stack."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        t,
+    )
+    lake.delete_where(spark, t, "k = 1")
+    lake.merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1, "A2"), (3, "C2")], "k long, v string"),
+        keys=["k"],
+    )
+    assert _rows(lake.read_table(spark, t)) == [
+        (1, "A2"), (2, "b"), (3, "C2")
+    ]
+    v = lake.compact(spark, t, target_files=1)
+    m = json.loads((Path(t) / "_log" / f"{v:08d}.json").read_text())
+    assert not m.get("delete_files")
+    assert _rows(lake.read_table(spark, t)) == [
+        (1, "A2"), (2, "b"), (3, "C2")
+    ]
