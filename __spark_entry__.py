@@ -100,7 +100,7 @@ _SWEEP_FIRST = [
     "mart_incremental_refresh",
     "events_rolling_active_users",
     "emb_standardize",
-    "scan_lake_table",
+    "scan_lake_dml",
     "window_topn_per_group",
     "scan_binary_files",
     # -- continuation-window additions (newest hard-signal cohort) ---
@@ -136,7 +136,9 @@ _SWEEP_FIRST = [
     "mix_epoch_schedule",
     # (text_hash_features — a map-only integer-hash fold, locally
     # green at three scales — yields to the VARIANT demonstration,
-    # which has no driver row yet)
+    # which has no driver row yet; scan_lake_table yields to
+    # scan_lake_dml, which exercises commit+compact PLUS the
+    # deletion-vector and MERGE paths on the same scratch machinery)
     "events_variant_agg",
 ]
 

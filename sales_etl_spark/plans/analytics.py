@@ -769,6 +769,86 @@ def scan_lake_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_lake_dml",
+    oracle="""
+    WITH after_delete AS (
+        SELECT * FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+    ),
+    merge_source AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT -o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 7
+    ),
+    final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM after_delete
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM merge_source)
+        UNION ALL
+        SELECT * FROM merge_source
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM final GROUP BY 1
+    """,
+)
+def scan_lake_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake's row-level DML on the oracle-checked surface: orders
+    land as one commit, a DELETE masks a slice via positional
+    deletion vectors (no file rewrite), then a MERGE INTO atomically
+    replaces every %10==3 key (price doubled — exact in IEEE) and
+    inserts fresh negative-key rows — including re-merging any key
+    the DELETE removed, which must come back as the NEW row only.
+    The final snapshot's aggregate must equal a flat-parquet oracle
+    that reconstructs the same end state relationally — proving
+    vector application, carry-forward, and the one-manifest merge all
+    preserve exact row-level semantics. Scratch build is idempotent
+    and crash-safe (completion sentinel; see scan_lake_table)."""
+    import shutil
+    from pathlib import Path
+
+    from sales_etl_spark import lake
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    base = st.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = str(_scratch("lake_dml", sf_dir))
+    done = Path(path) / "_build_complete"
+    if not done.exists():
+        shutil.rmtree(path, ignore_errors=True)
+        lake.commit_write(base, path, mode="append")
+        lake.delete_where(
+            spark, path, "o_orderstatus = 'F' AND o_orderkey % 10 = 0"
+        )
+        source = base.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).unionByName(
+            base.filter(F.col("o_orderkey") % 1000 == 7).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+        lake.merge_into(spark, path, source, keys=["o_orderkey"])
+        done.touch()
+    return (
+        lake.read_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 #: binaryFile ingestion fixture: this many docs land as loose files.
 _BINFILE_N = 100
 
