@@ -96,6 +96,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--target-files", type=int, default=1,
         help="output file count for --lake-compact",
     )
+    p.add_argument(
+        "--lake-delete", metavar="TABLE_PATH",
+        help="row-level DELETE on a lake table via positional deletion "
+        "vectors (no data-file rewrite; --where gives the predicate; "
+        "the next --lake-compact materializes the deletions)",
+    )
+    p.add_argument(
+        "--where", metavar="SQL_PREDICATE",
+        help="boolean SQL predicate for --lake-delete "
+        "(e.g. \"order_date < DATE '2020-01-01'\")",
+    )
     return p
 
 
@@ -222,6 +233,31 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         except Exception:
             logger.exception("lake compaction failed")
+            return 1
+    if args.lake_delete:
+        from sales_etl_spark import lake
+        from sales_etl_spark.session import get_spark
+
+        if not args.where:
+            logger.error("--lake-delete needs --where SQL_PREDICATE")
+            return 1
+        try:
+            spark = get_spark("sales-etl-spark-cli", master=args.master)
+            v = lake.delete_where(spark, args.lake_delete, args.where)
+            if v is None:
+                logger.info(
+                    "delete matched no rows at %s — no version committed",
+                    args.lake_delete,
+                )
+            else:
+                logger.info(
+                    "deleted rows matching %r -> version %d (vectors "
+                    "only; run --lake-compact to materialize)",
+                    args.where, v,
+                )
+            return 0
+        except Exception:
+            logger.exception("lake delete failed")
             return 1
     if not (args.sales and args.customers):
         logger.error(

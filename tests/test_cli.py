@@ -155,3 +155,24 @@ def test_cli_sql_requires_sf_dir():
     from sales_etl_spark.__main__ import main
 
     assert main(["--sql", "SELECT 1"]) == 1
+
+
+def test_cli_lake_delete(spark, tmp_path):
+    from sales_etl_spark import lake
+    from sales_etl_spark.__main__ import main
+
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")],
+                              "k long, v string"), t
+    )
+    rc = main(["--lake-delete", t, "--where", "v = 'a'"])
+    assert rc == 0
+    assert sorted(r.k for r in lake.read_table(spark, t).collect()) == [2]
+    # predicate with no matches: exit 0, no new version
+    head = lake.versions(t)[-1]
+    rc = main(["--lake-delete", t, "--where", "v = 'zzz'"])
+    assert rc == 0
+    assert lake.versions(t)[-1] == head
+    # missing --where is an error
+    assert main(["--lake-delete", t]) == 1
