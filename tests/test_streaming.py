@@ -745,3 +745,99 @@ def test_stream_stream_join_equals_batch_interval_join(spark, events_dir):
     }
     assert got == want
     assert got  # non-vacuous: the fixture produces matches
+
+
+# ---------------------------------------------------------------------------
+# lake_cdc: the transaction log as a Python Data Source streaming source
+# ---------------------------------------------------------------------------
+
+
+def _lake_cdc_run(spark, table, ck, out):
+    from sales_etl_spark.streaming.lake_source import register_lake_source
+
+    register_lake_source(spark)
+    q = (
+        spark.readStream.format("lake_cdc").option("path", table).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+
+def test_lake_cdc_source_reads_and_resumes_exactly_once(spark, tmp_path):
+    """The lake as a readStream source: the first run drains every
+    append commit, a checkpointed restart emits ONLY commits that
+    landed in between, and an idle rerun emits nothing — version
+    offsets + immutable files = exactly-once delivery."""
+    from sales_etl_spark import lake
+
+    t, ck, out = (str(tmp_path / x) for x in ("tbl", "ck", "out"))
+    lake.commit_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        t, "append",
+    )
+    lake.commit_write(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t, "append"
+    )
+    _lake_cdc_run(spark, t, ck, out)
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    lake.commit_write(
+        spark.createDataFrame([(4, "d")], "k long, v string"), t, "append"
+    )
+    _lake_cdc_run(spark, t, ck, out)
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    _lake_cdc_run(spark, t, ck, out)  # no new commits -> no new rows
+    assert len(spark.read.parquet(out).collect()) == 4
+
+
+def test_lake_cdc_starting_version_tails_only_new_commits(spark, tmp_path):
+    from sales_etl_spark import lake
+    from sales_etl_spark.streaming.lake_source import register_lake_source
+
+    t, ck, out = (str(tmp_path / x) for x in ("tbl", "ck", "out"))
+    lake.commit_write(
+        spark.createDataFrame([(1, "old")], "k long, v string"), t, "append"
+    )
+    head = lake.versions(t)[-1]
+    lake.commit_write(
+        spark.createDataFrame([(2, "new")], "k long, v string"), t, "append"
+    )
+    register_lake_source(spark)
+    q = (
+        spark.readStream.format("lake_cdc")
+        .option("path", t).option("startingVersion", str(head)).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(2, "new")]
+
+
+def test_lake_cdc_refuses_to_cross_non_append_commits(spark, tmp_path):
+    """A delete/overwrite commit has no append-only change feed — the
+    stream must fail loudly, not silently emit wrong changes."""
+    from sales_etl_spark import lake
+
+    t, ck, out = (str(tmp_path / x) for x in ("tbl", "ck", "out"))
+    lake.commit_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        t, "append",
+    )
+    lake.delete_where(spark, t, "k = 1")
+    import pyspark.errors
+
+    try:
+        _lake_cdc_run(spark, t, ck, out)
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    except Exception:
+        raised = True
+    assert raised
