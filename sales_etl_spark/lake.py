@@ -80,12 +80,44 @@ class CommitConflict(RuntimeError):
     blindly bumping the version number would publish lost updates)."""
 
 
+def _file_stats(path: Path, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet FOOTER (pure
+    metadata — no data pages read). Values must round-trip JSON, so
+    timestamps/dates are ISO-stringified; a column with no usable
+    statistics is simply absent (reader treats absent as unknown =
+    never prune)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(str(path)).metadata
+    out: dict = {}
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            def _j(v):
+                return v.isoformat() if hasattr(v, "isoformat") else v
+
+            out[col] = [_j(lo), _j(hi)]
+    return out
+
+
 def commit_write(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     max_retries: int = 10,
     expected_base: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     atomically as the next table version. Returns the version number.
@@ -101,6 +133,13 @@ def commit_write(
     REQUIRED for read-modify-write commits (compaction, merge
     rewrites) whose staged files were derived from a snapshot — for
     pure appends the default blind rebase is correct and cheaper.
+
+    ``stats_cols`` records per-file min/max for the named columns in
+    the manifest (harvested from the parquet footers — metadata-only),
+    enabling manifest-level DATA SKIPPING at read time
+    (:func:`read_table` ``prune=``): the Delta data-skipping half the
+    module docstring defers. Pair with load.write_parquet's
+    range-clustering so file ranges are disjoint and skipping bites.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
@@ -114,10 +153,15 @@ def commit_write(
     staging = table / f"_staging-{token}"
     df.write.mode("overwrite").parquet(str(staging))
     new_files = []
+    new_stats: dict = {}
     for i, part in enumerate(sorted(staging.glob("*.parquet"))):
         name = f"{token}-part{i:05d}.parquet"
         os.rename(part, data_dir / name)
         new_files.append(f"data/{name}")
+        if stats_cols:
+            new_stats[f"data/{name}"] = _file_stats(
+                data_dir / name, stats_cols
+            )
     shutil.rmtree(staging, ignore_errors=True)
 
     # 2. commit: O_EXCL manifest create, retry on version races
@@ -132,6 +176,7 @@ def commit_write(
                 )
         version = (existing[-1] + 1) if existing else 0
         carried_dv: list[str] = []
+        stats: dict = dict(new_stats)
         if mode == "append" and existing:
             prev = _read_manifest(table_path, existing[-1])
             files = prev["files"] + new_files
@@ -140,6 +185,7 @@ def commit_write(
             # silently resurrect (new files can't collide: unique
             # uuid names, vectors reference files by name)
             carried_dv = prev.get("delete_files") or []
+            stats = {**(prev.get("stats") or {}), **new_stats}
         else:
             files = list(new_files)
         manifest = {
@@ -150,6 +196,8 @@ def commit_write(
         }
         if carried_dv:
             manifest["delete_files"] = carried_dv
+        if stats:
+            manifest["stats"] = stats
         target = _manifest_path(table_path, version)
         # fully-written unique temp, then hard-link to the version
         # name: link() is create-if-absent WITH content — the claim
@@ -169,11 +217,36 @@ def commit_write(
     )
 
 
+def pruned_files(
+    table_path: str, version: int, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Manifest-level data skipping: the snapshot's files whose
+    [min, max] range for ``col`` intersects [lo, hi], plus every file
+    with NO recorded stats (unknown ⇒ must read — skipping is an
+    optimization, never a filter). Returns (files, n_skipped)."""
+    m = _read_manifest(table_path, version)
+    stats = m.get("stats") or {}
+
+    def _k(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    lo, hi = _k(lo), _k(hi)
+    keep, skipped = [], 0
+    for f in m["files"]:
+        rng = (stats.get(f) or {}).get(col)
+        if rng is not None and (rng[1] < lo or rng[0] > hi):
+            skipped += 1
+            continue
+        keep.append(f)
+    return keep, skipped
+
+
 def read_table(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """The committed snapshot as a DataFrame — latest, or any retained
     historical ``version`` (time travel). ``merge_schema=True`` unions
@@ -186,7 +259,13 @@ def read_table(
     :func:`delete_where`), the deleted (file, position) pairs are
     anti-joined out at read time via the parquet reader's hidden
     ``_metadata.row_index`` column — rows vanish without their data
-    files having been rewritten."""
+    files having been rewritten.
+
+    ``prune=(col, lo, hi)`` applies manifest-level DATA SKIPPING
+    (:func:`pruned_files`): files whose recorded [min, max] for
+    ``col`` cannot intersect [lo, hi] are never opened. The caller
+    still applies the actual row filter — skipping only shrinks the
+    file list (exactly Delta's stats-based pruning contract)."""
     vs = versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {table_path}")
@@ -196,6 +275,8 @@ def read_table(
         raise ValueError(f"version {version} not in {vs}")
     manifest = _read_manifest(table_path, version)
     files = manifest["files"]
+    if prune is not None:
+        files, _ = pruned_files(table_path, version, *prune)
     if not files:
         return spark.read.parquet(str(Path(table_path) / "data")).limit(0)
     reader = spark.read
@@ -339,6 +420,10 @@ def delete_where(
             "n_new_files": 0,
             "delete_files": old_dv_files + new_dv,
         }
+        if manifest.get("stats"):
+            # still sound after deletes: bounds only get looser, and
+            # skipping needs containment, not tightness
+            next_manifest["stats"] = manifest["stats"]
         target = _manifest_path(table_path, base + 1)
         tmp = _log_dir(table_path) / f".tmp-{token}-{base + 1}.json"
         tmp.write_text(json.dumps(next_manifest))
@@ -439,6 +524,10 @@ def merge_into(
         }
         if old_dv_files or new_dv:
             next_manifest["delete_files"] = old_dv_files + new_dv
+        if manifest.get("stats"):
+            # carried for old files; the merge's new files have no
+            # stats (unknown => always read — sound, never wrong)
+            next_manifest["stats"] = manifest["stats"]
         target = _manifest_path(table_path, base + 1)
         tmp = _log_dir(table_path) / f".tmp-{token}-{base + 1}.json"
         tmp.write_text(json.dumps(next_manifest))
@@ -515,12 +604,19 @@ def compact(
         if not vs:
             raise ValueError(f"no committed versions at {table_path}")
         base = vs[-1]
+        prev = _read_manifest(table_path, base)
+        # re-harvest stats for whichever columns the table tracked —
+        # compaction must not silently drop the data-skipping index
+        tracked = sorted(
+            {c for s in (prev.get("stats") or {}).values() for c in s}
+        )
         df = read_table(spark, table_path, version=base).coalesce(
             target_files
         )
         try:
             return commit_write(
-                df, table_path, mode="overwrite", expected_base=base
+                df, table_path, mode="overwrite", expected_base=base,
+                stats_cols=tracked or None,
             )
         except CommitConflict:
             continue  # someone appended mid-compaction: re-read, redo

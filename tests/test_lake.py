@@ -284,7 +284,7 @@ def test_compact_refuses_to_drop_a_concurrent_append(spark, tmp_path, monkeypatc
     raced = {"done": False}
 
     def racing_commit(df, table_path, mode="append", max_retries=10,
-                      expected_base=None):
+                      expected_base=None, **kwargs):
         # inject a concurrent append the first time compact() publishes
         if expected_base is not None and not raced["done"]:
             raced["done"] = True
@@ -334,7 +334,7 @@ def test_upsert_remerges_when_compaction_lands_mid_merge(spark, tmp_path, monkey
     raced = {"done": False}
 
     def racing_commit(df, table_path, mode="append", max_retries=10,
-                      expected_base=None):
+                      expected_base=None, **kwargs):
         if expected_base is not None and not raced["done"]:
             raced["done"] = True
             # compaction completes first: rewrites the 2-row snapshot
@@ -534,3 +534,71 @@ def test_merge_composes_with_deletes_and_compaction(spark, tmp_path):
     assert _rows(lake.read_table(spark, t)) == [
         (1, "A2"), (2, "b"), (3, "C2")
     ]
+
+
+def test_manifest_stats_enable_file_skipping(spark, tmp_path):
+    """Data skipping: per-file min/max recorded at commit prunes
+    non-intersecting files at read time; files without stats are
+    always read (unknown is never skipped); results equal the
+    unpruned filter."""
+    t = str(tmp_path / "tbl")
+    # three range-disjoint commits -> three stat'ed files (coalesced
+    # so each commit is exactly one file; multi-file commits skip
+    # per-file just the same, only the counts change)
+    for lo in (0, 100, 200):
+        lake.commit_write(
+            spark.createDataFrame(
+                [(lo + i, "x") for i in range(10)], "k long, v string"
+            ).coalesce(1),
+            t, "append", stats_cols=["k"],
+        )
+    v = lake.versions(t)[-1]
+    keep, skipped = lake.pruned_files(t, v, "k", 100, 109)
+    assert skipped == 2 and len(keep) >= 1
+    got = sorted(
+        r.k
+        for r in lake.read_table(spark, t, prune=("k", 100, 109))
+        .filter("k BETWEEN 100 AND 109")
+        .collect()
+    )
+    assert got == list(range(100, 110))
+    # a stats-less append is never skipped
+    lake.commit_write(
+        spark.createDataFrame([(105, "y")], "k long, v string")
+        .coalesce(1),
+        t, "append",
+    )
+    v2 = lake.versions(t)[-1]
+    keep2, skipped2 = lake.pruned_files(t, v2, "k", 300, 400)
+    assert skipped2 == 3  # the three stat'ed files skip; unknown stays
+    assert any("part" in f for f in keep2)
+
+
+def test_stats_survive_delete_merge_and_compaction(spark, tmp_path):
+    """The skipping index must ride through the DML stack: carried by
+    delete and merge commits (old files), re-harvested by compaction
+    (new files)."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(i, "x") for i in range(20)], "k long, v string"
+        ),
+        t, "append", stats_cols=["k"],
+    )
+    lake.delete_where(spark, t, "k = 3")
+    lake.merge_into(
+        spark, t,
+        spark.createDataFrame([(5, "new")], "k long, v string"),
+        keys=["k"],
+    )
+    v = lake.versions(t)[-1]
+    m = json.loads((Path(t) / "_log" / f"{v:08d}.json").read_text())
+    assert m.get("stats")  # carried through delete + merge
+    v2 = lake.compact(spark, t, target_files=1)
+    m2 = json.loads((Path(t) / "_log" / f"{v2:08d}.json").read_text())
+    assert m2.get("stats") and all("k" in s for s in m2["stats"].values())
+    # and the compacted table still reads correctly under pruning
+    got = sorted(
+        r.k for r in lake.read_table(spark, t, prune=("k", 0, 50)).collect()
+    )
+    assert got == [i for i in range(20) if i != 3]
