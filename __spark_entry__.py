@@ -88,7 +88,6 @@ _SWEEP_FIRST = [
     "corpus_pipeline_e2e",
     "text_lm_score",
     "text_tfidf_keywords",
-    "sample_weighted_k",
     "flagship_returned_items",
     "flagship_promo_revenue",
     "flagship_late_orders",
@@ -138,8 +137,11 @@ _SWEEP_FIRST = [
     # green at three scales — yields to the VARIANT demonstration,
     # which has no driver row yet; scan_lake_table yields to
     # scan_lake_dml, which exercises commit+compact PLUS the
-    # deletion-vector and MERGE paths on the same scratch machinery)
+    # deletion-vector and MERGE paths on the same scratch machinery;
+    # sample_weighted_k — proportionality/invariance property-tested —
+    # yields to the Q21-shaped closer)
     "events_variant_agg",
+    "flagship_waiting_supplier",
 ]
 
 

@@ -1490,3 +1490,90 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@query(
+    "flagship_waiting_supplier",
+    oracle=f"""
+    WITH multi AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name AS supplier_name,
+           CAST(COUNT(*) AS BIGINT) AS n_waiting_orders
+    FROM late t1
+    JOIN multi m ON m.l_orderkey = t1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = t1.l_suppkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM late t2
+        WHERE t2.l_orderkey = t1.l_orderkey
+          AND t2.l_suppkey <> t1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY n_waiting_orders DESC, supplier_name
+    LIMIT 25
+    """,
+)
+def flagship_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "waiting supplier" report — the hardest shape
+    in the reference family: on multi-supplier orders, count per
+    supplier the orders where THEY were late (>60-day ship lag) and
+    NO other supplier was — a doubly-correlated EXISTS / NOT EXISTS.
+
+    Spark-first plan: the correlation pair never runs row-at-a-time.
+    The (order, supplier) LATE set is computed once at distinct grain;
+    "some other supplier also late" is then a PER-ORDER AGGREGATE of
+    that set (distinct late suppliers per order == 1 ⟺ the sole late
+    supplier is blamed) — turning EXISTS+NOT EXISTS into one groupBy
+    + filter + semi-join, the same decorrelation Catalyst performs
+    for the SQL form but with the late-set scan shared instead of
+    repeated. Multi-supplier order ids are a semi-join input computed
+    at order grain. Everything clusters on the order key until the
+    final |suppliers|-sized rollup; the 60-day residual rides the
+    lineitem⨝orders equi-join."""
+    st = _star(spark, sf_dir)
+    li = st.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = st.orders.select("o_orderkey", "o_orderdate")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # orders with EXACTLY ONE distinct late supplier: that supplier is
+    # the sole cause -> NOT EXISTS(other late) collapses to a count
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__nlate"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("__nlate") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = st.supplier.select("s_suppkey", "s_name")
+    return (
+        sole.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), "supplier_name")
+        .limit(25)
+    )
