@@ -94,7 +94,6 @@ _SWEEP_FIRST = [
     "emb_kmeans_assign",
     "emb_kmeans_lloyd",
     "scan_bucketed_join",
-    "agg_histogram",
     "events_ewma_rate",
     "mart_incremental_refresh",
     "events_rolling_active_users",
@@ -142,6 +141,10 @@ _SWEEP_FIRST = [
     # yields to the Q21-shaped closer)
     "events_variant_agg",
     "flagship_waiting_supplier",
+    # (agg_histogram — fixed-width integer bucketing, locally green —
+    # yields to the higher-moments closer, which carries the
+    # distribution-profile flag in-window now)
+    "agg_skew_kurtosis",
 ]
 
 

@@ -1577,3 +1577,106 @@ def flagship_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_waiting_orders"), "supplier_name")
         .limit(25)
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(4,1))) AS s1,
+               SUM(CAST(l_quantity AS DECIMAL(4,1))
+                   * CAST(l_quantity AS DECIMAL(4,1))) AS s2,
+               SUM(CAST(l_quantity AS DECIMAL(4,1))
+                   * CAST(l_quantity AS DECIMAL(4,1))
+                   * CAST(l_quantity AS DECIMAL(4,1))) AS s3,
+               SUM(CAST(l_quantity AS DECIMAL(4,1))
+                   * CAST(l_quantity AS DECIMAL(4,1))
+                   * CAST(l_quantity AS DECIMAL(4,1))
+                   * CAST(l_quantity AS DECIMAL(4,1))) AS s4
+        FROM lineitem
+        GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) AS x1,
+               CAST(s2 AS DOUBLE) AS x2,
+               CAST(s3 AS DOUBLE) AS x3,
+               CAST(s4 AS DOUBLE) AS x4
+        FROM m
+    ),
+    c AS (
+        SELECT l_returnflag, n,
+               x1 / nd AS mu,
+               x2 / nd - (x1 / nd) * (x1 / nd) AS m2,
+               x3 / nd - 3 * (x1 / nd) * (x2 / nd)
+                   + 2 * (x1 / nd) * (x1 / nd) * (x1 / nd) AS m3,
+               x4 / nd - 4 * (x1 / nd) * (x3 / nd)
+                   + 6 * (x1 / nd) * (x1 / nd) * (x2 / nd)
+                   - 3 * (x1 / nd) * (x1 / nd) * (x1 / nd) * (x1 / nd)
+                   AS m4
+        FROM d
+    )
+    SELECT l_returnflag AS returnflag, n AS n_lines,
+           CAST(floor(mu * 1000000000.0 + 0.5) AS BIGINT) AS mean_nano,
+           CAST(floor(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS skew_nano,
+           CAST(floor((m4 / (m2 * m2) - 3) * 1000000000.0 + 0.5)
+                AS BIGINT) AS excess_kurtosis_nano
+    FROM c
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness and excess kurtosis per return flag — the
+    higher-moment closers of the order-free float-statistics family
+    (agg_corr_qty_price's pattern at third and fourth order): four
+    decimal power sums accumulate EXACTLY in one mergeable
+    aggregation pass, the central moments and ratios evaluate as ONE
+    identical IEEE expression chain over the final scalars, and the
+    outputs are nano-quantized (power sums cross 2^53 scaled units at
+    corpus scale — the cast hazard). Built-in skewness()/kurtosis()
+    run streaming float accumulators whose result depends on
+    partition order and can never hash-match a single-threaded
+    engine. Quantity is DECIMAL(4,1)-exact by schema (integral 1-50),
+    so s4 peaks at precision 29 — inside DECIMAL(38) headroom with
+    the +10 sum widening."""
+    x = F.col("l_quantity").cast("decimal(4,1)")
+    st = _star(spark, sf_dir)
+    m = st.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    x1 = F.col("s1").cast("double")
+    x2 = F.col("s2").cast("double")
+    x3 = F.col("s3").cast("double")
+    x4 = F.col("s4").cast("double")
+    mu = x1 / nd
+    m2 = x2 / nd - mu * mu
+    m3 = x3 / nd - F.lit(3) * mu * (x2 / nd) + F.lit(2) * mu * mu * mu
+    m4 = (
+        x4 / nd
+        - F.lit(4) * mu * (x3 / nd)
+        + F.lit(6) * mu * mu * (x2 / nd)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    nano = F.lit(1000000000.0)
+    half = F.lit(0.5)
+    return m.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("n").alias("n_lines"),
+        F.floor(mu * nano + half).cast("long").alias("mean_nano"),
+        F.floor(
+            m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)) * nano + half
+        )
+        .cast("long")
+        .alias("skew_nano"),
+        F.floor((m4 / (m2 * m2) - F.lit(3)) * nano + half)
+        .cast("long")
+        .alias("excess_kurtosis_nano"),
+    )
