@@ -44,6 +44,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # AND sf0.1 (0 failures), plus the cross-parallelism scale sweep
 # (local[2]/[4]/[16] hash-identical, pytest -m scale_sweep).
 _SWEEP_FIRST = [
+    # -- resolution/ordering/ledger tier (newest code, no driver row
+    # yet — leads the window so the hard signal lands first) ---------
+    "dedup_fuzzy_names",
+    "window_global_rownum",
+    "agg_gini_revenue",
+    "window_capped_running_sum",
+    "flagship_big_orders",
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_avg_check_by_region",
     "topk_product_ranking",
@@ -121,6 +128,12 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
+    # (the five slots the new lead tier displaced: events_session_window
+    # + events_window_tumbling are r03-green twins family-covered by
+    # events_session_stats and the streaming unit tier;
+    # set_union_except / set_intersect are trivial set algebra,
+    # r03-green, unchanged; scan_jsonl is r03-green and shares the
+    # reader machinery scan_csv/scan_orc keep exercising locally)
 ]
 
 

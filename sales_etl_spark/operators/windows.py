@@ -8,7 +8,7 @@ each a single shuffle on its partition keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -55,6 +55,48 @@ def rank_in_group(
     return df.withColumn(out, F.row_number().over(w))
 
 
+def global_row_number(
+    df: DataFrame,
+    order_by: list,
+    bucket: Column,
+    out: str = "row_num",
+) -> DataFrame:
+    """Global 1-based row numbering in ``order_by`` order WITHOUT the
+    single-partition window (`Window.orderBy` with no partitionBy moves
+    the whole table through one task — the canonical scale-killer for
+    global ranking).
+
+    Scalable rewrite: ``bucket`` is a coarse range key MONOTONE in the
+    order (bucket(a) < bucket(b) ⇒ a sorts before b; ties stay in one
+    bucket). Per-bucket counts aggregate to a tiny frame (one exchange
+    over ~thousands of buckets), cumulative offsets come from a window
+    over THAT frame (trivially small), and the offsets broadcast back:
+    each row's global number is its within-bucket row_number plus its
+    bucket's offset. Two exchanges total, both bounded — at 100 TB the
+    within-bucket sort is per-partition work and the global order falls
+    out of bucket monotonicity, the same decomposition Spark's own
+    ``zipWithIndex`` uses (partition counts + offsets) but in pure
+    DataFrame ops with a deterministic order contract.
+    """
+    counts = df.groupBy(bucket.alias("__bkt")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(*order_by)
+    return (
+        df.withColumn("__bkt", bucket)
+        .join(F.broadcast(offsets), "__bkt")
+        .withColumn(out, F.row_number().over(w_in) + F.col("__off"))
+        .drop("__bkt", "__off")
+    )
+
+
 def trailing_zscore(
     counts: DataFrame,
     key_col: str,
@@ -92,4 +134,58 @@ def trailing_zscore(
             (n >= min_baseline) & (var > 0),
             F.round((v - mean) / F.sqrt(var), 6),
         ),
+    )
+
+
+def capped_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    delta_col: str,
+    floor: int,
+    cap: int,
+    out: str = "balance",
+) -> DataFrame:
+    """Running sum clamped into ``[floor, cap]`` after EVERY step:
+    bal_i = min(cap, max(floor, bal_{i-1} + delta_i)), bal_0 = clamp of
+    the first delta. The ledger/inventory scan (stock on hand cannot go
+    negative or exceed capacity).
+
+    This is the registry's one genuinely non-decomposable window: the
+    clamp makes the recurrence non-associative, so no prefix-sum
+    rewrite exists (unlike plain running totals) — SQL needs a
+    recursive CTE, and Spark needs a per-key sequential scan. The
+    Spark-first shape is grouped-map ``applyInPandas``: ONE exchange on
+    the keys (the same shuffle a window would pay), then each key's
+    rows scan sequentially inside an Arrow batch. State is O(1) per
+    key, rows stream per group — at 100 TB this parallelizes over
+    keys exactly like any keyed window; the only scale limit is the
+    largest single key's row count (same limit the recursive-CTE
+    formulation has, with none of its per-iteration rescans).
+
+    ``delta_col`` must be an exact integer column (cents) — the clamp
+    is branchy, so cross-engine agreement needs integer arithmetic.
+    """
+    import pandas as pd
+
+    keys = list(keys)
+    order_by = list(order_by)
+    fields = df.select(*keys, *order_by, delta_col).schema.fields
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + f", {out} bigint"
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        bal, vals = 0, []
+        for d in pdf[delta_col].to_numpy():
+            bal = min(cap, max(floor, bal + int(d)))
+            vals.append(bal)
+        pdf[out] = vals
+        return pdf
+
+    return (
+        df.select(*keys, *order_by, delta_col)
+        .groupBy(*keys)
+        .applyInPandas(scan, schema=out_schema)
     )

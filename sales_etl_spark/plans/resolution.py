@@ -1,0 +1,383 @@
+"""Entity resolution, global ordering, inequality profiling, and the
+non-decomposable ledger scan (round-4 continuation tier).
+
+Four operator families the registry had not yet demonstrated, each a
+standard warehouse/pipeline ask with a distinct Spark-first shape:
+
+- blocked fuzzy record linkage: deterministic blocking keys bound the
+  candidate pairs, codegen ``levenshtein`` (with Spark's bounded
+  threshold form) scores them — the exact-blocking tier of the same
+  candidate-generation ladder the MinHash/SimHash operators implement
+  probabilistically (operators/dedup.py);
+- scalable global row numbering: the bucket-offset decomposition that
+  replaces the single-partition ``Window.orderBy`` anti-pattern
+  (operators/windows.py:global_row_number);
+- Gini coefficient of customer revenue: rank-weighted inequality
+  profile built ON the scalable numbering — exact integer/decimal
+  power sums to one final double expression, the same bit-exactness
+  recipe as agg_stats/agg_skew_kurtosis;
+- capped running balance: the clamp recurrence no prefix sum can
+  express (operators/windows.py:capped_running_sum, grouped-map
+  applyInPandas; DuckDB needs a recursive CTE for the same answer);
+- Q18-shaped big-order report: HAVING-filtered aggregate used as a
+  semi-join pruner into the fact scan before the dim join.
+
+Reference parity: the reference engine (etl/transform.py) has no
+fuzzy-match, ranking, or ledger surface — this tier is engine
+extension per SURVEY.md §2.6. Determinism rules are the registry's
+(plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_etl_spark.operators.windows import (
+    capped_running_sum,
+    global_row_number,
+)
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+#: Exact order-value cents — CAST through DECIMAL(18,2) first (both
+#: engines round the stored double to the same 2-decimal value), then
+#: scale to integer cents. Shared by the ledger and Gini queries.
+_ORDER_CENTS_SQL = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _order_cents() -> F.Column:
+    return (
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)
+    ).cast("bigint")
+
+
+@query(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a,
+           b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate customer pairs whose
+    names are within edit distance 1, generated ONLY within
+    deterministic blocks (same nation, same 16-char name prefix).
+
+    The record-linkage trade every ER system makes, stated as the
+    operator's contract: blocking bounds the quadratic blowup (block
+    sizes are data-bounded, pairs per block ≤ |block|²/2), at the cost
+    of recall limited to in-block pairs — the deterministic sibling of
+    the MinHash band join (operators/dedup.py:284), which makes the
+    same trade probabilistically. Both engines score with unicode
+    Levenshtein; Spark additionally passes the distance THRESHOLD into
+    the kernel (`levenshtein(l, r, 1)`), which lets the JVM abandon
+    each DP row early — bounded per-pair cost, and the filter compiles
+    into codegen, no Python anywhere.
+
+    Plan: self-equi-join on the block key (one shuffle of the slim
+    3-column projection), `custkey_a < custkey_b` dedups the pair
+    space, then the thresholded distance filter. At 100 TB blocks are
+    the unit of parallelism; a hot block (skewed prefix) would salt or
+    cap exactly like the n-gram hot-shingle guard (dedup_ngram_jaccard).
+    """
+    st = _star(spark, sf_dir)
+    slim = st.customer.select("c_custkey", "c_name", "c_nationkey")
+    a = slim.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("__name_a"),
+        F.col("c_nationkey").alias("__nk"),
+        F.substring("c_name", 1, 16).alias("__blk"),
+    )
+    b = slim.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("__name_b"),
+        F.col("c_nationkey").alias("__nk"),
+        F.substring("c_name", 1, 16).alias("__blk"),
+    )
+    return (
+        a.join(b, ["__nk", "__blk"])
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn(
+            "name_dist",
+            F.levenshtein(F.col("__name_a"), F.col("__name_b"), 1),
+        )
+        .filter(F.col("name_dist") >= 0)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.col("name_dist").cast("bigint").alias("name_dist"),
+        )
+    )
+
+
+@query(
+    "window_global_rownum",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS row_num
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def window_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row numbers over the filtered English corpus —
+    stable sample/shard ids assigned in doc_id order.
+
+    The naive form (`Window.orderBy("doc_id")` with no partition) is
+    the canonical scale-killer: one task sorts the whole table. This
+    runs the bucket-offset decomposition instead
+    (operators/windows.py:global_row_number): per-bucket counts →
+    tiny cumulative-offset frame → broadcast back → within-bucket
+    row_number + offset. Both exchanges are bounded; the oracle is the
+    single-partition SQL window the rewrite must exactly reproduce.
+    """
+    st = _star(spark, sf_dir)
+    docs = st.documents.filter(F.col("lang") == "en").select("doc_id")
+    return global_row_number(
+        docs,
+        order_by=[F.col("doc_id")],
+        bucket=F.expr("doc_id div 4096"),
+        out="row_num",
+    ).select("doc_id", "row_num")
+
+
+@query(
+    "agg_gini_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM({_ORDER_CENTS_SQL}) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_c,
+               ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i
+        FROM rev
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(rev_c) AS DECIMAL(38,0)) AS total_rev_cents,
+               SUM(CAST(i AS DECIMAL(19,0))
+                   * CAST(rev_c AS DECIMAL(19,0))) AS s_ix
+        FROM ranked
+    )
+    SELECT n_customers,
+           total_rev_cents,
+           (2e0 * CAST(s_ix AS DOUBLE)
+            - CAST(n_customers + 1 AS DOUBLE)
+              * CAST(total_rev_cents AS DOUBLE))
+           / (CAST(n_customers AS DOUBLE)
+              * CAST(total_rev_cents AS DOUBLE)) AS gini
+    FROM sums
+    """,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue — the standard
+    rank-weighted inequality profile (G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    over ascending-sorted x).
+
+    Needs a GLOBAL rank — built on the bucket-offset numbering
+    (bucket = rev div 10⁶ cents, monotone in the sort), so no
+    single-partition window anywhere. Every accumulated quantity is
+    exact (bigint cents; rank×cents products in DECIMAL(38,0)), and
+    the one double expression at the end evaluates the identical IEEE
+    sequence in both engines — the agg_stats bit-exactness recipe
+    applied to an order statistic. Three bounded exchanges: customer
+    agg, bucket counts, final single-row fold.
+    """
+    st = _star(spark, sf_dir)
+    rev = (
+        st.orders.groupBy("o_custkey")
+        .agg(F.sum(_order_cents()).alias("rev_c"))
+        .select("o_custkey", F.col("rev_c").cast("bigint").alias("rev_c"))
+    )
+    ranked = global_row_number(
+        rev,
+        order_by=[F.col("rev_c"), F.col("o_custkey")],
+        bucket=F.expr("rev_c div 1000000"),
+        out="i",
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("decimal(38,0)").alias("total_rev_cents"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)")
+            * F.col("rev_c").cast("decimal(19,0)")
+        ).alias("s_ix"),
+    )
+    return sums.select(
+        "n_customers",
+        "total_rev_cents",
+        F.expr(
+            "(2e0 * CAST(s_ix AS DOUBLE)"
+            " - CAST(n_customers + 1 AS DOUBLE)"
+            "   * CAST(total_rev_cents AS DOUBLE))"
+            " / (CAST(n_customers AS DOUBLE)"
+            "    * CAST(total_rev_cents AS DOUBLE))"
+        ).alias("gini"),
+    )
+
+
+#: Ledger clamp bounds (integer cents): stock floor at zero, capacity
+#: cap at $250k — both bounds engage on real sf data (order values run
+#: to ~$500k, so a single order can hit either rail).
+_LEDGER_FLOOR = 0
+_LEDGER_CAP = 25_000_000
+
+
+@query(
+    "window_capped_running_sum",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey,
+               (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE -1 END)
+                 * {_ORDER_CENTS_SQL} AS delta_cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    rec AS (
+        SELECT o_custkey, o_orderkey, rn,
+               LEAST({_LEDGER_CAP},
+                     GREATEST({_LEDGER_FLOOR}, delta_cents)) AS bal
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.o_orderkey, s.rn,
+               LEAST({_LEDGER_CAP},
+                     GREATEST({_LEDGER_FLOOR}, r.bal + s.delta_cents))
+        FROM seq s
+        JOIN rec r ON s.o_custkey = r.o_custkey AND s.rn = r.rn + 1
+    )
+    SELECT o_custkey, o_orderkey, CAST(bal AS BIGINT) AS balance_cents
+    FROM rec
+    """,
+)
+def window_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running balance clamped into [0, $250k] after every
+    order ('O' orders credit, others debit) — the inventory/ledger
+    recurrence bal_i = min(cap, max(0, bal_{i-1} + Δ_i)).
+
+    The clamp is non-associative, so unlike every other window in the
+    registry this CANNOT become a prefix sum: ANSI SQL needs a
+    recursive CTE (the oracle runs one, iterating once per sequence
+    position), and the Spark-first form is the grouped-map sequential
+    scan (operators/windows.py:capped_running_sum) — one exchange on
+    o_custkey, Arrow-batched per-key scan, O(1) state per key. The
+    honest slow path, used only where the fast path provably does not
+    exist.
+    """
+    st = _star(spark, sf_dir)
+    seq = st.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.when(F.col("o_orderstatus") == "O", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+            * _order_cents()
+        ).alias("delta_cents"),
+    )
+    return capped_running_sum(
+        seq,
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        delta_col="delta_cents",
+        floor=_LEDGER_FLOOR,
+        cap=_LEDGER_CAP,
+        out="balance_cents",
+    ).select("o_custkey", "o_orderkey", "balance_cents")
+
+
+#: Q18 volume threshold: orders whose total line quantity exceeds this
+#: are "big" — the qualifying set is a tiny fraction of orders, which
+#: is what makes the HAVING-aggregate a useful join pruner.
+_BIG_ORDER_QTY = 250
+
+
+@query(
+    "flagship_big_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_BIG_ORDER_QTY}
+    )
+    SELECT c.c_name,
+           o.o_custkey,
+           o.o_orderkey,
+           o.o_orderdate,
+           o.o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def flagship_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped large-volume-customer report: orders whose summed
+    line quantity exceeds the threshold, with customer names, top 100
+    by order value (reference parity: the reference's marts stop at
+    group-bys; this is the TPC-H Q18 extension pattern, SURVEY §2.6).
+
+    Plan shape the scale argument hinges on: the lineitem aggregate
+    runs FIRST and its HAVING clause collapses it to a tiny qualifying
+    key set — which then BROADCASTS into the orders scan (a semi-join
+    pruner: the big fact table is filtered map-side before any wide
+    join), and the pruned orders broadcast into customer. No shuffle
+    ever carries more than the qualifying orders. Decimal quantity
+    sums keep the threshold exact; TakeOrderedAndProject caps the
+    result with a full deterministic tiebreak.
+    """
+    st = _star(spark, sf_dir)
+    big = (
+        st.lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias(
+                "total_qty"
+            )
+        )
+        .filter(F.col("total_qty") > _BIG_ORDER_QTY)
+    )
+    pruned = st.orders.join(
+        F.broadcast(big),
+        st.orders.o_orderkey == big.l_orderkey,
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+             "total_qty")
+    named = pruned.join(
+        st.customer.select("c_custkey", "c_name"),
+        pruned.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        named.select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -521,3 +521,30 @@ def test_salted_join_never_broadcasts_the_replica(spark):
     body = plan.split("== Physical Plan ==")[1]
     assert "BroadcastHashJoin" not in body
     assert "ShuffledHashJoin" in body or "SortMergeJoin" in body
+
+
+def test_big_orders_broadcasts_the_having_pruned_keyset(spark):
+    """Q18 shape: the HAVING-filtered lineitem aggregate must reach the
+    orders join as a broadcast (semi-join pruner), never a shuffle of
+    the orders fact."""
+    plan = _formatted(_build(spark, "flagship_big_orders"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fuzzy_names_is_codegen_no_python(spark):
+    """Blocked linkage scores with JVM levenshtein inside codegen —
+    no BatchEvalPython / ArrowEvalPython node anywhere."""
+    plan = _formatted(_build(spark, "dedup_fuzzy_names"))
+    assert "EvalPython" not in plan, plan
+    assert "levenshtein" in plan.lower(), plan
+
+
+def test_global_rownum_has_no_full_table_global_sort(spark):
+    """The bucket-offset numbering must not range-repartition the doc
+    table for a global sort; the only unpartitioned window runs over
+    the tiny per-bucket counts frame (post-aggregation)."""
+    plan = _formatted(_build(spark, "window_global_rownum"))
+    # the docs-side window is partitioned by bucket; the offsets window
+    # follows an aggregate, so no rangepartitioning over raw doc rows
+    assert "rangepartitioning(doc_id" not in plan.lower(), plan
