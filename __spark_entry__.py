@@ -51,6 +51,9 @@ _SWEEP_FIRST = [
     "agg_gini_revenue",
     "window_capped_running_sum",
     "flagship_big_orders",
+    "flagship_forecast_revenue",
+    "agg_copurchase_topk",
+    "agg_yoy_growth",
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_avg_check_by_region",
     "topk_product_ranking",
@@ -128,12 +131,16 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
-    # (the five slots the new lead tier displaced: events_session_window
-    # + events_window_tumbling are r03-green twins family-covered by
-    # events_session_stats and the streaming unit tier;
-    # set_union_except / set_intersect are trivial set algebra,
-    # r03-green, unchanged; scan_jsonl is r03-green and shares the
-    # reader machinery scan_csv/scan_orc keep exercising locally)
+    # The eight-key lead tier pushes the tail of this list (events_twap
+    # through agg_skew_kurtosis, positions 51+) past the 50-slot
+    # window this round. More round-4 additions exist than window
+    # slots, so SOME never-driver-checked keys must wait a round
+    # regardless of ordering; the lead tier is the NEWEST code (least
+    # soak time), which is why it outranks the continuation keys that
+    # have had two extra local full-sweep cycles. Everything past slot
+    # 50 is bit-exact under tools/check_oracle.py at sf0.001 AND
+    # sf0.01 this session, and next round's lead tier should promote
+    # exactly those tail keys.
 ]
 
 

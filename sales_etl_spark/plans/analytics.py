@@ -1209,3 +1209,166 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty",
         "revenue",
     )
+
+
+@query(
+    "flagship_forecast_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(8,4))) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def flagship_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped forecast-revenue-change: what discount revenue would
+    have been earned had low-quantity discounts in a year band not been
+    given — a single filter→agg with NO join and NO group key.
+
+    The whole query is a scan-shape test: all three predicates (ship
+    year, discount band, quantity cap) must reach the parquet reader
+    as PushedFilters, the scan reads exactly 4 columns, and the
+    aggregate is a map-side partial + 1-row merge — zero meaningful
+    shuffle. At 100 TB with date-partitioned or range-clustered files
+    the year band prunes whole files before any row is read
+    (scan_partition_prune / scan_zorder_prune demonstrate that half).
+    Decimal price×discount keeps the sum exact and order-free.
+    """
+    st = _star(spark, sf_dir)
+    li = st.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(8,4)")
+        ).alias("revenue_delta"),
+    )
+
+
+@query(
+    "agg_copurchase_topk",
+    oracle="""
+    WITH order_parts AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a,
+           b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM order_parts a
+    JOIN order_parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def agg_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 50 part pairs most often bought
+    in the same order — the candidate-pair half of frequent-itemset
+    mining (the A-Priori k=2 pass).
+
+    Scale shape: the pair blowup is bounded by the DATA MODEL, not by
+    luck — an order has ≤7 lines, so the orderkey self-join expands
+    each order to ≤21 pairs (linear in rows, like the blocked-linkage
+    and LSH-band joins; contrast an unkeyed part×part cross join). The
+    distinct (order, part) grain collapses first so duplicate parts in
+    one order cannot inflate counts; both self-join sides share one
+    exchange key (co-partitioned SMJ — bucketing lineitem on orderkey
+    would elide even that, SCALE.md §14); the pair count is a
+    map-side-combinable groupBy; TakeOrderedAndProject caps the output
+    with a full tiebreak.
+    """
+    st = _star(spark, sf_dir)
+    order_parts = st.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = order_parts.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "__ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "agg_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate) AS ym,
+               strftime(MIN(o_orderdate), '%Y-%m') AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT cur.month,
+           cur.rev_cents,
+           prev.rev_cents AS prev_rev_cents,
+           CAST(cur.rev_cents AS DOUBLE)
+             / CAST(prev.rev_cents AS DOUBLE) AS yoy_ratio
+    FROM monthly cur
+    LEFT JOIN monthly prev ON prev.ym = cur.ym - 12
+    """,
+)
+def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue ratio — the calendar-aware
+    comparison a lag(12)-over-rows window gets WRONG on sparse months
+    (row offset ≠ calendar offset). The month sequence joins itself on
+    an integer year·12+month index, so a missing month yields a NULL
+    ratio instead of a silently shifted comparison.
+
+    Scale: the fact collapses to ≤ |months| rows in one exchange; the
+    self-join runs on the tiny aggregate (broadcast). Integer-cents
+    sums; the ratio is one double division of exact operands.
+    """
+    st = _star(spark, sf_dir)
+    monthly = (
+        st.orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "ym"
+            )
+        )
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("month"),
+            F.sum(
+                (
+                    F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)
+                ).cast("bigint")
+            ).cast("bigint").alias("rev_cents"),
+        )
+    )
+    prev = monthly.select(
+        (F.col("ym") + 12).alias("__ym_next"),
+        F.col("rev_cents").alias("prev_rev_cents"),
+    )
+    return (
+        monthly.join(
+            F.broadcast(prev), monthly.ym == prev.__ym_next, "left"
+        )
+        .select(
+            "month",
+            "rev_cents",
+            "prev_rev_cents",
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("prev_rev_cents").cast("double")
+            ).alias("yoy_ratio"),
+        )
+    )

@@ -548,3 +548,34 @@ def test_global_rownum_has_no_full_table_global_sort(spark):
     # the docs-side window is partitioned by bucket; the offsets window
     # follows an aggregate, so no rangepartitioning over raw doc rows
     assert "rangepartitioning(doc_id" not in plan.lower(), plan
+
+
+def test_forecast_revenue_pushes_all_predicates_and_prunes(spark):
+    """Q6 shape: every predicate reaches the parquet scan and the scan
+    reads exactly the 4 referenced columns — the query is pure
+    scan+1-row-agg, so a missed pushdown IS the regression."""
+    plan = _formatted(_build(spark, "flagship_forecast_revenue"))
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, cols
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, (frag, pushed)
+
+
+def test_copurchase_self_join_shares_one_exchange_key(spark):
+    """The orderkey self-join must co-partition both sides on the same
+    key (no part×part blowup path, no broadcast of the full fact)."""
+    plan = _formatted(_build(spark, "agg_copurchase_topk"))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_yoy_growth_joins_on_the_tiny_aggregate(spark):
+    """The self-join runs post-aggregation on |months| rows —
+    broadcast, never a shuffle of the orders fact for the join."""
+    plan = _formatted(_build(spark, "agg_yoy_growth"))
+    assert "BroadcastHashJoin" in plan, plan
