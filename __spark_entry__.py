@@ -54,6 +54,9 @@ _SWEEP_FIRST = [
     "flagship_forecast_revenue",
     "agg_copurchase_topk",
     "agg_yoy_growth",
+    "agg_winsorized_stats",
+    "flagship_above_avg_balance",
+    "quality_orphan_audit",
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_avg_check_by_region",
     "topk_product_ranking",
@@ -131,7 +134,7 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
-    # The eight-key lead tier pushes the tail of this list (events_twap
+    # The eleven-key lead tier pushes the tail of this list (events_twap
     # through agg_skew_kurtosis, positions 51+) past the 50-slot
     # window this round. More round-4 additions exist than window
     # slots, so SOME never-driver-checked keys must wait a round

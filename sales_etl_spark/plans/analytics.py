@@ -1372,3 +1372,231 @@ def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_ratio"),
         )
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS category,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT category, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY category ORDER BY cents
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY category) AS n
+        FROM base
+    ),
+    bounds AS (
+        SELECT category,
+               MIN(CASE WHEN rn = GREATEST(
+                   1, CAST(ceil(0.01 * n) AS BIGINT)) THEN cents END)
+                 AS lo_cents,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN cents END) AS hi_cents
+        FROM ranked
+        GROUP BY category
+    )
+    SELECT r.category,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(b.lo_cents) AS lo_cents,
+           MIN(b.hi_cents) AS hi_cents,
+           CAST(SUM(LEAST(b.hi_cents,
+                          GREATEST(b.lo_cents, r.cents))) AS BIGINT)
+             AS wins_sum_cents,
+           CAST(SUM(LEAST(b.hi_cents, GREATEST(b.lo_cents, r.cents)))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wins_mean_cents
+    FROM ranked r
+    JOIN bounds b USING (category)
+    GROUP BY r.category
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value statistics per priority class: clamp each
+    group's values at its own exact p01/p99 DISCRETE percentiles, then
+    average — the outlier-robust mean that plain AVG is not.
+
+    Exactness chain: percentile bounds are actual data values selected
+    by rank (no interpolation — the agg_median_disc recipe, so no
+    float ambiguity), the clamp and sums run in integer cents, and the
+    final mean is one double division of exact operands. Shape: one
+    shuffle on the group key for the rank window, the 5-row bounds
+    frame broadcasts back, and the final agg map-side-combines. (A
+    GLOBAL winsorize would swap the rank window for the bucket-offset
+    numbering — same machinery as agg_gini_revenue.)
+    """
+    st = _star(spark, sf_dir)
+    base = st.orders.select(
+        F.col("o_orderpriority").alias("category"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)
+        ).cast("bigint").alias("cents"),
+    )
+    w_rank = Window.partitionBy("category").orderBy("cents")
+    w_all = Window.partitionBy("category")
+    ranked = base.select(
+        "category",
+        "cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.lit(0.01) * F.col("n")).cast("bigint"),
+    )
+    hi_rank = F.ceil(F.lit(0.99) * F.col("n")).cast("bigint")
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == lo_rank) | (F.col("rn") == hi_rank)
+        )
+        .groupBy("category")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == lo_rank, F.col("cents"))
+            ).alias("lo_cents"),
+            F.max(
+                F.when(F.col("rn") == hi_rank, F.col("cents"))
+            ).alias("hi_cents"),
+        )
+    )
+    clamped = ranked.join(F.broadcast(bounds), "category").select(
+        "category",
+        "lo_cents",
+        "hi_cents",
+        F.least(
+            F.col("hi_cents"), F.greatest(F.col("lo_cents"), F.col("cents"))
+        ).alias("wc"),
+    )
+    return clamped.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("lo_cents").alias("lo_cents"),
+        F.min("hi_cents").alias("hi_cents"),
+        F.sum("wc").cast("bigint").alias("wins_sum_cents"),
+        (
+            F.sum("wc").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("wins_mean_cents"),
+    )
+
+
+@query(
+    "flagship_above_avg_balance",
+    oracle="""
+    WITH nat AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nation,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum
+        FROM customer
+        GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+           nat.n_nation
+    FROM customer c
+    JOIN nat ON nat.c_nationkey = c.c_nationkey
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * nat.n_nation
+            > nat.bal_sum
+    """,
+)
+def flagship_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose balance exceeds their nation's average — the
+    correlated-scalar-subquery pattern, decorrelated the way Catalyst
+    (and DuckDB) rewrite it: aggregate once per nation, join back,
+    filter.
+
+    The avg comparison is restated as `bal · n > Σbal` so EVERYTHING
+    stays exact decimal/integer — an actual AVG would divide into
+    engine-specific decimal scales (Spark avg(DECIMAL(18,2)) widens to
+    (22,6) with HALF_UP; DuckDB returns DOUBLE) and the boundary rows
+    would flicker. Shape: the ≤|nations|-row aggregate broadcasts into
+    the customer scan — one exchange for the agg, zero for the join.
+    """
+    st = _star(spark, sf_dir)
+    nat = st.customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nation"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+    )
+    return (
+        st.customer.join(F.broadcast(nat), "c_nationkey")
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_nation")
+            > F.col("bal_sum")
+        )
+        .select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "n_nation"
+        )
+    )
+
+
+@query(
+    "quality_orphan_audit",
+    oracle="""
+    SELECT 'orders_orphan_customer' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer_negative_balance',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT 'customers_without_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def quality_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity and domain audit mart: orphaned facts
+    (FK rows with no parent), childless dimension rows, and
+    domain-rule violations, one count per named check — the
+    cross-TABLE companion to quality_expectations' per-column rules.
+
+    Shape: each referential check is a LEFT ANTI join on the key (the
+    scalable NOT EXISTS — shuffle or broadcast per AQE, never a
+    per-row subquery), collapsed map-side to a single count before the
+    4-row union. A healthy pipeline reports zeros for the orphan rows;
+    the audit exists so an UNHEALTHY ingest fails loudly with a named
+    check instead of silently joining away rows downstream.
+    """
+    st = _star(spark, sf_dir)
+
+    def count_named(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    orphan_orders = st.orders.join(
+        st.customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    orphan_lines = st.lineitem.join(
+        st.orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    negative_bal = st.customer.filter(F.col("c_acctbal") < 0)
+    childless = st.customer.join(
+        st.orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        count_named(orphan_orders, "orders_orphan_customer")
+        .unionAll(count_named(orphan_lines, "lineitem_orphan_order"))
+        .unionAll(count_named(negative_bal, "customer_negative_balance"))
+        .unionAll(count_named(childless, "customers_without_orders"))
+    )

@@ -579,3 +579,20 @@ def test_yoy_growth_joins_on_the_tiny_aggregate(spark):
     broadcast, never a shuffle of the orders fact for the join."""
     plan = _formatted(_build(spark, "agg_yoy_growth"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_above_avg_balance_broadcasts_nation_aggregate(spark):
+    """Decorrelated correlated-subquery: the ≤|nations|-row aggregate
+    must broadcast into the customer scan (no shuffle join of the
+    dimension against itself)."""
+    plan = _formatted(_build(spark, "flagship_above_avg_balance"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_orphan_audit_uses_anti_joins_not_subqueries(spark):
+    """Every NOT EXISTS compiles to a hash anti join; no nested-loop
+    (per-row) existence path anywhere."""
+    plan = _formatted(_build(spark, "quality_orphan_audit"))
+    assert plan.count("LeftAnti") >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
