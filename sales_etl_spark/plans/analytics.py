@@ -1600,3 +1600,49 @@ def quality_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count_named(negative_bal, "customer_negative_balance"))
         .unionAll(count_named(childless, "customers_without_orders"))
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events
+    )
+    SELECT from_type,
+           event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq
+    WHERE from_type IS NOT NULL
+    GROUP BY from_type, event_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per
+    user — the behavioral-flow matrix product analytics builds sankeys
+    and next-step predictors from.
+
+    One shuffle on user_id for the lag window (deterministic total
+    order: ts then event_id), then a map-side-combinable count over
+    the ≤|types|² matrix — the output is domain-bounded (25 cells
+    here) no matter how many events stream through. The funnel
+    (events_funnel) asks "did the ordered path happen"; this asks
+    "what does EVERY adjacent step look like".
+    """
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = st.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )

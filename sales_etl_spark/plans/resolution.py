@@ -381,3 +381,130 @@ def flagship_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+#: PageRank fixed-point scale (integer "rank units"): ranks live in
+#: units of 1e-12 so three damped iterations keep ~9 significant
+#: digits; every per-edge contribution floors in INTEGER arithmetic,
+#: making the sum order-independent — bit-exact under any partitioning
+#: and in any engine.
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 3-iteration PageRank oracle (DuckDB `//` and Spark
+    `div` are both floor division on the nonnegative bigints used
+    here, so the iterates agree bit-for-bit)."""
+    base = f"(15 * {_PR_SCALE} // (100 * m.n))"
+    iters = ""
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        iters += f""",
+    r{k} AS (
+        SELECT e.dst AS node,
+               {base} + SUM((r.r * 85) // (100 * d.d)) AS r
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        CROSS JOIN meta m
+        GROUP BY e.dst, m.n
+    )"""
+        prev = f"r{k}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT s * 2 AS src, c * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT c * 2 + 1, s * 2 FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    ),
+    meta AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+    ),
+    r0 AS (
+        SELECT d.src AS node, ({_PR_SCALE} // m.n) AS r
+        FROM deg d CROSS JOIN meta m
+    ){iters}
+    SELECT node AS node_id, CAST(r AS BIGINT) AS rank_scaled
+    FROM {prev}
+    ORDER BY r DESC, node
+    LIMIT 20
+    """
+
+
+@query("graph_pagerank_trade", oracle=_pagerank_sql())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected supplier↔customer trade graph
+    (edge = the pair ever traded, from lineitem⨝orders), 3 damped
+    iterations (d = 0.85), top 20 nodes — the link-analysis companion
+    to the connected-components resolver (operators/dedup.py:494).
+
+    Iterative-algorithm-on-DataFrames shape: each iteration is ONE
+    edges⨝ranks⨝deg join plus a groupBy — at 100 TB that is one
+    shuffle per iteration on the edge partitioning, the exact
+    Pregel-on-joins layout GraphX lowers to, with no driver-side graph
+    state (degrees, ranks, and the node count all stay distributed;
+    the node-count scalar rides a broadcast 1-row frame, never a
+    collect). Float PageRank sums would be order-DEPENDENT across
+    partitions; here every contribution floors to integer rank-units
+    first (scale 1e-12), so sums commute and three engines' iterates
+    agree bit-for-bit — the same integer-fold recipe as the nano-unit
+    centroids (emb_label_centroids).
+
+    Node ids: supplier s → 2s, customer c → 2c+1 (disjoint ranges,
+    no string keys in the shuffle).
+    """
+    st = _star(spark, sf_dir)
+    pairs = (
+        st.lineitem.select("l_suppkey", "l_orderkey")
+        .join(
+            st.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    meta = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    base = F.expr(f"15 * {_PR_SCALE} div (100 * n)")
+    ranks = deg.crossJoin(F.broadcast(meta)).select(
+        F.col("src").alias("node"),
+        F.expr(f"{_PR_SCALE} div n").alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                "dst", F.expr("(r * 85) div (100 * d)").alias("c")
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("rsum"))
+            .crossJoin(F.broadcast(meta))
+            .select("node", (base + F.col("rsum")).alias("r"))
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("node_id"),
+            F.col("r").cast("bigint").alias("rank_scaled"),
+        )
+    )

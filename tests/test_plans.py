@@ -596,3 +596,13 @@ def test_orphan_audit_uses_anti_joins_not_subqueries(spark):
     plan = _formatted(_build(spark, "quality_orphan_audit"))
     assert plan.count("LeftAnti") >= 3, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_iteration_has_no_driver_state_and_no_python(spark):
+    """Iterative PageRank: the node-count scalar rides a broadcast
+    1-row frame (no collect), contributions are integer folds (no
+    Python nodes), top-20 via TakeOrderedAndProject."""
+    plan = _formatted(_build(spark, "graph_pagerank_trade"))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
