@@ -53,6 +53,8 @@ def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
       start-of-frame marker (SOF0..SOF15, excluding DHT/JPG/DAC which
       share the C0 block); the frame header is [len][precision]
       [height u16][width u16].
+    - GIF: 6-byte version signature, then the logical-screen
+      descriptor carries width/height as little-endian u16 at 6/8.
 
     Returns None for anything else (including raw text payloads) —
     callers fall back to the deterministic stub. Pixel DECODE (the
@@ -64,6 +66,10 @@ def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
             height = int.from_bytes(data[20:24], "big")
             return width, height
         return None
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        width = int.from_bytes(data[6:8], "little")
+        height = int.from_bytes(data[8:10], "little")
+        return width, height
     if data[:2] == b"\xff\xd8":
         i = 2
         n = len(data)

@@ -141,6 +141,9 @@ def test_parse_image_dimensions_jpeg_png_and_fallbacks():
     assert parse_image_dimensions(_jpeg_bytes(320, 240)) == (320, 240)
     assert parse_image_dimensions(_jpeg_bytes(8192, 1)) == (8192, 1)
     assert parse_image_dimensions(_png_bytes(640, 480)) == (640, 480)
+    gif = b"GIF89a" + (137).to_bytes(2, "little") + (42).to_bytes(2, "little")
+    assert parse_image_dimensions(gif) == (137, 42)
+    assert parse_image_dimensions(b"GIF89a\x01") is None  # truncated
     assert parse_image_dimensions(b"plain text payload") is None
     assert parse_image_dimensions(b"\xff\xd8\xff\xd9") is None  # no SOF
     assert parse_image_dimensions(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None
