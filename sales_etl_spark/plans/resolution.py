@@ -1,7 +1,7 @@
 """Entity resolution, global ordering, inequality profiling, and the
 non-decomposable ledger scan (round-4 continuation tier).
 
-Four operator families the registry had not yet demonstrated, each a
+Operator families the registry had not yet demonstrated, each a
 standard warehouse/pipeline ask with a distinct Spark-first shape:
 
 - blocked fuzzy record linkage: deterministic blocking keys bound the
@@ -20,7 +20,10 @@ standard warehouse/pipeline ask with a distinct Spark-first shape:
   express (operators/windows.py:capped_running_sum, grouped-map
   applyInPandas; DuckDB needs a recursive CTE for the same answer);
 - Q18-shaped big-order report: HAVING-filtered aggregate used as a
-  semi-join pruner into the fact scan before the dim join.
+  semi-join pruner into the fact scan before the dim join;
+- integer-exact fixed-iteration PageRank: iterative link analysis as
+  one join+groupBy per iteration (Pregel-on-joins), contributions
+  floored to integer rank-units so distributed sums commute.
 
 Reference parity: the reference engine (etl/transform.py) has no
 fuzzy-match, ranking, or ledger surface — this tier is engine
@@ -506,5 +509,76 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("node").alias("node_id"),
             F.col("r").cast("bigint").alias("rank_scaled"),
+        )
+    )
+
+
+@query(
+    "window_concurrent_orders",
+    oracle="""
+    SELECT a.o_orderkey,
+           CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_concurrent
+    FROM orders a
+    LEFT JOIN orders b
+      ON b.o_custkey = a.o_custkey
+     AND b.o_orderkey <> a.o_orderkey
+     AND b.o_orderdate <= a.o_orderdate
+     AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+    GROUP BY a.o_orderkey
+    """,
+)
+def window_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every order: how many OTHER orders of the same customer were
+    'open' at its order date (an order stays open 30 days, inclusive)
+    — interval-overlap counting, the concurrency metric behind
+    max-parallel-sessions / resource-overlap reports.
+
+    The oracle states the semantics as the quadratic per-customer
+    self-join; the Spark plan is the SWEEP LINE that replaces it:
+    every interval becomes a +1 event at its start day and a −1 event
+    at (end+1) days — exclusive-end encoding, so an interval whose
+    last covered day IS the measured day still counts — and one
+    running sum over a RANGE frame (all same-day peers included, which
+    is what makes two same-day orders count each other symmetrically)
+    yields the number of covering intervals at every start, minus one
+    for the order itself. One shuffle on the customer key, O(n log n)
+    in each partition instead of O(n²) pairs per hot customer — the
+    same rewrite class as the rolling-distinct contribution explode
+    (events_rolling_active_users).
+    """
+    st = _star(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    base = st.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    starts = base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day").alias("evt_day"),
+        F.lit(1).alias("delta"),
+    )
+    ends = base.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("day") + 31).alias("evt_day"),
+        F.lit(-1).alias("delta"),
+    )
+    events = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("evt_day")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = events.withColumn("open_now", F.sum("delta").over(w))
+    return (
+        swept.filter(F.col("delta") == 1)
+        .select(
+            "o_orderkey",
+            (F.col("open_now") - 1).cast("bigint").alias("n_concurrent"),
         )
     )
