@@ -325,7 +325,14 @@ def test_local_volume_constant_folds_nation_region(spark):
 #: Queries whose plans legitimately contain Arrow-batched Python
 #: (the multimodal tier) — anything else with a Python node is a
 #: regression into the slow path.
-_PYTHON_OK = {"multimodal_features", "multimodal_frames"}
+_PYTHON_OK = {
+    "multimodal_features",
+    "multimodal_frames",
+    # the clamp recurrence is non-associative — provably no prefix-sum
+    # rewrite exists, so grouped-map applyInPandas IS the Spark-first
+    # shape (plans/resolution.py:window_capped_running_sum)
+    "window_capped_running_sum",
+}
 
 #: Declared ground-truth tiers allowed an all-pairs join at
 #: verification scale (each has an implemented, tested scale twin).
@@ -350,6 +357,8 @@ _SCALAR_BNLJ_OK = {
     # 9-row decile frame cross + non-equi (score > boundary) broadcast
     # join against the 9-row boundary frame — both sides literal-sized
     "sample_quality_deciles",
+    # 1-row node-count scalar broadcast into ranks each iteration
+    "graph_pagerank_trade",
 }
 
 
