@@ -61,6 +61,7 @@ _SWEEP_FIRST = [
     "graph_pagerank_trade",
     "mart_incremental_join_refresh",
     "window_concurrent_orders",
+    "dedup_tf_cosine",
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_avg_check_by_region",
     "topk_product_ranking",
@@ -138,7 +139,7 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
-    # The fifteen-key lead tier pushes the tail of this list (events_twap
+    # The sixteen-key lead tier pushes the tail of this list (events_twap
     # through agg_skew_kurtosis, positions 51+) past the 50-slot
     # window this round. More round-4 additions exist than window
     # slots, so SOME never-driver-checked keys must wait a round

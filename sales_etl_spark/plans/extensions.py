@@ -2600,3 +2600,121 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "n")
     )
+
+
+#: Sparse-cosine postings cap: terms in more than this many documents
+#: are dropped from the index BEFORE the pair join (stopword-class
+#: postings would dominate Σdf² cost while carrying no discriminative
+#: signal). Part of the operator's declared semantics — the oracle
+#: applies the identical cap.
+_TF_COSINE_DF_CAP = 64
+_TF_COSINE_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_tf_cosine",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    keep AS (
+        SELECT term FROM tf
+        GROUP BY term HAVING COUNT(*) <= {_TF_COSINE_DF_CAP}
+    ),
+    ctf AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+    norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        FROM ctf GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM ctf a
+        JOIN ctf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE))
+                * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE))
+               * sqrt(CAST(nb.n2 AS DOUBLE))) >= {_TF_COSINE_THRESHOLD}
+    """,
+)
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TERM-VECTOR cosine similarity join: document pairs whose
+    TF-weighted cosine clears the threshold, computed through an
+    inverted index — the bag-of-words sibling of the dense embedding
+    join (dedup_semantic) and the weighted upgrade of set Jaccard
+    (dedup_ngram_jaccard).
+
+    Scale shape: postings self-join on the term key, so candidate cost
+    is Σ_term df² — bounded LINEARLY by dropping terms with df above
+    the cap before the join (declared semantics, oracle-mirrored; the
+    same hot-key guard as the n-gram shingle cap, here also a
+    relevance argument: stopword-class terms carry no signal). Dot
+    products are integer TF sums (order-independent, bit-exact); the
+    ONLY float math is one final sqrt·sqrt division — IEEE sqrt is
+    correctly rounded, so both engines agree to the bit even at the
+    threshold boundary.
+    """
+    st = _star(spark, sf_dir)
+    tf = (
+        st.documents.select(
+            "doc_id",
+            F.explode(
+                TX.tokens(TX.normalize_text("text"), TX.WORD_RE)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _TF_COSINE_DF_CAP)
+        .select("term")
+    )
+    ctf = tf.join(keep, "term")
+    norms = ctf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    a = ctf.select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = ctf.select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("__n2a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("__n2b")
+    )
+    cos = (
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("__n2a").cast("double"))
+            * F.sqrt(F.col("__n2b").cast("double"))
+        )
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _TF_COSINE_THRESHOLD)
+    )
