@@ -1,0 +1,467 @@
+"""Corpus-structure and graph-profile closers (round-4 final tier).
+
+Operator families still missing from the registry, each a standard
+warehouse / LLM-data-pipeline ask with a distinct Spark-first shape:
+
+- cross-document repeated-chunk removal (the paragraph-dedup pass of
+  CCNet/RefinedWeb-style corpus cleaning): chunk → count distinct
+  docs per chunk → drop shared chunks → reassemble survivors in
+  order, all in four narrow shuffles on chunk/doc keys;
+- local clustering coefficient over the co-purchase graph: ordered-
+  edge triangle enumeration (a<b<c joins each triangle exactly once)
+  on a support-thresholded edge list — the standard bounded-degree
+  trick that keeps the wedge join linear in |E|;
+- per-user event-type Shannon entropy: behavioral-diversity profile
+  whose transcendental terms are floored to exact integer micro-nats
+  before the distributed sum (the lm_score recipe applied to
+  entropy);
+- per-source Zipf slope: least-squares fit of log-frequency against
+  log-rank carried entirely in exact integer sums (one double
+  division at the end) — distribution profiling with zero
+  order-dependence.
+
+Reference parity: the reference engine (etl/transform.py) has no
+graph, entropy, or corpus-hygiene surface — this tier is engine
+extension per SURVEY.md §2.6. Determinism rules are the registry's
+(plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sales_etl_spark.functions import text as TX
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+#: DuckDB expression mirroring functions.text.tokens(normalize_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"regexp_extract_all({_NORM}, '\\w+')"
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-chunk removal (paragraph dedup)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 4
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ch AS (
+        SELECT doc_id,
+               unnest(generate_series(
+                   0, CAST(ceil(len(t) / {_CHUNK_W}.0) AS INT) - 1)) AS pos,
+               t
+        FROM w WHERE len(t) > 0
+    ),
+    c2 AS (
+        SELECT doc_id, pos,
+               array_to_string(
+                   t[pos * {_CHUNK_W} + 1 : pos * {_CHUNK_W} + {_CHUNK_W}],
+                   ' ') AS chunk
+        FROM ch
+    ),
+    dup AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM c2 GROUP BY chunk),
+    kept AS (
+        SELECT c.doc_id, c.pos, c.chunk
+        FROM c2 c JOIN dup d USING (chunk) WHERE d.nd = 1
+    ),
+    k AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c2 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           COALESCE(tot.n_chunks, 0) AS n_chunks,
+           COALESCE(tot.n_chunks, 0) - COALESCE(k.n_kept, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN k USING (doc_id)
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style paragraph dedup: remove every chunk of
+    text that also appears verbatim in ANOTHER document, keeping each
+    doc's surviving chunks in original order. (The synthetic corpus
+    has no newline structure, so "paragraph" is a fixed 4-token
+    chunk — the operator is the same for any splitter.)
+
+    Spark-first plan: chunking is pure codegen (sequence → slice →
+    array_join, no Python); the corpus-wide duplicate decision is ONE
+    groupBy on the chunk value (count DISTINCT docs — a chunk
+    repeated inside one doc is not boilerplate); survivors join back
+    on the chunk key and reassemble with an order-free
+    sort_array(collect_list(struct(pos, chunk))) fold, so no window
+    or global sort touches the corpus. Shuffles are all on uniform
+    chunk/doc keys. At 100 TB the chunk value in the exchange is
+    replaced by its 128-bit fingerprint (xxhash64/md5 — same plan,
+    narrower rows) and the dup table above a DF cap is tiny, exactly
+    the hot-shingle treatment dedup_ngram_jaccard applies."""
+    st = _star(spark, sf_dir)
+    w = st.documents.select(
+        "doc_id", TX.tokens(TX.normalize_text("text")).alias("t")
+    )
+    nch = F.ceil(F.size("t") / F.lit(float(_CHUNK_W))).cast("int")
+    ch = (
+        w.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nch - 1),
+                    lambda i: F.array_join(
+                        F.slice("t", i * _CHUNK_W + 1, _CHUNK_W), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+    )
+    dup = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    kept = ch.join(dup, "chunk").filter(F.col("nd") == 1)
+    k = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_chunks"))
+    return (
+        st.documents.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(k, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("__n_chunks"), F.lit(0).cast("long")).alias(
+                "n_chunks"
+            ),
+            (
+                F.coalesce(F.col("__n_chunks"), F.lit(0).cast("long"))
+                - F.coalesce(F.col("__n_kept"), F.lit(0).cast("long"))
+            ).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (triangles) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_EDGE_SUPPORT = 2
+
+
+@query(
+    "graph_triangle_cluster",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pr AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS c
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    e AS (SELECT pa, pb FROM pr WHERE c >= {_EDGE_SUPPORT}),
+    deg AS (
+        SELECT node, COUNT(*) AS degree
+        FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM e e1
+        JOIN e e2 ON e1.pb = e2.pa
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tn AS (
+        SELECT node, COUNT(*) AS triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node AS part_id,
+           deg.degree,
+           COALESCE(tn.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(2 * COALESCE(tn.triangles, 0) AS DOUBLE)
+                     / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tn USING (node)
+    ORDER BY COALESCE(tn.triangles, 0) DESC, deg.node
+    LIMIT 20
+    """,
+)
+def graph_triangle_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the part co-purchase graph:
+    for the 20 most triangle-dense parts, how tightly do their
+    co-purchase neighbors co-purchase each other.
+
+    Spark-first plan: the graph is bounded BEFORE any quadratic step
+    — the self-join runs on the DISTINCT (order, part) grain (≤7
+    lines/order → ≤21 pairs), and only pairs with support ≥ 2 become
+    edges, the market-basket thresholding that keeps degree bounded
+    under scale-up. Triangles enumerate over ORDERED edges (a<b<c),
+    so each triangle matches exactly once with no post-join dedup:
+    one wedge join on the shared middle vertex plus one closing
+    equi-join — the standard two-shuffle triangle count, linear in
+    wedges. Per-node counts come from an explode (map-side), the
+    coefficient is one double division of exact integers, and the
+    final top-20 is TakeOrderedAndProject with the unique node id as
+    tiebreak."""
+    st = _star(spark, sf_dir)
+    op = st.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = pairs.filter(F.col("c") >= _EDGE_SUPPORT).select("pa", "pb")
+    deg = (
+        e.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c3"),
+        )
+    )
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(tn, "node", "left")
+        .select(
+            F.col("node").alias("part_id"),
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                (
+                    F.lit(2)
+                    * F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+                ).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+    return out.orderBy(F.desc("triangles"), F.asc("part_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_entropy",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS t,
+               COUNT(*) AS n_types
+        FROM cnt GROUP BY user_id
+    ),
+    term AS (
+        SELECT cnt.user_id, tot.t, tot.n_types,
+               CAST(floor(
+                   -((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS e_micro
+        FROM cnt JOIN tot USING (user_id)
+    )
+    SELECT user_id,
+           MIN(t) AS n_events,
+           MIN(n_types) AS n_types,
+           CAST(SUM(e_micro) AS DOUBLE) / 1000000.0 AS entropy
+    FROM term GROUP BY user_id
+    """,
+)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity profile (bot traffic scores ~0, exploratory
+    users high).
+
+    Spark-first plan: two partial-aggregating groupBys on the same
+    user key (AQE coalesces to one exchange lineage), the probability
+    term computed per (user, type) row map-side. Cross-engine
+    exactness: each -p·ln p converts to integer micro-nats via the
+    IDENTICAL IEEE sequence in both engines (divide, ln, multiply,
+    floor + 0.5 — the lm_score recipe), so the per-user sum is an
+    order-free long and the output division of exact operands is one
+    identical IEEE op."""
+    st = _star(spark, sf_dir)
+    cnt = st.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("user_id").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    term = cnt.join(tot, "user_id").select(
+        "user_id",
+        "t",
+        "n_types",
+        F.floor(-(p * F.log(p)) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("e_micro"),
+    )
+    return term.groupBy("user_id").agg(
+        F.min("t").alias("n_events"),
+        F.min("n_types").alias("n_types"),
+        (F.sum("e_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "entropy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source Zipf slope
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 20
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT source, term, COUNT(*) AS tf
+        FROM toks GROUP BY source, term
+    ),
+    ranked AS (
+        SELECT source, tf,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY tf DESC, term) AS r
+        FROM tf
+        QUALIFY r <= {_ZIPF_TOP}
+    ),
+    pts AS (
+        SELECT source,
+               CAST(floor(ln(CAST(r AS DOUBLE)) * 100000.0 + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(tf AS DOUBLE)) * 100000.0 + 0.5)
+                    AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n AS n_terms,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent estimate: least-squares slope of
+    ln(term frequency) against ln(rank) over each source's top-20
+    terms — natural text tracks ≈ −1; template/spam sources flatten.
+    The corpus-profiling companion to text_term_freq.
+
+    Spark-first plan: the regression runs on the vocabulary-grain
+    aggregate (|sources|·|vocab| rows), never the token stream; the
+    rank window partitions by source over that tiny frame. Both logs
+    are floored to exact integer 1e-5 units via the identical IEEE
+    sequence in both engines, so every regression sum is exact 64-bit
+    integer arithmetic under any partitioning (magnitudes bounded:
+    n·Σxy < 2^53) and the slope is ONE double division of
+    exactly-representable operands."""
+    st = _star(spark, sf_dir)
+    toks = st.documents.select(
+        "source",
+        F.explode(TX.tokens(TX.normalize_text("text"))).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("tf"), F.asc("term")
+        )
+    )
+    ranked = tf.select("source", "tf", r.alias("r")).filter(
+        F.col("r") <= _ZIPF_TOP
+    )
+    pts = ranked.select(
+        "source",
+        F.floor(
+            F.log(F.col("r").cast("double")) * F.lit(100_000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.log(F.col("tf").cast("double")) * F.lit(100_000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("zipf_slope"),
+    )

@@ -1,0 +1,114 @@
+"""Unit tier for the corpus-structure/graph-profile closers
+(plans/structure.py): paragraph-dedup reassembly discipline, and the entropy/Zipf invariants the oracle
+hash cannot state on its own."""
+
+from __future__ import annotations
+
+import math
+
+from sales_etl_spark.functions import text as TX
+from sales_etl_spark.plans import QUERY_REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, name):
+    return QUERY_REGISTRY[name].builder(spark, SF)
+
+
+def test_paragraph_dedup_reassembles_in_order_and_balances(spark):
+    out = _build(spark, "dedup_paragraphs").toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select(
+            "doc_id", TX.tokens(TX.normalize_text("text")).alias("t")
+        ).collect()
+    }
+    # every document appears exactly once
+    assert len(out) == len(toks)
+    # the corpus actually exercises the positive path at this SF
+    assert (out.n_dropped > 0).any()
+    assert (out.n_dropped < out.n_chunks).any()
+    for doc_id, row in out.iterrows():
+        t = toks[doc_id]
+        n_chunks_expected = math.ceil(len(t) / 4)
+        assert row.n_chunks == n_chunks_expected
+        if row.n_dropped == 0:
+            # nothing removed → the reassembly is the token stream
+            assert row.clean_text == " ".join(t)
+    # survivors are a subsequence of the original chunk list, in order
+    sample = out[out.n_dropped > 0].head(5)
+    for doc_id, row in sample.iterrows():
+        t = toks[doc_id]
+        chunks = [
+            " ".join(t[i * 4 : i * 4 + 4])
+            for i in range(math.ceil(len(t) / 4))
+        ]
+        survivors = _greedy_subsequence(row.clean_text, chunks)
+        assert survivors is not None, (doc_id, row.clean_text)
+        assert len(survivors) == row.n_chunks - row.n_dropped
+
+
+def _greedy_subsequence(clean_text: str, chunks: list[str]):
+    """Split clean_text back into a subsequence of ``chunks`` (greedy,
+    in order); returns the matched chunk list or None."""
+    rest = clean_text
+    matched = []
+    i = 0
+    while rest:
+        advanced = False
+        while i < len(chunks):
+            c = chunks[i]
+            if rest == c:
+                matched.append(c)
+                rest = ""
+                advanced = True
+                i += 1
+                break
+            if rest.startswith(c + " "):
+                matched.append(c)
+                rest = rest[len(c) + 1 :]
+                advanced = True
+                i += 1
+                break
+            i += 1
+        if not advanced:
+            return None
+    return matched
+
+
+def test_type_entropy_bounds(spark):
+    rows = _build(spark, "events_type_entropy").collect()
+    assert rows
+    for r in rows:
+        assert r.n_types >= 1
+        assert r.entropy >= 0.0
+        # H <= ln(n_types) + micro-unit rounding slack
+        assert r.entropy <= math.log(r.n_types) + 1e-5, r
+        if r.n_types == 1:
+            assert r.entropy == 0.0
+
+
+def test_zipf_slope_is_nonpositive_and_complete(spark):
+    rows = _build(spark, "text_zipf_slope").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        # tf is non-increasing in rank, so the LS slope cannot be > 0
+        assert r.zipf_slope <= 0.0, r
+        assert r.n_terms >= 2
+
+
+def test_triangle_clustering_invariants(spark):
+    rows = _build(spark, "graph_triangle_cluster").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.clustering <= 1.0, r
+        assert r.triangles >= 0 and r.degree >= 1
+        if r.degree < 2:
+            assert r.triangles == 0
+    # descending by triangles with part_id tiebreak
+    key = [(-r.triangles, r.part_id) for r in rows]
+    assert key == sorted(key)
