@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sales_etl_spark.functions import text as TX
+from sales_etl_spark.operators.windows import global_row_number
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -465,3 +466,283 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking and hybrid (text + vector) retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "join", "window")
+_RRF_K = 60
+
+#: DuckDB twin of the BM25 per-(doc, term) partial score. Every
+#: double op appears in the IDENTICAL order as the Spark expression
+#: below; idf is pre-floored to exact integer micro-units, so each
+#: partial is an exact long and the per-doc sum commutes.
+_BM25_PARTIAL_SQL = """
+    CAST(floor(
+        idf_micro * ((tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / avgdl))))
+        + 0.5) AS BIGINT)
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms):
+    """Shared BM25 pipeline: (doc_id, bm25_micro) for every document
+    matching ≥1 query term. ``query_terms`` is either a literal tuple
+    of terms or a 1-column DataFrame of distinct terms (broadcast)."""
+    st = _star(spark, sf_dir)
+    toks = st.documents.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text("text"))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nstats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    if isinstance(query_terms, DataFrame):
+        qtoks = toks.join(F.broadcast(query_terms), "term")
+    else:
+        qtoks = toks.filter(F.col("term").isin(*query_terms))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df.crossJoin(F.broadcast(nstats)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    partial = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(nstats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_micro")
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75)
+                            * (F.col("dl").cast("double") / avgdl)
+                        )
+                    )
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("partial_micro"),
+        )
+    )
+    return partial.groupBy("doc_id").agg(
+        F.sum("partial_micro").alias("bm25_micro")
+    )
+
+
+#: Shared SQL CTE prefix mirroring _bm25_scores for a given query-term
+#: predicate (``{qpred}`` filters the token stream).
+_BM25_SQL = f"""
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    nstats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+               FROM dl),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE {{qpred}} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    idf AS (
+        SELECT term,
+               CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+        FROM df, nstats
+    ),
+    partial AS (
+        SELECT tf.doc_id,
+               {_BM25_PARTIAL_SQL} AS partial_micro
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN idf ON tf.term = idf.term,
+        (SELECT CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         FROM nstats) a
+    ),
+    bm25 AS (
+        SELECT doc_id, CAST(SUM(partial_micro) AS BIGINT) AS bm25_micro
+        FROM partial GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SQL.format(qpred="term IN ('spark', 'join', 'window')")}
+    SELECT doc_id,
+           CAST(bm25_micro AS DOUBLE) / 1000000.0 AS bm25
+    FROM bm25
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 documents for a fixed
+    3-term query — the length-normalized ranking function production
+    retrieval uses where tf-idf stops (text_tfidf_keywords).
+
+    Spark-first plan: the token stream is scanned once; document
+    length and the (N, Σdl) corpus scalars aggregate from it (the
+    scalars ride a broadcast 1-row frame — no collect); the query-term
+    filter cuts the stream to |Q| terms BEFORE the tf groupBy, so the
+    scoring join is query-sized, not corpus-sized. Cross-engine
+    exactness: idf floors to integer micro-units first, each
+    per-(doc, term) partial applies the IDENTICAL IEEE sequence in
+    both engines and floors again, so the per-doc sum is an order-free
+    long; top-20 is TakeOrderedAndProject on (long, doc_id)."""
+    scores = _bm25_scores(spark, sf_dir, _BM25_QUERY)
+    return (
+        scores.select(
+            "doc_id",
+            (F.col("bm25_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "bm25"
+            ),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_RRF_QUERY_ID = 0
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SQL.format(
+        qpred=f"term IN (SELECT DISTINCT unnest({_TOKS}) "
+              f"FROM documents WHERE doc_id = {_RRF_QUERY_ID})"
+    )},
+    trank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS tr
+        FROM bm25 WHERE doc_id <> {_RRF_QUERY_ID}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {_RRF_QUERY_ID}),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               round(
+                   list_reduce(list_transform(list_zip(q.qv, e.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                       (x, y) -> x + y)
+                   / nullif(
+                       sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(
+                           list_zip(e.embedding, e.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           (x, y) -> x + y)), 0),
+                   6) AS sim
+        FROM embeddings e, q WHERE e.vec_id <> {_RRF_QUERY_ID}
+    ),
+    vrank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS vr
+        FROM cos
+    )
+    SELECT v.doc_id,
+           COALESCE(1.0 / ({_RRF_K} + t.tr), 0.0)
+               + 1.0 / ({_RRF_K} + v.vr) AS rrf,
+           t.tr AS text_rank, v.vr AS vector_rank
+    FROM vrank v LEFT JOIN trank t USING (doc_id)
+    ORDER BY rrf DESC, v.doc_id
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: rank the corpus
+    by BM25 against document 0's terms AND by embedding cosine
+    against vector 0, then fuse as Σ 1/(60+rank) — the standard
+    lexical+semantic ensemble (RRF needs no score calibration, which
+    is exactly why production search uses it).
+
+    Spark-first plan: the text leg reuses the BM25 pipeline with the
+    query's term set as a broadcast frame; the vector leg is the
+    cosine_topk shape (query vector broadcast over one corpus scan,
+    pre-normed fold). Both global ranks use the bucket-offset
+    decomposition (operators/windows.py:global_row_number) — score
+    ranges as monotone buckets, so NO single-partition window touches
+    the corpus-sized rank lists. The fuse
+    is a LEFT join from the vector leg (every doc has a vector; docs
+    sharing no term contribute only the vector term via COALESCE), and
+    both reciprocal terms divide exact small integers — identical
+    IEEE in both engines. Top-10 is TakeOrderedAndProject."""
+    st = _star(spark, sf_dir)
+    qterms = (
+        st.documents.filter(F.col("doc_id") == _RRF_QUERY_ID)
+        .select(
+            F.explode(TX.tokens(TX.normalize_text("text"))).alias("term")
+        )
+        .distinct()
+    )
+    bm25 = _bm25_scores(spark, sf_dir, qterms).filter(
+        F.col("doc_id") != _RRF_QUERY_ID
+    )
+    trank = global_row_number(
+        bm25,
+        order_by=[F.desc("bm25_micro"), F.asc("doc_id")],
+        bucket=-(F.col("bm25_micro") / F.lit(100_000)).cast("long"),
+        out="tr",
+    ).select("doc_id", "tr")
+    e = st.embeddings
+    qv = e.filter(F.col("vec_id") == _RRF_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    from sales_etl_spark.functions.vectors import cosine_rounded
+
+    cos = (
+        e.filter(F.col("vec_id") != _RRF_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_rounded("qv", "embedding").alias("sim"),
+        )
+    )
+    vrank = global_row_number(
+        cos,
+        order_by=[F.desc("sim"), F.asc("doc_id")],
+        bucket=-F.floor(F.col("sim") * F.lit(100.0)).cast("long"),
+        out="vr",
+    ).select("doc_id", "vr")
+    fused = (
+        vrank.join(trank, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("tr")),
+                    F.lit(0.0),
+                )
+                + F.lit(1.0) / (F.lit(_RRF_K) + F.col("vr"))
+            ).alias("rrf"),
+            F.col("tr").alias("text_rank"),
+            F.col("vr").alias("vector_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

@@ -359,6 +359,10 @@ _SCALAR_BNLJ_OK = {
     "sample_quality_deciles",
     # 1-row node-count scalar broadcast into ranks each iteration
     "graph_pagerank_trade",
+    # 1-row (N, Σdl) corpus-scalar frame broadcast into the BM25
+    # scoring join; the hybrid query adds the 1-row query-vector frame
+    "text_bm25_topk",
+    "search_hybrid_rrf",
 }
 
 

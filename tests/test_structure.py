@@ -112,3 +112,59 @@ def test_triangle_clustering_invariants(spark):
     # descending by triangles with part_id tiebreak
     key = [(-r.triangles, r.part_id) for r in rows]
     assert key == sorted(key)
+
+
+def test_bm25_returns_matching_docs_in_order(spark):
+    rows = _build(spark, "text_bm25_topk").collect()
+    assert len(rows) == 20
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # every returned doc really contains a query term
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    texts = {
+        r.doc_id: r.text.lower()
+        for r in docs.filter(
+            docs.doc_id.isin([r.doc_id for r in rows])
+        ).collect()
+    }
+    for r in rows:
+        assert any(
+            q in texts[r.doc_id] for q in ("spark", "join", "window")
+        ), r.doc_id
+
+
+def test_hybrid_rrf_is_self_consistent(spark):
+    rows = _build(spark, "search_hybrid_rrf").collect()
+    assert len(rows) == 10
+    assert all(r.doc_id != 0 for r in rows)
+    for r in rows:
+        want = (1.0 / (60 + r.text_rank) if r.text_rank else 0.0) + 1.0 / (
+            60 + r.vector_rank
+        )
+        assert r.rrf == want, r
+    vals = [r.rrf for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_hybrid_rrf_plan_has_no_unpartitioned_corpus_window(spark):
+    """The rank legs must use the bucket-offset decomposition: every
+    Window node in the physical plan partitions by some key (the
+    single-partition global window is the canonical scale-killer)."""
+    df = _build(spark, "search_hybrid_rrf")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # spec = "part..., order... ASC/DESC ..., frame$()" — a global
+        # window has NO partition column before the first ordered col.
+        # The only global windows allowed are the bucket-offset
+        # cumulative sums over the ~|buckets|-row counts frame.
+        first = spec.split(",")[0].strip()
+        if first.endswith(("ASC NULLS FIRST", "DESC NULLS LAST")):
+            assert first.startswith("__bkt"), (
+                "unpartitioned corpus-sized window: " + spec
+            )
