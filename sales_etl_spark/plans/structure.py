@@ -18,7 +18,16 @@ warehouse / LLM-data-pipeline ask with a distinct Spark-first shape:
 - per-source Zipf slope: least-squares fit of log-frequency against
   log-rank carried entirely in exact integer sums (one double
   division at the end) — distribution profiling with zero
-  order-dependence.
+  order-dependence;
+- Okapi BM25 ranking and hybrid lexical+semantic retrieval fused by
+  reciprocal rank (RRF): corpus scalars on broadcast 1-row frames,
+  idf/partials in exact integer micro-units, global ranks via the
+  bucket-offset decomposition (never a single-partition window);
+- experimentation & monitoring: a Welch z-test on per-user spend
+  (power sums as exact integers, the whole statistic one IEEE
+  expression) and a two-sample Kolmogorov–Smirnov drift statistic
+  whose sup runs over integer cross-products on the value-domain
+  grain.
 
 Reference parity: the reference engine (etl/transform.py) has no
 graph, entropy, or corpus-hygiene surface — this tier is engine
@@ -746,3 +755,216 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Experimentation & monitoring: Welch A/B test, KS drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_welch",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sp
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant,
+               COUNT(*) AS n,
+               CAST(SUM(sp) AS BIGINT) AS s1,
+               SUM(CAST(sp AS HUGEINT) * sp) AS s2
+        FROM spend GROUP BY variant
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n END) AS n_control,
+            MAX(CASE WHEN variant = 0 THEN s1 END) AS s1_c,
+            MAX(CASE WHEN variant = 0 THEN s2 END) AS s2_c,
+            MAX(CASE WHEN variant = 1 THEN n END) AS n_treatment,
+            MAX(CASE WHEN variant = 1 THEN s1 END) AS s1_t,
+            MAX(CASE WHEN variant = 1 THEN s2 END) AS s2_t
+        FROM v
+    )
+    SELECT n_control, n_treatment,
+           (CAST(s1_c AS DOUBLE) / n_control) / 1000000.0 AS mean_control,
+           (CAST(s1_t AS DOUBLE) / n_treatment) / 1000000.0
+               AS mean_treatment,
+           ((CAST(s1_t AS DOUBLE) / n_treatment)
+            - (CAST(s1_c AS DOUBLE) / n_control)) / 1000000.0 AS lift,
+           ((CAST(s1_t AS DOUBLE) / n_treatment)
+            - (CAST(s1_c AS DOUBLE) / n_control))
+           / sqrt(
+               ((CAST(s2_c AS DOUBLE)
+                 - (CAST(s1_c AS DOUBLE) / n_control) * s1_c)
+                / (n_control - 1)) / n_control
+               + ((CAST(s2_t AS DOUBLE)
+                   - (CAST(s1_t AS DOUBLE) / n_treatment) * s1_t)
+                  / (n_treatment - 1)) / n_treatment
+           ) AS z_score
+    FROM w
+    """,
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z-test for an A/B experiment on per-user purchase spend
+    (variant = deterministic user-id parity split — the hash-bucket
+    assignment production experimentation uses, minus the salt).
+
+    Spark-first plan: spend quantizes to integer micro-units at the
+    scan (floor·1e6+0.5 — the registry's transcendental-free exact
+    recipe), so both the per-user fold and the per-variant (n, Σx,
+    Σx²) power sums are order-free longs — the agg_stats recipe
+    applied to experimentation. The 2-row variant frame pivots to ONE
+    row via conditional MAX and the entire Welch statistic (means,
+    sample variances, pooled standard error) evaluates as a single
+    deterministic IEEE expression over exact integer operands —
+    bit-identical in both engines, no float accumulates anywhere."""
+    st = _star(spark, sf_dir)
+    sp_micro = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    spend = (
+        st.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(sp_micro).alias("sp"))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "sp"
+        )
+    )
+    sp19 = F.col("sp").cast("decimal(19,0)")
+    v = spend.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sp").alias("s1"),
+        # Σsp² needs 128-bit headroom (micro-unit spends square to
+        # ~1e22 at sf0.01): exact decimal(38,0), HUGEINT in the twin.
+        F.sum(sp19 * sp19).alias("s2"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_control"),
+        F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_c"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_c"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias(
+            "n_treatment"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_t"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_t"),
+    )
+    mean_c = F.col("s1_c").cast("double") / F.col("n_control")
+    mean_t = F.col("s1_t").cast("double") / F.col("n_treatment")
+    var_c = (
+        F.col("s2_c").cast("double") - mean_c * F.col("s1_c")
+    ) / (F.col("n_control") - 1)
+    var_t = (
+        F.col("s2_t").cast("double") - mean_t * F.col("s1_t")
+    ) / (F.col("n_treatment") - 1)
+    return w.select(
+        "n_control",
+        "n_treatment",
+        (mean_c / F.lit(1_000_000.0)).alias("mean_control"),
+        (mean_t / F.lit(1_000_000.0)).alias("mean_treatment"),
+        ((mean_t - mean_c) / F.lit(1_000_000.0)).alias("lift"),
+        (
+            (mean_t - mean_c)
+            / F.sqrt(
+                var_c / F.col("n_control") + var_t / F.col("n_treatment")
+            )
+        ).alias("z_score"),
+    )
+
+
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
+
+
+@query(
+    "quality_ks_drift",
+    oracle=f"""
+    WITH pts AS (
+        SELECT n_chars AS x,
+               CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END AS ib
+        FROM documents WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')
+    ),
+    per_x AS (
+        SELECT x, CAST(SUM(ia) AS BIGINT) AS ca,
+               CAST(SUM(ib) AS BIGINT) AS cb
+        FROM pts GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               CAST(SUM(ca) OVER (ORDER BY x) AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER (ORDER BY x) AS BIGINT) AS cum_b
+        FROM per_x
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb
+        FROM per_x
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           CAST(MAX(abs(cum_a * tot.nb - cum_b * tot.na)) AS BIGINT)
+               AS d_num,
+           CAST(MAX(abs(cum_a * tot.nb - cum_b * tot.na)) AS DOUBLE)
+               / (tot.na * tot.nb) AS ks_stat
+    FROM cum, tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the document-
+    length distributions of two sources — the distribution-drift
+    monitor a production data pipeline runs between corpus snapshots
+    (KS needs no binning choice, unlike a chi-square histogram).
+
+    Spark-first plan: the corpus collapses to the VALUE-DOMAIN grain
+    first (one groupBy on n_chars with per-source conditional counts),
+    so the CDF window runs over |distinct values| rows — domain-sized,
+    not corpus-sized (for continuous metrics you pre-bin, making the
+    domain the histogram width). The KS statistic stays exact the
+    whole way: the sup runs over INTEGER cross-products |Fa·nb −
+    Fb·na| (never a float CDF), and the single division at the end is
+    one identical IEEE op in both engines."""
+    st = _star(spark, sf_dir)
+    pts = st.documents.filter(
+        F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+    ).select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("source") == _KS_SRC_A, 1).otherwise(0).alias("ia"),
+        F.when(F.col("source") == _KS_SRC_B, 1).otherwise(0).alias("ib"),
+    )
+    per_x = pts.groupBy("x").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "x",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per_x.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            F.abs(
+                F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            ).alias("dn"),
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("dn").alias("d_num"))
+    )
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_num",
+        (
+            F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))
+        ).alias("ks_stat"),
+    )

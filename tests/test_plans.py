@@ -363,6 +363,9 @@ _SCALAR_BNLJ_OK = {
     # scoring join; the hybrid query adds the 1-row query-vector frame
     "text_bm25_topk",
     "search_hybrid_rrf",
+    # 1-row (na, nb) sample-size frame broadcast into the
+    # value-domain-grain CDF rows
+    "quality_ks_drift",
 }
 
 

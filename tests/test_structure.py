@@ -168,3 +168,40 @@ def test_hybrid_rrf_plan_has_no_unpartitioned_corpus_window(spark):
             assert first.startswith("__bkt"), (
                 "unpartitioned corpus-sized window: " + spec
             )
+
+
+def test_ab_welch_matches_direct_computation(spark):
+    row = _build(spark, "events_ab_welch").collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    import pandas as pd
+
+    pdf = ev.filter("event_type = 'purchase'").toPandas()
+    pdf["sp"] = (pdf["value"] * 1e6 + 0.5).apply(math.floor).astype("int64")
+    spend = pdf.groupby("user_id")["sp"].sum()
+    c = spend[spend.index % 2 == 0]
+    t = spend[spend.index % 2 == 1]
+    assert row.n_control == len(c) and row.n_treatment == len(t)
+    assert abs(row.mean_control - c.mean() / 1e6) < 1e-6
+    assert abs(row.mean_treatment - t.mean() / 1e6) < 1e-6
+    se = math.sqrt(c.var(ddof=1) / len(c) + t.var(ddof=1) / len(t))
+    want_z = (t.mean() - c.mean()) / se
+    assert abs(row.z_score - want_z) < 1e-9 * max(1.0, abs(want_z))
+
+
+def test_ks_drift_matches_direct_computation(spark):
+    row = _build(spark, "quality_ks_drift").collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    a = sorted(docs[docs.source == "src0"].n_chars)
+    b = sorted(docs[docs.source == "src1"].n_chars)
+    na, nb = len(a), len(b)
+    assert (row.n_a, row.n_b) == (na, nb)
+    import bisect
+
+    d_num = 0
+    for x in sorted(set(a) | set(b)):
+        ca = bisect.bisect_right(a, x)
+        cb = bisect.bisect_right(b, x)
+        d_num = max(d_num, abs(ca * nb - cb * na))
+    assert row.d_num == d_num
+    assert row.ks_stat == d_num / (na * nb)
+    assert 0.0 <= row.ks_stat <= 1.0
