@@ -968,3 +968,154 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))
         ).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket lift) and Benford profile
+# ---------------------------------------------------------------------------
+
+_RULE_SUPPORT = 3
+
+
+@query(
+    "agg_association_rules",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    item AS (SELECT p, COUNT(*) AS n_p FROM op GROUP BY p),
+    pair AS (
+        SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT part_a, part_b, n_ab,
+           ia.n_p AS n_a, ib.n_p AS n_b,
+           CAST(n_ab AS DOUBLE) / ia.n_p AS confidence,
+           (CAST(n_ab AS DOUBLE) * n.n_orders)
+               / (CAST(ia.n_p AS DOUBLE) * ib.n_p) AS lift
+    FROM pair
+    JOIN item ia ON ia.p = part_a
+    JOIN item ib ON ib.p = part_b, n
+    WHERE n_ab >= {_RULE_SUPPORT}
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the order baskets: for every co-purchased
+    part pair at support ≥ 3, confidence P(b|a) and lift
+    P(ab)/(P(a)P(b)) — the step from raw pair counts
+    (agg_copurchase_topk) to an actual recommendation/affinity signal
+    (lift > 1 = genuinely associated, not just individually popular).
+
+    Spark-first plan: baskets reduce to the DISTINCT (order, part)
+    grain first (≤7 lines/order bounds the pair join by the data
+    model); item counts aggregate from the same cached grain; the
+    1-row basket count rides a broadcast frame. The support filter
+    cuts the pair table BEFORE the two item-count joins (both
+    broadcastable — |parts|-sized). Confidence and lift are divisions
+    of exact integers in a pinned IEEE order, so the lift sort ranks
+    identically in both engines; top-20 is TakeOrderedAndProject with
+    the unique pair as tiebreak."""
+    st = _star(spark, sf_dir)
+    op = st.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    pair = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _RULE_SUPPORT)
+    )
+    ia = item.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b"))
+    out = (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+@query(
+    "quality_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM obs)
+    SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / n.total AS obs_share,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5)
+                AS BIGINT) AS exp_micro,
+           CAST(n_obs AS DOUBLE) / n.total
+               - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5)
+                      AS BIGINT) / 1000000.0 AS deviation
+    FROM obs, n
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    classic bookkeeping-fraud / synthetic-data smell test (organic
+    multiplicative amounts follow log10(1+1/d); fabricated ones
+    don't).
+
+    Spark-first plan: the digit extracts map-side from the integer
+    part (string head of the floored total — no log in the hot path),
+    one 9-bucket groupBy, and the 1-row total broadcast back. The
+    expected Benford share is transcendental, so it converts to exact
+    integer micro-units via the identical floor(log10·1e6+0.5)
+    sequence in both engines; observed shares and deviations are then
+    divisions of exact operands."""
+    st = _star(spark, sf_dir)
+    d = st.orders.filter(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    n = obs.agg(F.sum("n_obs").alias("total"))
+    exp_micro = (
+        F.floor(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return obs.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("total")).alias("obs_share"),
+        exp_micro.alias("exp_micro"),
+        (
+            F.col("n_obs").cast("double") / F.col("total")
+            - exp_micro / F.lit(1_000_000.0)
+        ).alias("deviation"),
+    )

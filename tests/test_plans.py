@@ -366,6 +366,10 @@ _SCALAR_BNLJ_OK = {
     # 1-row (na, nb) sample-size frame broadcast into the
     # value-domain-grain CDF rows
     "quality_ks_drift",
+    # 1-row basket-count / digit-total scalars broadcast into the
+    # support-filtered pair table / 9-bucket digit frame
+    "agg_association_rules",
+    "quality_benford_digits",
 }
 
 

@@ -205,3 +205,25 @@ def test_ks_drift_matches_direct_computation(spark):
     assert row.d_num == d_num
     assert row.ks_stat == d_num / (na * nb)
     assert 0.0 <= row.ks_stat <= 1.0
+
+
+def test_association_rules_are_internally_consistent(spark):
+    rows = _build(spark, "agg_association_rules").collect()
+    assert rows
+    for r in rows:
+        assert r.n_ab >= 3
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.confidence == r.n_ab / r.n_a
+        assert 0.0 < r.confidence <= 1.0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_benford_covers_all_digits_and_shares_sum_to_one(spark):
+    rows = _build(spark, "quality_benford_digits").collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-12
+    # Benford expected shares are a fixed profile: micro(log10(1+1/d))
+    for r in rows:
+        want = math.floor(math.log10(1.0 + 1.0 / r.digit) * 1e6 + 0.5)
+        assert r.exp_micro == want
