@@ -1119,3 +1119,157 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             - exp_micro / F.lit(1_000_000.0)
         ).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: top principal component by integer power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_VSCALE = 100_000  # iterate quantization (1e-5 units)
+
+
+def _pca_sql() -> str:
+    """Unrolled power-iteration oracle. Every iterate is EXACT integer
+    arithmetic: the scaled covariance C' = n·Σqqᵀ − (Σq)(Σq)ᵀ in
+    nano²-units (HUGEINT), the matvec in HUGEINT, and the
+    renormalization as sign-split nonnegative floor division
+    (|w|·scale // max|w|) — `//` and Spark's `div` agree on
+    nonnegative operands, and the sign never rides the division."""
+    iters = ""
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        iters += f""",
+    w{k} AS (
+        SELECT cp.i, SUM(cp.cp * v.v) AS w
+        FROM cp JOIN {prev} v ON v.i = cp.j
+        GROUP BY cp.i
+    ),
+    m{k} AS (SELECT MAX(abs(w)) AS m FROM w{k}),
+    v{k} AS (
+        SELECT i,
+               CAST(CASE WHEN w < 0
+                    THEN -((abs(w) * {_PCA_VSCALE}) // m.m)
+                    ELSE (abs(w) * {_PCA_VSCALE}) // m.m
+               END AS BIGINT) AS v
+        FROM w{k}, m{k} m
+    )"""
+        prev = f"v{k}"
+    return f"""
+    WITH q AS (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0
+                          + 0.5) AS BIGINT) AS q
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+    s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY i),
+    gram AS (
+        SELECT a.i AS i, b.i AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS g
+        FROM q a JOIN q b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    cp AS (
+        SELECT g.i, g.j,
+               CAST(n.n AS HUGEINT) * g.g
+                   - CAST(si.s AS HUGEINT) * sj.s AS cp
+        FROM gram g
+        JOIN s si ON si.i = g.i
+        JOIN s sj ON sj.i = g.j, n
+    ),
+    v0 AS (SELECT DISTINCT i, CAST({_PCA_VSCALE} AS BIGINT) AS v FROM q){iters},
+    nrm AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n2 FROM {prev})
+    SELECT v.i AS dim, v.v AS v_scaled,
+           CAST(v.v AS DOUBLE) / sqrt(CAST(nrm.n2 AS DOUBLE)) AS loading
+    FROM {prev} v, nrm
+    """
+
+
+@query("emb_pca_power", oracle=_pca_sql())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — distributed PCA in the RowMatrix.computeCovariance
+    shape: ONE O(n·d²) distributed pass builds the covariance, then
+    the iteration runs on the d²-row matrix frame (d=64 → 4096 rows),
+    never touching the corpus again.
+
+    Bit-exact across engines end to end: elements quantize to integer
+    nano-units at the scan; the Gram matrix accumulates exact 128-bit
+    integer products (decimal(38,0) / HUGEINT), mean-centering uses
+    the division-free scaling C' = n·Σqqᵀ − (Σq)(Σq)ᵀ (a positive
+    rescale cannot change eigenvectors), each matvec is an exact
+    integer sum, and renormalization is sign-split NONNEGATIVE floor
+    division by max|w| (Spark `div` ≡ DuckDB `//` on nonnegative
+    operands — the sign never rides the division, so truncate-vs-
+    floor cannot diverge). Floats appear exactly once: the final
+    loading = v/√Σv² over small exact integers, identical IEEE in
+    both engines. The same integer-fold recipe as PageRank
+    (graph_pagerank_trade), applied to spectral analysis."""
+    st = _star(spark, sf_dir)
+    q = st.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(
+            F.col("x").cast("double") * F.lit(1_000_000_000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    n = q.agg(F.countDistinct("vec_id").alias("n"))
+    s = q.groupBy("i").agg(F.sum("q").alias("s"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    gram = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(d19("a.q") * d19("b.q")).alias("g"))
+    )
+    si = s.select(F.col("i"), F.col("s").alias("s_i"))
+    sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    cp = (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(19,0)") * F.col("g")
+                - d19("s_i") * d19("s_j")
+            ).alias("cp"),
+        )
+    )
+    v = s.select("i", F.lit(_PCA_VSCALE).cast("long").alias("v"))
+    for _ in range(_PCA_ITERS):
+        w = (
+            cp.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cp") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.when(
+                    F.col("w") < 0,
+                    -F.expr(f"(abs(w) * {_PCA_VSCALE}) div m"),
+                )
+                .otherwise(F.expr(f"(abs(w) * {_PCA_VSCALE}) div m"))
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    nrm = v.agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").alias("dim"),
+        F.col("v").alias("v_scaled"),
+        (
+            F.col("v").cast("double")
+            / F.sqrt(F.col("n2").cast("double"))
+        ).alias("loading"),
+    )

@@ -370,6 +370,9 @@ _SCALAR_BNLJ_OK = {
     # support-filtered pair table / 9-bucket digit frame
     "agg_association_rules",
     "quality_benford_digits",
+    # 1-row vector-count / max|w| / norm scalars broadcast into the
+    # d²-row covariance frame and d-row iterates
+    "emb_pca_power",
 }
 
 

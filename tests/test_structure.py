@@ -227,3 +227,62 @@ def test_benford_covers_all_digits_and_shares_sum_to_one(spark):
     for r in rows:
         want = math.floor(math.log10(1.0 + 1.0 / r.digit) * 1e6 + 0.5)
         assert r.exp_micro == want
+
+
+def test_pca_power_matches_exact_integer_replication(spark):
+    """The operator's declared semantics are 3 EXACT integer power
+    iterations from all-ones (random-data covariance spectra are too
+    tight for 3 iterations to converge to the true eigenvector, so
+    the check is algorithmic, not spectral): replicate the identical
+    integer arithmetic in arbitrary-precision Python and require
+    exact v_scaled equality, then assert the iteration made spectral
+    progress (Rayleigh quotient strictly increased from v0 and is
+    bounded by the top eigenvalue)."""
+    import numpy as np
+
+    rows = _build(spark, "emb_pca_power").collect()
+    assert len(rows) == 64
+    got = {r.dim: r.v_scaled for r in rows}
+    v_load = np.zeros(64)
+    for r in rows:
+        v_load[r.dim - 1] = r.loading
+    assert abs(np.linalg.norm(v_load) - 1.0) < 1e-9
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    X = emb.embedding.tolist()
+    n, d = len(X), 64
+    q = [[math.floor(float(x) * 1e9 + 0.5) for x in row] for row in X]
+    s = [sum(q[r][i] for r in range(n)) for i in range(d)]
+    gram = [[0] * d for _ in range(d)]
+    for row in q:
+        for i in range(d):
+            qi = row[i]
+            gi = gram[i]
+            for j in range(d):
+                gi[j] += qi * row[j]
+    cp = [
+        [n * gram[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)
+    ]
+    v = [100_000] * d
+    def rayleigh(vec):
+        num = sum(
+            vec[i] * cp[i][j] * vec[j] for i in range(d) for j in range(d)
+        )
+        den = sum(x * x for x in vec)
+        return num / den
+    r0 = rayleigh(v)
+    for _ in range(3):
+        w = [sum(cp[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        v = [
+            -((-x if x < 0 else x) * 100_000 // m)
+            if x < 0
+            else (x * 100_000 // m)
+            for x in w
+        ]
+    assert {i + 1: v[i] for i in range(d)} == got
+    r3 = rayleigh(v)
+    assert r3 > r0
+    # bounded by the top eigenvalue of the SAME scaled matrix
+    top = max(np.linalg.eigvalsh(np.array(cp, dtype=np.float64)))
+    assert r3 <= top * (1 + 1e-9)
