@@ -1273,3 +1273,183 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("n2").cast("double"))
         ).alias("loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Agg-only argmin, sequence paths, dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_argmin_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS p, l_suppkey AS s,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS mp
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT p, MIN(mp) AS bp FROM ps GROUP BY p)
+    SELECT ps.p AS part_id,
+           MIN(ps.s) AS best_supp,
+           CAST(best.bp AS DOUBLE) AS best_price
+    FROM ps JOIN best ON ps.p = best.p AND ps.mp = best.bp
+    GROUP BY ps.p, best.bp
+    """,
+)
+def agg_argmin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2's correlated-min shape,
+    restated over the fact table): for every part, the supplier whose
+    best offered price is lowest, ties resolved to the smallest
+    supplier key.
+
+    Spark-first plan: argmin WITHOUT a rank window — the struct-min
+    trick. min(struct(price, supplier)) compares lexicographically,
+    so one ordinary aggregate returns (lowest price, smallest
+    supplier among its ties) with the tiebreak BUILT INTO the
+    comparator: fully map-side partial-aggregable, one exchange on
+    the part key, no per-group sort state. A row_number window gives
+    the identical answer but forces a sort of every group; at 100 TB
+    the struct-min is the difference between a combinable hash
+    aggregate and a window sort over the fact. Decimal price keeps
+    the comparator exact (a double comparator could rank two engines'
+    roundings differently)."""
+    st = _star(spark, sf_dir)
+    ps = st.lineitem.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("mp")
+    )
+    arg = ps.groupBy("p").agg(
+        F.min(F.struct("mp", "s")).alias("__best")
+    )
+    return arg.select(
+        F.col("p").alias("part_id"),
+        F.col("__best.s").alias("best_supp"),
+        F.col("__best.mp").cast("double").alias("best_price"),
+    )
+
+
+_PATH_K = 15
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS t3,
+               lag(event_type, 1) OVER w AS t2,
+               lag(event_type, 2) OVER w AS t1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 AS step1, t2 AS step2, t3 AS step3,
+           COUNT(*) AS n_paths
+    FROM seq WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT {_PATH_K}
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event 3-step paths across all users — the sequence-mining
+    extension of the Markov pair matrix (events_transition_matrix):
+    which 3-grams of behavior dominate (view→click→purchase vs
+    view→view→view tells a product team more than either pair).
+
+    Spark-first plan: ONE shuffle on the user key serves both lag
+    windows (same partition spec, one sort), the path triple then
+    counts over the ≤|types|³ domain-bounded key space — map-side
+    combine collapses each task to that bound before the tiny final
+    exchange, so output size is independent of stream length.
+    Deterministic tiebreak (event_id) pins same-timestamp ordering;
+    top-15 is TakeOrderedAndProject."""
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = st.events.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("t1").alias("step1"),
+            F.col("t2").alias("step2"),
+            F.col("t3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(_PATH_K)
+    )
+
+
+@query(
+    "scan_dpp_prune",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-04' AND '1997-06'
+    GROUP BY 1
+    """,
+)
+def scan_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning, end to end: the month filter is not
+    in the query at all — it lives on a quarter attribute of a
+    calendar dimension, and Spark derives the partition list AT
+    RUNTIME from the filtered dim (broadcast), pruning the
+    hive-partitioned fact's directories before reading them. This is
+    the star-schema complement of scan_partition_prune's static
+    pruning: at 100 TB virtually every BI query filters on dim
+    attributes (quarter, region tier, brand), not raw partition
+    values, and DPP is what keeps those scans partition-bounded.
+    The plan carries ``dynamicpruningexpression`` on the partitioned
+    scan (locked by test)."""
+    from sales_etl_spark.load import write_parquet
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    out = str(_scratch("dpp_orders", sf_dir))
+    write_parquet(
+        st.orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        ),
+        out,
+        partition_by=["order_month"],
+    )
+    months = (
+        st.orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .distinct()
+        .select(
+            "order_month",
+            F.concat(
+                F.substring("order_month", 1, 4),
+                F.lit("-Q"),
+                (
+                    (F.substring("order_month", 6, 2).cast("int") + 2)
+                    / F.lit(3)
+                )
+                .cast("int")
+                .cast("string"),
+            ).alias("quarter"),
+        )
+    )
+    fact = spark.read.parquet(out)
+    return (
+        fact.join(
+            F.broadcast(months.filter(F.col("quarter") == "1997-Q2")),
+            "order_month",
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -286,3 +286,48 @@ def test_pca_power_matches_exact_integer_replication(spark):
     # bounded by the top eigenvalue of the SAME scaled matrix
     top = max(np.linalg.eigvalsh(np.array(cp, dtype=np.float64)))
     assert r3 <= top * (1 + 1e-9)
+
+
+def test_argmin_supplier_equals_window_formulation(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = {
+        (r.part_id, r.best_supp, r.best_price)
+        for r in _build(spark, "agg_argmin_supplier").collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("mp"))
+    w = Window.partitionBy("p").orderBy(F.asc("mp"), F.asc("s"))
+    want = {
+        (r.p, r.s, float(r.mp))
+        for r in ps.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
+
+
+def test_path_topk_counts_are_consistent(spark):
+    rows = _build(spark, "events_path_topk").collect()
+    assert len(rows) == 15
+    counts = [r.n_paths for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        assert {r.step1, r.step2, r.step3} <= types
+
+
+def test_dpp_plan_prunes_dynamically(spark):
+    """Lock the dynamic-partition-pruning shape: the partitioned fact
+    scan must carry a dynamicpruningexpression derived from the
+    broadcast calendar dim (plus the inferred static partition
+    predicate Catalyst pushes through the equi-join)."""
+    df = _build(spark, "scan_dpp_prune")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan, plan
+    assert "PartitionFilters" in plan
