@@ -1453,3 +1453,344 @@ def scan_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FP&A analytics: revenue bridge, Pareto concentration, weighted median
+# ---------------------------------------------------------------------------
+
+_BR_P0 = ("1996-01-01", "1996-07-01")
+_BR_P1 = ("1996-07-01", "1997-01-01")
+
+#: Per-period per-part aggregate (qty as exact bigint, revenue as the
+#: shared decimal money contract).
+_BR_PERIOD_SQL = """
+        SELECT l_partkey AS p,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(8,4))) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{lo}'
+          AND l_shipdate <  TIMESTAMP '{hi}'
+        GROUP BY l_partkey
+"""
+
+
+@query(
+    "flagship_revenue_bridge",
+    oracle=f"""
+    WITH p0 AS ({_BR_PERIOD_SQL.format(lo=_BR_P0[0], hi=_BR_P0[1])}),
+    p1 AS ({_BR_PERIOD_SQL.format(lo=_BR_P1[0], hi=_BR_P1[1])}),
+    j AS (
+        SELECT COALESCE(p0.p, p1.p) AS p,
+               p0.q AS q0, p0.r AS r0, p1.q AS q1, p1.r AS r1
+        FROM p0 FULL OUTER JOIN p1 ON p0.p = p1.p
+    ),
+    eff AS (
+        SELECT
+            CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
+                CAST(floor((q1 - q0)
+                           * (CAST(r0 AS DOUBLE) / q0)
+                           * 1000000.0 + 0.5) AS BIGINT)
+            ELSE 0 END AS vol_micro,
+            CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
+                CAST(floor(q1 * ((CAST(r1 AS DOUBLE) / q1)
+                                 - (CAST(r0 AS DOUBLE) / q0))
+                           * 1000000.0 + 0.5) AS BIGINT)
+            ELSE 0 END AS price_micro,
+            CASE WHEN q0 IS NULL
+                 THEN CAST(r1 * 1000000 AS BIGINT) ELSE 0 END AS new_micro,
+            CASE WHEN q1 IS NULL
+                 THEN CAST(r0 * 1000000 AS BIGINT) ELSE 0 END AS lost_micro,
+            CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                 THEN 1 ELSE 0 END AS is_common,
+            CASE WHEN q0 IS NULL THEN 1 ELSE 0 END AS is_new,
+            CASE WHEN q1 IS NULL THEN 1 ELSE 0 END AS is_lost,
+            COALESCE(r1, 0) - COALESCE(r0, 0) AS dr
+        FROM j
+    )
+    SELECT CAST(SUM(dr) AS DOUBLE) AS delta_revenue,
+           CAST(SUM(vol_micro) AS DOUBLE) / 1000000.0 AS volume_effect,
+           CAST(SUM(price_micro) AS DOUBLE) / 1000000.0 AS price_effect,
+           CAST(SUM(new_micro) AS DOUBLE) / 1000000.0 AS new_effect,
+           -CAST(SUM(lost_micro) AS DOUBLE) / 1000000.0 AS lost_effect,
+           CAST(SUM(is_common) AS BIGINT) AS n_common,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_lost) AS BIGINT) AS n_lost
+    FROM eff
+    """,
+)
+def flagship_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge (the FP&A waterfall): H2−H1
+    revenue change decomposed per part into volume effect
+    (Δq at old price), price effect (new qty at Δprice), new-part and
+    lost-part contributions — (q1−q0)·p0 + q1·(p1−p0) telescopes to
+    r1−r0 exactly, so the components reconcile to the total by
+    construction.
+
+    Spark-first plan: two date-pruned scans aggregate to the part
+    grain BEFORE the full outer join (the join carries |parts| rows,
+    not the fact), and every per-part effect floors to integer
+    micro-units immediately — the distributed sums of the waterfall
+    are order-free longs, with the exact-decimal ΔR column alongside
+    as the reconciliation check. Unit prices divide exact operands
+    (decimal revenue cast to double over an exact integer qty) — one
+    identical IEEE sequence in both engines."""
+    st = _star(spark, sf_dir)
+
+    def period(lo: str, hi: str):
+        return (
+            st.lineitem.filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("l_partkey").alias("p"))
+            .agg(
+                F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+                ).alias("r"),
+            )
+        )
+
+    p0 = period(*_BR_P0).select(
+        "p", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    p1 = period(*_BR_P1).select(
+        "p", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    j = p0.join(p1, "p", "full_outer")
+    both = F.col("q0").isNotNull() & F.col("q1").isNotNull()
+    up0 = F.col("r0").cast("double") / F.col("q0")
+    up1 = F.col("r1").cast("double") / F.col("q1")
+    micro = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    eff = j.select(
+        F.when(both, micro((F.col("q1") - F.col("q0")) * up0))
+        .otherwise(F.lit(0))
+        .alias("vol_micro"),
+        F.when(both, micro(F.col("q1") * (up1 - up0)))
+        .otherwise(F.lit(0))
+        .alias("price_micro"),
+        F.when(
+            F.col("q0").isNull(),
+            (F.col("r1") * 1_000_000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_micro"),
+        F.when(
+            F.col("q1").isNull(),
+            (F.col("r0") * 1_000_000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("lost_micro"),
+        F.when(both, 1).otherwise(0).alias("is_common"),
+        F.when(F.col("q0").isNull(), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("q1").isNull(), 1).otherwise(0).alias("is_lost"),
+        (
+            F.coalesce(F.col("r1"), F.lit(0).cast("decimal(18,2)"))
+            - F.coalesce(F.col("r0"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("dr"),
+    )
+    return eff.agg(
+        F.sum("dr").cast("double").alias("delta_revenue"),
+        (F.sum("vol_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "volume_effect"
+        ),
+        (F.sum("price_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "price_effect"
+        ),
+        (F.sum("new_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "new_effect"
+        ),
+        (-F.sum("lost_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "lost_effect"
+        ),
+        F.sum("is_common").cast("bigint").alias("n_common"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum("is_lost").cast("bigint").alias("n_lost"),
+    )
+
+
+@query(
+    "agg_pareto_cut",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+               SUM(cents) OVER (
+                   ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM cust
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+                   COUNT(*) AS n_customers FROM cust)
+    SELECT tot.n_customers,
+           MIN(ranked.rn) AS k_top,
+           CAST(MIN_BY(ranked.cum, ranked.rn) AS DOUBLE) / tot.total
+               AS share_at_cut,
+           CAST(tot.total AS DOUBLE) / 100.0 AS revenue_total
+    FROM ranked, tot
+    WHERE 5 * ranked.cum >= 4 * tot.total
+    GROUP BY tot.n_customers, tot.total
+    """,
+)
+def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration cut: the smallest k such that the top-k
+    customers (by lifetime order value) carry ≥ 80% of all revenue —
+    the "how 80/20 is this business" profile the Gini coefficient
+    (agg_gini_revenue) summarizes but does not localize.
+
+    Spark-first plan: customer revenue reduces to exact integer cents
+    at the customer grain; the global prefix sum uses the SAME
+    bucket-offset decomposition as global_row_number (per-bucket
+    subtotals → tiny cumulative-offset frame → within-bucket window),
+    so no single-partition window touches the customer list. The 80%
+    test is exact integer arithmetic (5·cum ≥ 4·total — no float
+    share is ever compared), and only the one division at the cut
+    produces a double."""
+    st = _star(spark, sf_dir)
+    cust = st.orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("cents")
+    )
+    tot = cust.agg(
+        F.sum("cents").alias("total"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    # bucket-offset global prefix sum over (cents DESC, custkey ASC)
+    bucket = -(F.col("cents") / F.lit(1_000_000)).cast("long")
+    counts = cust.groupBy(bucket.alias("__bkt")).agg(
+        F.sum("cents").alias("__bsum")
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bkt",
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("__bkt").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    # global row number = count of rows in earlier buckets + in-bucket
+    # row number; earlier-bucket row counts ride the same offsets idea
+    counts_n = cust.groupBy(bucket.alias("__bkt")).agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    offs_n = counts_n.select(
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__offn"),
+    )
+    ranked = (
+        cust.withColumn("__bkt", bucket)
+        .join(F.broadcast(offsets), "__bkt")
+        .join(F.broadcast(offs_n), "__bkt")
+        .select(
+            "cents",
+            (F.sum("cents").over(w_in) + F.col("__off")).alias("cum"),
+            (F.row_number().over(w_rn) + F.col("__offn")).alias("rn"),
+        )
+    )
+    cut = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(5 * F.col("cum") >= 4 * F.col("total"))
+        .agg(
+            F.min("n_customers").alias("n_customers"),
+            F.min("rn").alias("k_top"),
+            F.min_by("cum", "rn").alias("__cum_at_cut"),
+            F.min("total").alias("__total"),
+        )
+    )
+    return cut.select(
+        "n_customers",
+        "k_top",
+        (F.col("__cum_at_cut").cast("double") / F.col("__total")).alias(
+            "share_at_cut"
+        ),
+        (F.col("__total").cast("double") / F.lit(100.0)).alias(
+            "revenue_total"
+        ),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH vw AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        FROM lineitem GROUP BY l_returnflag, price
+    ),
+    cum AS (
+        SELECT flag, price, wt,
+               SUM(wt) OVER (
+                   PARTITION BY flag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw
+        FROM vw
+    ),
+    tot AS (SELECT flag, CAST(SUM(wt) AS BIGINT) AS tw FROM vw
+            GROUP BY flag)
+    SELECT cum.flag AS returnflag,
+           CAST(MIN(cum.price) AS DOUBLE) AS weighted_median,
+           tot.tw AS total_weight
+    FROM cum JOIN tot ON cum.flag = tot.flag
+    WHERE 2 * cum.cw >= tot.tw
+    GROUP BY cum.flag, tot.tw
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag — the
+    "median dollar" (half of all UNITS sold cost less), which moves
+    very differently from the row median when big orders cluster at
+    one end. Completes the rank-selection family (agg_median_disc is
+    the unweighted sibling).
+
+    Spark-first plan: the fact collapses to the (flag, price) VALUE
+    grain first — exact integer weights per distinct price — so the
+    cumulative-weight window runs over the price domain, not the fact
+    (the agg-below-window rewrite). The median test is exact integer
+    arithmetic (2·cum ≥ total), the selected price is exact decimal,
+    and one cast produces the output double."""
+    st = _star(spark, sf_dir)
+    vw = st.lineitem.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vw.select("flag", "price", F.sum("wt").over(w).alias("cw"))
+    tot = vw.groupBy("flag").agg(F.sum("wt").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("flag").alias("returnflag"), F.col("tw"))
+        .agg(F.min("price").cast("double").alias("weighted_median"))
+        .select(
+            "returnflag",
+            "weighted_median",
+            F.col("tw").alias("total_weight"),
+        )
+    )

@@ -373,6 +373,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row vector-count / max|w| / norm scalars broadcast into the
     # d²-row covariance frame and d-row iterates
     "emb_pca_power",
+    # 1-row (total, n_customers) scalar broadcast into the ranked
+    # customer frame for the integer 80% test
+    "agg_pareto_cut",
 }
 
 

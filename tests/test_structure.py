@@ -331,3 +331,57 @@ def test_dpp_plan_prunes_dynamically(spark):
     )
     assert "dynamicpruningexpression" in plan, plan
     assert "PartitionFilters" in plan
+
+
+def test_revenue_bridge_reconciles(spark):
+    row = _build(spark, "flagship_revenue_bridge").collect()[0]
+    # telescoping identity: the four components reconcile to the exact
+    # decimal delta within per-part micro-unit rounding
+    recon = (
+        row.volume_effect + row.price_effect + row.new_effect
+        + row.lost_effect
+    )
+    slack = (row.n_common * 2 + row.n_new + row.n_lost) * 1e-6
+    assert abs(recon - row.delta_revenue) <= slack, (recon, row)
+    assert row.n_common > 0 and row.n_common + row.n_new > 0
+
+
+def test_pareto_cut_is_minimal(spark):
+    row = _build(spark, "agg_pareto_cut").collect()[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cents = (
+        (orders.o_totalprice * 100).round().astype("int64")
+        .groupby(orders.o_custkey)
+        .sum()
+        .sort_values(ascending=False)
+    )
+    total = int(cents.sum())
+    cum = 0
+    for k, v in enumerate(cents.values, start=1):
+        cum += int(v)
+        if 5 * cum >= 4 * total:
+            break
+    assert row.k_top == k
+    assert row.share_at_cut >= 0.8
+    assert row.n_customers == len(cents)
+
+
+def test_weighted_median_matches_direct(spark):
+    rows = {
+        r.returnflag: r for r in _build(spark, "agg_weighted_median").collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values("l_extendedprice")
+        w = g.l_quantity.astype("int64")
+        tw = int(w.sum())
+        cw = 0
+        med = None
+        for price, q in zip(g.l_extendedprice, w):
+            cw += int(q)
+            if 2 * cw >= tw:
+                med = price
+                break
+        r = rows[flag]
+        assert r.total_weight == tw
+        assert abs(r.weighted_median - med) < 1e-9
