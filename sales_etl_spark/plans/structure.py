@@ -1794,3 +1794,129 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tw").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Drawdown series analytics and mergeable HLL sketch rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_drawdown",
+    oracle="""
+    WITH day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT d, cents,
+               SUM(cents) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM day
+    ),
+    dd AS (
+        SELECT d, cum,
+               MAX(cum) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cum AS drawdown
+        FROM series
+    ),
+    mx AS (SELECT MAX(drawdown) AS mdd FROM dd)
+    SELECT (SELECT COUNT(*) FROM day) AS n_days,
+           CAST((SELECT SUM(cents) FROM day) AS DOUBLE) / 100.0
+               AS total_revenue,
+           CAST(mx.mdd AS DOUBLE) / 100.0 AS max_drawdown,
+           (SELECT MIN(d) FROM dd WHERE dd.drawdown = mx.mdd)
+               AS trough_day
+    FROM mx
+    """,
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue series — the
+    risk/anomaly profile quant desks run on any cumulative metric
+    (how far below its best-ever level did the running total fall,
+    and when).
+
+    Spark-first plan: the fact collapses to the DAY grain first
+    (exact integer cents per day — the agg-below-window rewrite), so
+    both cumulative windows run over a calendar-bounded series
+    (~|days| rows), not the fact; prefix sum and running max are the
+    same one sorted pass. All series arithmetic is exact integer
+    cents; the trough day resolves by a second pass over the tiny
+    frame (earliest day at the max drawdown — deterministic), and
+    doubles appear only in the two output casts."""
+    st = _star(spark, sf_dir)
+    day = st.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    series = day.select("d", F.sum("cents").over(w).alias("cum"))
+    dd = series.select(
+        "d", (F.max("cum").over(w) - F.col("cum")).alias("drawdown")
+    )
+    mx = dd.agg(F.max("drawdown").alias("mdd"))
+    tot = day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("__total"),
+    )
+    trough = (
+        dd.crossJoin(F.broadcast(mx))
+        .filter(F.col("drawdown") == F.col("mdd"))
+        .agg(F.min("d").alias("trough_day"), F.min("mdd").alias("__mdd"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(trough))
+        .select(
+            "n_days",
+            (F.col("__total").cast("double") / F.lit(100.0)).alias(
+                "total_revenue"
+            ),
+            (F.col("__mdd").cast("double") / F.lit(100.0)).alias(
+                "max_drawdown"
+            ),
+            "trough_day",
+        )
+    )
+
+
+@query("events_hll_rollup", oracle=None)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users per event type via MERGEABLE HyperLogLog
+    sketches: daily sketches aggregate once, the weekly figure is a
+    sketch UNION — the pattern that makes 100 TB distinct counting
+    tractable (exact distinct needs a full reshuffle per rollup
+    level; sketches merge associatively, so every coarser grain is a
+    map-side combine over the finer one, and the same daily sketches
+    serve day/week/month/all-time without touching the events again).
+
+    Declared approximate (rows-only contract, like the LSH tiers):
+    the unit tier asserts (a) estimates within the HLL error bound of
+    the exact distinct counts and (b) union-of-daily-sketches equals
+    the directly-built weekly sketch EXACTLY — HLL registers are
+    order-insensitive maxima, so merge associativity is bit-exact
+    even though the estimate is approximate."""
+    st = _star(spark, sf_dir)
+    daily = st.events.groupBy(
+        F.col("event_type").alias("etype"),
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("etype", "week").agg(
+        F.hll_union_agg("sk").alias("wsk"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return weekly.select(
+        "etype",
+        F.col("week").cast("date").alias("week"),
+        "n_days",
+        F.hll_sketch_estimate("wsk").alias("est_users"),
+    ).orderBy("etype", "week")

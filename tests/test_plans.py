@@ -376,6 +376,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row (total, n_customers) scalar broadcast into the ranked
     # customer frame for the integer 80% test
     "agg_pareto_cut",
+    # 1-row max-drawdown / trough scalars broadcast into the
+    # day-grain series frame
+    "window_drawdown",
 }
 
 

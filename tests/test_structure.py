@@ -385,3 +385,56 @@ def test_weighted_median_matches_direct(spark):
         r = rows[flag]
         assert r.total_weight == tw
         assert abs(r.weighted_median - med) < 1e-9
+
+
+def test_drawdown_matches_direct_series(spark):
+    row = _build(spark, "window_drawdown").collect()[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    day = (
+        (orders.o_totalprice * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders.o_orderdate.dt.date)
+        .sum()
+        .sort_index()
+    )
+    cum = day.cumsum()
+    runmax = cum.cummax()
+    dd = runmax - cum
+    assert row.n_days == len(day)
+    assert row.max_drawdown == int(dd.max()) / 100.0
+    assert row.trough_day == dd[dd == dd.max()].index.min()
+    assert row.total_revenue == int(day.sum()) / 100.0
+
+
+def test_hll_rollup_merge_is_exact_and_estimates_are_close(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = _build(spark, "events_hll_rollup").collect()
+    assert rows
+    # (a) estimate within HLL error of the exact weekly distinct
+    exact = {
+        (r.etype, r.week): r.n
+        for r in ev.groupBy(
+            F.col("event_type").alias("etype"),
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        want = exact[(r.etype, r.week)]
+        assert abs(r.est_users - want) <= max(2.0, 0.1 * want), (r, want)
+    # (b) union of daily sketches == direct weekly sketch, exactly
+    direct = {
+        (r.etype, r.week): r.est
+        for r in ev.groupBy(
+            F.col("event_type").alias("etype"),
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for r in rows:
+        assert r.est_users == direct[(r.etype, r.week)], r
