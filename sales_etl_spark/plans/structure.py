@@ -1920,3 +1920,114 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.hll_sketch_estimate("wsk").alias("est_users"),
     ).orderBy("etype", "week")
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution scan and ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                THEN o_orderpriority ELSE 'unknown' END AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across lake batches, read back as ONE table:
+    an early batch lands without the priority column, a later batch
+    adds it, and ``mergeSchema`` unifies the footprints at scan time
+    (old rows read NULL — no backfill rewrite of petabytes of
+    history, the entire point of additive schema evolution).
+
+    Spark-first plan: the two writes are ordinary partitioned appends;
+    the merged scan is still ONE distributed parquet read whose
+    per-file schema reconciliation happens in the reader (each file
+    group projects its own physical schema into the merged logical
+    one). The report coalesces the evolution boundary explicitly
+    (NULL → 'unknown'), mirroring the oracle's date-cased twin."""
+    from sales_etl_spark.load import write_parquet
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    out = str(_scratch("schema_evolution", sf_dir))
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    write_parquet(
+        st.orders.filter(F.col("o_orderdate") < cutoff).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        out + "/batch=1",
+    )
+    write_parquet(
+        st.orders.filter(F.col("o_orderdate") >= cutoff).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        out + "/batch=2",
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/batch=1", out + "/batch=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("unknown")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query("ann_recall_eval", oracle=None)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate ANN tiers against the exact
+    cosine ranking — ANN EVALUATION AS AN OPERATOR: the measurement a
+    production vector pipeline re-runs whenever the index parameters
+    or the corpus change (tuning n_tables/n_probes against a recall
+    budget), not a one-off test. Declared approximate like the tiers
+    it scores (rows-only contract; thresholds asserted in the unit
+    tier).
+
+    Spark-first plan: exact and approximate top-k reuse the
+    registered operators (one corpus scan each, candidate generation
+    banded/bucketed); the recall join matches (query, neighbor) pairs
+    — a LEFT SEMI from approximate hits into exact hits — and the
+    per-tier recall is one exact integer division. Nothing collects;
+    the 2-row report is the only driver-sized frame."""
+    from sales_etl_spark.operators import similarity
+
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    queries = e.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    tiers = {
+        "lsh": similarity.lsh_topk(e, queries, k=10),
+        "ivf": similarity.ivf_topk(e, queries, k=10),
+    }
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    reports = None
+    for name, approx in tiers.items():
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("tier"), "n_hits")
+        )
+        reports = hits if reports is None else reports.unionAll(hits)
+    return reports.crossJoin(F.broadcast(n_exact)).select(
+        "tier",
+        "n_hits",
+        "n_exact",
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias(
+            "recall_at_10"
+        ),
+    )

@@ -379,6 +379,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row max-drawdown / trough scalars broadcast into the
     # day-grain series frame
     "window_drawdown",
+    # 1-row exact-pair-count scalar broadcast into the 2-row tier
+    # report
+    "ann_recall_eval",
 }
 
 

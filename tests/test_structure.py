@@ -438,3 +438,22 @@ def test_hll_rollup_merge_is_exact_and_estimates_are_close(spark):
     }
     for r in rows:
         assert r.est_users == direct[(r.etype, r.week)], r
+
+
+def test_schema_evolution_reads_old_rows_as_unknown(spark):
+    rows = _build(spark, "scan_schema_evolution").collect()
+    by_p = {r.priority: r for r in rows}
+    assert "unknown" in by_p  # the pre-evolution batch survives
+    assert by_p["unknown"].n_orders > 0
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == orders.count()
+
+
+def test_ann_recall_eval_meets_tier_floors(spark):
+    rows = {r.tier: r for r in _build(spark, "ann_recall_eval").collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r.n_exact == 50  # 5 queries x top-10
+        assert r.recall_at_10 == r.n_hits / r.n_exact
+        # same floors the similarity unit tier asserts
+        assert r.recall_at_10 >= 0.8, r
