@@ -63,7 +63,7 @@ _SWEEP_FIRST = [
     "window_concurrent_orders",
     "dedup_tf_cosine",
     # -- round-4 final tier (plans/structure.py — newest of all, so
-    # it joins the lead cohort; the twenty-one slots come from the tail of
+    # it joins the lead cohort; the twenty-three slots come from the tail of
     # the window per the displacement note at the end of this list) --
     "dedup_paragraphs",
     "graph_triangle_cluster",
@@ -86,6 +86,8 @@ _SWEEP_FIRST = [
     "events_hll_rollup",
     "scan_schema_evolution",
     "ann_recall_eval",
+    "agg_churn_rate",
+    "dedup_recall_eval",
     # -- no driver row since r02 (re-verified locally each round) ----
     "agg_avg_check_by_region",
     "topk_product_ranking",
@@ -163,7 +165,7 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
-    # The thirty-seven-key lead tier pushes the tail of this list (events_twap
+    # The thirty-nine-key lead tier pushes the tail of this list (events_twap
     # through agg_skew_kurtosis, positions 51+) past the 50-slot
     # window this round. More round-4 additions exist than window
     # slots, so SOME never-driver-checked keys must wait a round

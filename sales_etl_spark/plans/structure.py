@@ -2031,3 +2031,127 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer churn and dedup recall evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_churn_rate",
+    oracle="""
+    WITH cm AS (
+        SELECT DISTINCT o_custkey AS c,
+               strftime(o_orderdate, '%Y-%m') AS m
+        FROM orders
+    ),
+    months AS (SELECT DISTINCT m FROM cm),
+    nxt AS (
+        SELECT m,
+               lead(m) OVER (ORDER BY m) AS m_next
+        FROM months
+    ),
+    j AS (
+        SELECT nxt.m AS month, nxt.m_next,
+               cur.c AS c_cur, fut.c AS c_next
+        FROM nxt
+        LEFT JOIN cm cur ON cur.m = nxt.m
+        LEFT JOIN cm fut ON fut.m = nxt.m_next AND fut.c = cur.c
+        WHERE nxt.m_next IS NOT NULL
+    )
+    SELECT month,
+           COUNT(c_cur) AS n_active,
+           COUNT(c_cur) - COUNT(c_next) AS n_churned,
+           CAST(COUNT(c_cur) - COUNT(c_next) AS DOUBLE)
+               / COUNT(c_cur) AS churn_rate
+    FROM j
+    GROUP BY month
+    """,
+)
+def agg_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month customer churn: of the customers active in
+    month m, how many placed no order in the NEXT active month — the
+    subscription-style retention readout (the cohort matrix
+    events_cohort_retention generalizes; this is the per-period
+    operational number).
+
+    Spark-first plan: the fact collapses to the DISTINCT (customer,
+    month) grain first, so churn is a self-anti-join of that grain
+    against itself shifted one month — implemented as a LEFT join on
+    (customer, next-month) with COUNT(matched) (one shuffle on the
+    customer key; the |months|-row calendar frame with its lead()
+    window broadcasts). Churn rate is one division of exact counts.
+    Months with no successor month are excluded (churn undefined, not
+    zero)."""
+    st = _star(spark, sf_dir)
+    cm = st.orders.select(
+        F.col("o_custkey").alias("c"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+    ).distinct()
+    months = cm.select("m").distinct()
+    nxt = months.select(
+        "m", F.lead("m").over(Window.orderBy("m")).alias("m_next")
+    ).filter(F.col("m_next").isNotNull())
+    cur = cm.join(F.broadcast(nxt), "m")
+    fut = cm.select(
+        F.col("c").alias("c2"), F.col("m").alias("m_next2")
+    )
+    j = cur.join(
+        fut,
+        (F.col("c") == F.col("c2")) & (F.col("m_next") == F.col("m_next2")),
+        "left",
+    )
+    return (
+        j.groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count("c").alias("n_active"),
+            (F.count("c") - F.count("c2")).alias("n_churned"),
+        )
+        .select(
+            "month",
+            "n_active",
+            "n_churned",
+            (
+                F.col("n_churned").cast("double") / F.col("n_active")
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@query("dedup_recall_eval", oracle=None)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate pairs against the exact
+    n-gram Jaccard pair set — dedup evaluation as a REGISTERED
+    operator (the twin of ann_recall_eval for the dedup ladder): the
+    measurement that tunes bands/rows against a recall budget before
+    committing a corpus-wide dedup run. Declared approximate
+    (rows-only contract; floors asserted in the unit tier).
+
+    Spark-first plan: both pair sets come from the production
+    operators (banded LSH equi-join vs inverted-index exact join);
+    the hit test is a LEFT SEMI on the ordered (doc_a, doc_b) pair,
+    and recall is one exact integer division on a 1-row frame."""
+    from sales_etl_spark.operators import dedup
+
+    st = _star(spark, sf_dir)
+    docs = st.documents
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    approx = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
+        "doc_a", "doc_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        F.lit("minhash_lsh").alias("tier"),
+        "n_caught",
+        "n_exact",
+        (F.col("n_caught").cast("double") / F.col("n_exact")).alias(
+            "recall"
+        ),
+    )

@@ -382,6 +382,8 @@ _SCALAR_BNLJ_OK = {
     # 1-row exact-pair-count scalar broadcast into the 2-row tier
     # report
     "ann_recall_eval",
+    # same 1-row scalar shape for the dedup-recall report
+    "dedup_recall_eval",
 }
 
 

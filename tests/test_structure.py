@@ -457,3 +457,27 @@ def test_ann_recall_eval_meets_tier_floors(spark):
         assert r.recall_at_10 == r.n_hits / r.n_exact
         # same floors the similarity unit tier asserts
         assert r.recall_at_10 >= 0.8, r
+
+
+def test_churn_rate_matches_direct_sets(spark):
+    rows = {r.month: r for r in _build(spark, "agg_churn_rate").collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    orders["m"] = orders.o_orderdate.dt.strftime("%Y-%m")
+    by_m = {
+        m: set(g.o_custkey) for m, g in orders.groupby("m")
+    }
+    months = sorted(by_m)
+    assert set(rows) == set(months[:-1])
+    for m, m2 in zip(months, months[1:]):
+        r = rows[m]
+        churned = by_m[m] - by_m[m2]
+        assert r.n_active == len(by_m[m])
+        assert r.n_churned == len(churned)
+        assert r.churn_rate == len(churned) / len(by_m[m])
+
+
+def test_dedup_recall_eval_meets_floor(spark):
+    row = _build(spark, "dedup_recall_eval").collect()[0]
+    assert row.n_exact > 0
+    assert row.recall == row.n_caught / row.n_exact
+    assert row.recall >= 0.8, row
