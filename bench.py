@@ -77,6 +77,13 @@ HEADLINE = [
     # cluster-bucketed pair join (the two heaviest new shapes)
     "flagship_market_share",
     "dedup_semantic",
+    # round-4 final tier: the four heaviest new shapes — corpus-wide
+    # chunk dedup, BM25 over the token stream, the O(n·d²) covariance
+    # pass + integer power iteration, and the triangle wedge join
+    "dedup_paragraphs",
+    "text_bm25_topk",
+    "emb_pca_power",
+    "graph_triangle_cluster",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

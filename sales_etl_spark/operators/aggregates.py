@@ -321,3 +321,44 @@ def merge_marts(
     return out.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out: str = "weighted_median",
+) -> DataFrame:
+    """Exact discrete weighted median per group: the smallest value v
+    whose cumulative weight reaches half the group total (2·cum ≥
+    total — integer arithmetic, no float share ever compared).
+
+    Scale shape: the input collapses to the (group, value) VALUE grain
+    first — exact integer weight per distinct value — so the
+    cumulative window runs over the value domain, not the rows (the
+    agg-below-window rewrite). Weights must be integral (cast before
+    calling for fractional weights at a chosen quantization).
+
+    Returns one row per group: ``group_cols + [out, "total_weight"]``
+    with ``out`` carrying the value column's own type.
+    """
+    vw = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("__wt")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vw.select(
+        *group_cols, value_col, F.sum("__wt").over(w).alias("__cw")
+    )
+    tot = vw.groupBy(*group_cols).agg(F.sum("__wt").alias("total_weight"))
+    return (
+        cum.join(F.broadcast(tot), group_cols)
+        .filter(2 * F.col("__cw") >= F.col("total_weight"))
+        .groupBy(*group_cols, "total_weight")
+        .agg(F.min(value_col).alias(out))
+        .select(*group_cols, out, "total_weight")
+    )

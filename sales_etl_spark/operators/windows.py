@@ -97,6 +97,57 @@ def global_row_number(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list,
+    bucket: Column,
+    value_col: str,
+    out: str = "cum",
+    rn_out: str | None = None,
+) -> DataFrame:
+    """Global running sum (and optionally global row number) in
+    ``order_by`` order WITHOUT a single-partition window — the prefix-
+    sum generalization of :func:`global_row_number`, same contract:
+    ``bucket`` is a coarse range key MONOTONE in the order.
+
+    Per-bucket value subtotals (and row counts) aggregate to a tiny
+    frame; cumulative offsets come from a window over THAT frame; each
+    row's global prefix sum is its within-bucket running sum plus its
+    bucket's value offset (ditto the row number). Two bounded
+    exchanges — at 100 TB the per-bucket windows are per-partition
+    work, so a corpus-sized ranked-cumulative question (Pareto cuts,
+    quantile ogives, capped-budget scans) never serializes through one
+    task."""
+    per_bucket = df.groupBy(bucket.alias("__bkt")).agg(
+        F.sum(value_col).alias("__bsum"),
+        F.count(F.lit(1)).alias("__bn"),
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bkt",
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__voff"),
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__noff"),
+    )
+    w_cum = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("__bkt").orderBy(*order_by)
+    res = (
+        df.withColumn("__bkt", bucket)
+        .join(F.broadcast(offsets), "__bkt")
+        .withColumn(out, F.sum(value_col).over(w_cum) + F.col("__voff"))
+    )
+    if rn_out is not None:
+        res = res.withColumn(
+            rn_out, F.row_number().over(w_rn) + F.col("__noff")
+        )
+    return res.drop("__bkt", "__voff", "__noff")
+
+
 def trailing_zscore(
     counts: DataFrame,
     key_col: str,

@@ -42,7 +42,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sales_etl_spark.functions import text as TX
-from sales_etl_spark.operators.windows import global_row_number
+from sales_etl_spark.operators.windows import (
+    global_prefix_sum,
+    global_row_number,
+)
 from sales_etl_spark.plans.registry import query
 from sales_etl_spark.session import pin_semantics
 from sales_etl_spark.sources.star import load_star
@@ -1671,44 +1674,14 @@ def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
     )
     # bucket-offset global prefix sum over (cents DESC, custkey ASC)
-    bucket = -(F.col("cents") / F.lit(1_000_000)).cast("long")
-    counts = cust.groupBy(bucket.alias("__bkt")).agg(
-        F.sum("cents").alias("__bsum")
-    )
-    w_off = Window.orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "__bkt",
-        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__off"),
-    )
-    w_in = (
-        Window.partitionBy("__bkt")
-        .orderBy(F.desc("cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_rn = Window.partitionBy("__bkt").orderBy(
-        F.desc("cents"), F.asc("o_custkey")
-    )
-    # global row number = count of rows in earlier buckets + in-bucket
-    # row number; earlier-bucket row counts ride the same offsets idea
-    counts_n = cust.groupBy(bucket.alias("__bkt")).agg(
-        F.count(F.lit(1)).alias("__bn")
-    )
-    offs_n = counts_n.select(
-        "__bkt",
-        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__offn"),
-    )
-    ranked = (
-        cust.withColumn("__bkt", bucket)
-        .join(F.broadcast(offsets), "__bkt")
-        .join(F.broadcast(offs_n), "__bkt")
-        .select(
-            "cents",
-            (F.sum("cents").over(w_in) + F.col("__off")).alias("cum"),
-            (F.row_number().over(w_rn) + F.col("__offn")).alias("rn"),
-        )
-    )
+    ranked = global_prefix_sum(
+        cust,
+        order_by=[F.desc("cents"), F.asc("o_custkey")],
+        bucket=-(F.col("cents") / F.lit(1_000_000)).cast("long"),
+        value_col="cents",
+        out="cum",
+        rn_out="rn",
+    ).select("cents", "cum", "rn")
     cut = (
         ranked.crossJoin(F.broadcast(tot))
         .filter(5 * F.col("cum") >= 4 * F.col("total"))
@@ -1771,28 +1744,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the agg-below-window rewrite). The median test is exact integer
     arithmetic (2·cum ≥ total), the selected price is exact decimal,
     and one cast produces the output double."""
+    from sales_etl_spark.operators.aggregates import weighted_median
+
     st = _star(spark, sf_dir)
-    vw = st.lineitem.groupBy(
-        F.col("l_returnflag").alias("flag"),
+    base = st.lineitem.select(
+        F.col("l_returnflag").alias("returnflag"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
-    w = (
-        Window.partitionBy("flag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        F.col("l_quantity").cast("bigint").alias("wt"),
     )
-    cum = vw.select("flag", "price", F.sum("wt").over(w).alias("cw"))
-    tot = vw.groupBy("flag").agg(F.sum("wt").alias("tw"))
-    return (
-        cum.join(F.broadcast(tot), "flag")
-        .filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy(F.col("flag").alias("returnflag"), F.col("tw"))
-        .agg(F.min("price").cast("double").alias("weighted_median"))
-        .select(
-            "returnflag",
-            "weighted_median",
-            F.col("tw").alias("total_weight"),
-        )
+    return weighted_median(
+        base, ["returnflag"], "price", "wt", out="__med"
+    ).select(
+        "returnflag",
+        F.col("__med").cast("double").alias("weighted_median"),
+        "total_weight",
     )
 
 

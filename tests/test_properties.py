@@ -620,3 +620,81 @@ def test_dyadic_ewma_sum_is_order_free(spark, counts, perm_seed):
     for t in shuffled:
         out_of_order += t
     assert sequential == out_of_order  # bit-exact, no tolerance
+
+
+_psum_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),  # value
+        st.integers(min_value=0, max_value=10_000),    # uid (tiebreak)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_psum_rows)
+def test_global_prefix_sum_matches_sequential_cumsum(spark, rows):
+    from sales_etl_spark.operators.windows import global_prefix_sum
+
+    rows = list({(v, u) for v, u in rows})
+    df = spark.createDataFrame(rows, "v long, uid long")
+    got = global_prefix_sum(
+        df,
+        order_by=[F.desc("v"), F.asc("uid")],
+        bucket=-(F.col("v") / F.lit(100)).cast("long"),
+        value_col="v",
+        out="cum",
+        rn_out="rn",
+    ).collect()
+    ordered = sorted(rows, key=lambda r: (-r[0], r[1]))
+    cum = 0
+    want = {}
+    for i, (v, u) in enumerate(ordered, start=1):
+        cum += v
+        want[(v, u)] = (cum, i)
+    assert {(r.v, r.uid): (r.cum, r.rn) for r in got} == want
+
+
+_wm_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # group
+        st.integers(min_value=-50, max_value=50),  # value
+        st.integers(min_value=1, max_value=9),     # weight
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_wm_rows)
+def test_weighted_median_matches_brute_force(spark, rows):
+    from sales_etl_spark.operators.aggregates import weighted_median
+
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+    got = {
+        r.g: (r.med, r.total_weight)
+        for r in weighted_median(df, ["g"], "v", "w", out="med").collect()
+    }
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        med = None
+        for v in sorted({v for v, _ in vw}):
+            cum += sum(w for vv, w in vw if vv == v)
+            if 2 * cum >= tot:
+                med = v
+                break
+        assert got[g] == (med, tot), (g, got[g], med, tot)
