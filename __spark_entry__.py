@@ -44,6 +44,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # AND sf0.1 (0 failures), plus the cross-parallelism scale sweep
 # (local[2]/[4]/[16] hash-identical, pytest -m scale_sweep).
 _SWEEP_FIRST = [
+    # -- reconciliation & monitoring tier (newest code, no driver row
+    # yet) ----------------------------------------------------------
+    "mart_snapshot_diff",
+    "quality_chi2_drift",
+    "text_readability",
+    "events_quantile_rollup",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -1,0 +1,427 @@
+"""Reconciliation & monitoring tier (round-4 continuation).
+
+Four operator families a production deployment runs AROUND the
+pipeline the reference ships — auditing its loads and monitoring its
+inputs — each with a distinct Spark-first scale shape:
+
+- snapshot reconciliation (operators/reconcile.py): full-outer diff
+  of two keyed snapshots, output proportional to churn, one shuffle
+  (zero once snapshots are bucketed on the key);
+- chi-square categorical drift: the discrete sibling of
+  quality_ks_drift — contingency table in one pass over the stream,
+  per-cell contributions floored to exact integer micro-units before
+  the (tiny) final sum, so the statistic is bit-stable at any
+  parallelism;
+- readability profiling (Flesch reading ease): sentence / word /
+  syllable counts as pure codegen regex run-length counts, integer
+  per-source sums, ONE double expression at the output boundary;
+- mergeable binned-quantile rollup: the quantile twin of
+  events_hll_rollup — daily fixed-width histograms merge by pure
+  addition into weekly ones, so a year of percentiles re-aggregates
+  from 365 daily sketches without ever re-shuffling raw events.
+
+Reference parity: the reference engine (etl/transform.py) has no
+audit/monitoring surface; this tier is engine extension per
+SURVEY.md §2.6. Determinism rules are the registry's
+(plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sales_etl_spark.operators.reconcile import snapshot_diff
+from sales_etl_spark.plans.registry import query
+from sales_etl_spark.session import pin_semantics
+from sales_etl_spark.sources.star import load_star
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    pin_semantics(spark)
+    return load_star(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic "refresh": the old snapshot is missing every
+# 97th key, the new one every 89th, and every 53rd key got repriced by
+# +10.0 (exactly representable; both engines compute the identical
+# IEEE sum, so the changed-detection equality is bit-exact).
+_DIFF_OLD_MOD, _DIFF_NEW_MOD, _DIFF_CHG_MOD = 97, 89, 53
+
+
+@query(
+    "mart_snapshot_diff",
+    oracle=f"""
+    WITH old_snap AS (
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_DIFF_OLD_MOD} <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey % {_DIFF_CHG_MOD} = 0
+                    THEN o_totalprice + 10.0 ELSE o_totalprice
+               END AS total_price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % {_DIFF_NEW_MOD} <> 0
+    ),
+    j AS (
+        SELECT COALESCE(o.order_id, n.order_id) AS order_id,
+               CASE
+                 WHEN o.order_id IS NULL THEN 'added'
+                 WHEN n.order_id IS NULL THEN 'removed'
+                 WHEN NOT (o.total_price IS NOT DISTINCT FROM n.total_price
+                           AND o.status IS NOT DISTINCT FROM n.status)
+                   THEN 'changed'
+               END AS diff_status,
+               o.total_price AS old_total_price, o.status AS old_status,
+               n.total_price AS new_total_price, n.status AS new_status
+        FROM old_snap o FULL OUTER JOIN new_snap n
+          ON o.order_id = n.order_id
+    )
+    SELECT order_id, diff_status, old_total_price, old_status,
+           new_total_price, new_status
+    FROM j WHERE diff_status IS NOT NULL
+    """,
+)
+def mart_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a mart refresh: diff the pre- and post-refresh order
+    snapshots into added / removed / changed rows
+    (operators/reconcile.py — the audit step the reference's
+    truncate-and-reload marts, etl/load.py:37-69, need in
+    production). One key-shuffle join; output is churn-sized."""
+    st = _star(spark, sf_dir)
+    base = st.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    old = base.filter(F.col("order_id") % _DIFF_OLD_MOD != 0)
+    new = base.filter(F.col("order_id") % _DIFF_NEW_MOD != 0).withColumn(
+        "total_price",
+        F.when(
+            F.col("order_id") % _DIFF_CHG_MOD == 0,
+            F.col("total_price") + F.lit(10.0),
+        ).otherwise(F.col("total_price")),
+    )
+    return snapshot_diff(
+        old, new, keys=["order_id"], compare_cols=["total_price", "status"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square categorical drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_chi2_drift",
+    oracle="""
+    WITH ct AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_b
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+               CAST(SUM(n_b) AS BIGINT) AS t_b
+        FROM ct
+    ),
+    cells AS (
+        SELECT n_a, n_b, n_a + n_b AS rt, t_a, t_b, t_a + t_b AS n
+        FROM ct, tot
+    ),
+    contrib AS (
+        SELECT rt,
+               CAST(floor((
+                   (CAST(n_a AS DOUBLE)
+                    - CAST(t_a AS DOUBLE) * CAST(rt AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE)
+                      - CAST(t_a AS DOUBLE) * CAST(rt AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(t_a AS DOUBLE) * CAST(rt AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   + (CAST(n_b AS DOUBLE)
+                      - CAST(t_b AS DOUBLE) * CAST(rt AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE)
+                        - CAST(t_b AS DOUBLE) * CAST(rt AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(t_b AS DOUBLE) * CAST(rt AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+               ) * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+        FROM cells
+    )
+    SELECT CAST(SUM(chi2_micro) AS DOUBLE) / 1000000.0 AS chi2,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           CAST(SUM(rt) AS BIGINT) AS n_events
+    FROM contrib
+    """,
+)
+def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of homogeneity between the two halves of a
+    hash split of the event stream (the discrete counterpart of
+    quality_ks_drift — the standard monitor for "did the categorical
+    mix shift between cohorts / releases / pipelines").
+
+    Spark-first shape: ONE pass builds the contingency table
+    (groupBy event_type with conditional sums — no pivot job), the
+    marginals ride a broadcast 1-row frame, and each cell's
+    ((o-e)²/e) contribution quantizes to exact integer micro-units
+    before the final long sum — the statistic is identical at any
+    partitioning and bit-equal to the single-threaded oracle."""
+    st = _star(spark, sf_dir)
+    ct = (
+        st.events.select(
+            "event_type", (F.col("event_id") % 2 == 0).alias("is_a")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = ct.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+    )
+    cells = ct.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("rt"),
+        "t_a",
+        "t_b",
+        (F.col("t_a") + F.col("t_b")).alias("n"),
+    )
+
+    def _cell(o: str, t: str) -> F.Column:
+        od = F.col(o).cast("double")
+        exp = (
+            F.col(t).cast("double")
+            * F.col("rt").cast("double")
+            / F.col("n").cast("double")
+        )
+        return (od - exp) * (od - exp) / exp
+
+    contrib = cells.select(
+        "rt",
+        F.floor((_cell("n_a", "t_a") + _cell("n_b", "t_b")) * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+    return contrib.agg(
+        (F.sum("chi2_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "chi2"
+        ),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.sum("rt").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability profiling (Flesch reading ease per source)
+# ---------------------------------------------------------------------------
+
+
+def _run_count(col: F.Column, run_class: str) -> F.Column:
+    """Number of maximal runs of ``run_class`` in ``col``: replace
+    each run with one sentinel char vs removing it — the length
+    difference counts the runs, immune to sentinel collisions."""
+    one = F.regexp_replace(col, run_class, "\x01")
+    none = F.regexp_replace(col, run_class, "")
+    return (F.length(one) - F.length(none)).cast("long")
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               GREATEST(CAST(length(regexp_extract_all(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\w+')) AS BIGINT), 1) AS words,
+               GREATEST(
+                   CAST(length(regexp_replace(text, '[.!?]+', '.', 'g'))
+                        - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                        AS BIGINT), 1) AS sentences,
+               CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'a', 'g'))
+                    - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences,
+           CAST(SUM(syllables) AS BIGINT) AS syllables,
+           206.835
+             - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                        / CAST(SUM(sentences) AS DOUBLE))
+             - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                       / CAST(SUM(words) AS DOUBLE)) AS flesch
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per source — the corpus-profiling signal
+    quality pipelines bucket sources by before mixing (pairs with
+    text_quality_filter / text_lm_score).
+
+    Spark-first shape: sentence and syllable counts are regex
+    RUN-length counts (replace-with-one-char minus remove — two
+    codegen regexp_replace calls, no UDF, no explode); word counts
+    reuse the corpus tokenizer. Per-doc counts are exact longs, the
+    per-source rollup is one shuffle of integer sums, and the Flesch
+    formula is a single double expression over those exact sums —
+    identical IEEE in both engines."""
+    from sales_etl_spark.functions import text as TX
+
+    st = _star(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    per_doc = st.documents.select(
+        "source",
+        F.greatest(
+            F.size(TX.tokens(TX.normalize_text("text"))).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("words"),
+        F.greatest(
+            _run_count(F.col("text"), "[.!?]+"), F.lit(1).cast("long")
+        ).alias("sentences"),
+        _run_count(lower, "[aeiouy]+").alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("syllables").cast("long").alias("syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned-quantile rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_quantile_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(floor(value * 10.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    weekly AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT week, bin, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY week ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY week) AS BIGINT) AS n
+        FROM weekly
+    )
+    SELECT week,
+           MAX(n) AS n_events,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS DOUBLE)
+               / 10.0 AS p50,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN bin END) AS DOUBLE)
+               / 10.0 AS p90,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * n THEN bin END) AS DOUBLE)
+               / 10.0 AS p99
+    FROM cum GROUP BY week
+    """,
+)
+def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90/p99 of event value from MERGED daily fixed-width
+    histograms — the quantile twin of events_hll_rollup: a histogram
+    is the mergeable quantile sketch, so every coarser grain (week,
+    month, all-time) re-aggregates by pure addition over the daily
+    level without re-shuffling raw events. At 100 TB the daily
+    histograms are the stored artifact (bounded by |days|·|bins|,
+    data-size-independent) and this query's weekly pass touches only
+    them. Bin width 0.1 ⇒ quantiles exact to the bin floor — and
+    bit-exact across engines, since everything after the binning is
+    integer. The cumulative window orders |bins|-sized partitions,
+    never events (tests assert union-of-daily ≡ direct-weekly)."""
+    st = _star(spark, sf_dir)
+    daily = (
+        st.events.filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * F.lit(10.0)).cast("long").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    weekly = (
+        daily.select(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+            "bin",
+            "cnt",
+        )
+        .groupBy("week", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("week")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("week")
+    cum = weekly.select(
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+
+    def _q(num: int, den: int) -> F.Column:
+        return (
+            F.min(
+                F.when(
+                    F.lit(den) * F.col("cum") >= F.lit(num) * F.col("n"),
+                    F.col("bin"),
+                )
+            ).cast("double")
+            / F.lit(10.0)
+        )
+
+    return cum.groupBy("week").agg(
+        F.max("n").alias("n_events"),
+        _q(1, 2).alias("p50"),
+        _q(9, 10).alias("p90"),
+        _q(99, 100).alias("p99"),
+    )
