@@ -50,6 +50,8 @@ _SWEEP_FIRST = [
     "quality_chi2_drift",
     "text_readability",
     "events_quantile_rollup",
+    "events_click_attribution",
+    "events_attribution_last_touch",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

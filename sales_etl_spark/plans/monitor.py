@@ -18,7 +18,10 @@ inputs — each with a distinct Spark-first scale shape:
 - mergeable binned-quantile rollup: the quantile twin of
   events_hll_rollup — daily fixed-width histograms merge by pure
   addition into weekly ones, so a year of percentiles re-aggregates
-  from 365 daily sketches without ever re-shuffling raw events.
+  from 365 daily sketches without ever re-shuffling raw events;
+- click→purchase attribution (streaming/joins.py): the batch twins of
+  the stream-stream interval join — the pair list, and last-touch
+  pick-one over it.
 
 Reference parity: the reference engine (etl/transform.py) has no
 audit/monitoring surface; this tier is engine extension per
@@ -424,4 +427,90 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q(1, 2).alias("p50"),
         _q(9, 10).alias("p90"),
         _q(99, 100).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Click→purchase attribution (batch twins of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+_ATTR_PAIR_SQL = """
+    clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.user_id, c.click_id, c.click_ts,
+               p.purchase_ts, p.purchase_value
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND c.click_ts < p.purchase_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+    )
+"""
+
+
+@query(
+    "events_click_attribution",
+    oracle=f"WITH {_ATTR_PAIR_SQL} SELECT * FROM pairs",
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/joins.py): every (click, purchase) pair for the same
+    user with the purchase inside the 2-hour post-click window. The
+    interval predicate lives IN the join condition — one shuffle per
+    side, and the identical function runs under Structured Streaming
+    with watermarked state eviction (tests/test_streaming_joins.py
+    asserts stream ≡ batch)."""
+    from sales_etl_spark.streaming.joins import (
+        click_purchase_attribution,
+        split_clicks_purchases,
+    )
+
+    st = _star(spark, sf_dir)
+    clicks, purchases = split_clicks_purchases(st.events)
+    return click_purchase_attribution(clicks, purchases)
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH {_ATTR_PAIR_SQL}
+    SELECT purchase_id, user_id, click_id, click_ts, purchase_ts,
+           purchase_value
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY purchase_id
+                   ORDER BY click_ts DESC, click_id DESC) AS rn
+        FROM pairs
+    ) t WHERE rn = 1
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: the latest qualifying click per
+    purchase (deterministic click_id tiebreak). The pick-one is a
+    row_number over purchase-sized groups — bounded by the per-user
+    click rate inside the window, never corpus-sized."""
+    from sales_etl_spark.streaming.joins import (
+        click_purchase_attribution,
+        split_clicks_purchases,
+    )
+
+    st = _star(spark, sf_dir)
+    clicks, purchases = split_clicks_purchases(st.events)
+    pairs = click_purchase_attribution(clicks, purchases)
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
