@@ -28,7 +28,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "snapshot_patch"]
 
 
 def snapshot_diff(
@@ -75,3 +75,37 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def snapshot_patch(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: Iterable[str],
+    compare_cols: Iterable[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` to reconstruct the new snapshot —
+    the subscriber half of diff-based incremental sync: the publisher
+    ships the churn-sized diff instead of the 100 TB snapshot, and the
+    subscriber replays it. Invariant (property-tested):
+    ``snapshot_patch(old, snapshot_diff(old, new)) ≡ new`` on
+    ``keys + compare_cols``.
+
+    Scale shape: one anti-join of old against the (churn-sized)
+    removed/changed key set — the diff side broadcasts whenever churn
+    is small, which is the entire premise — plus a union with the
+    added/changed new-side rows. No window, no full-table shuffle.
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    drop_keys = diff.filter(
+        F.col("diff_status").isin("removed", "changed")
+    ).select(*keys)
+    kept = old.select(*keys, *compare_cols).join(
+        drop_keys, keys, "left_anti"
+    )
+    incoming = diff.filter(
+        F.col("diff_status").isin("added", "changed")
+    ).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
+    )
+    return kept.unionByName(incoming)

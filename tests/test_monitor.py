@@ -159,3 +159,37 @@ def test_snapshot_diff_query_statuses_consistent(spark):
         & (F.col("old_status").isNull() | F.col("new_status").isNull())
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Property: patch(old, diff(old, new)) reconstructs new exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as hst  # noqa: E402
+
+from sales_etl_spark.operators.reconcile import snapshot_patch  # noqa: E402
+
+_snap_keys = hst.integers(min_value=0, max_value=9)
+_vals = hst.one_of(hst.none(), hst.integers(min_value=0, max_value=3))
+_snap = hst.dictionaries(_snap_keys, hst.tuples(_vals, _vals), max_size=10)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_snap, new=_snap)
+def test_patch_of_diff_roundtrips(spark, old, new):
+    def frame(snap):
+        rows = [(k, a, b) for k, (a, b) in snap.items()]
+        return spark.createDataFrame(
+            rows, "k long, x long, y long"
+        ) if rows else spark.createDataFrame([], "k long, x long, y long")
+
+    o, n = frame(old), frame(new)
+    diff = snapshot_diff(o, n, ["k"], ["x", "y"])
+    rebuilt = snapshot_patch(o, diff, ["k"], ["x", "y"])
+    got = {(r["k"], r["x"], r["y"]) for r in rebuilt.collect()}
+    want = {(k, a, b) for k, (a, b) in new.items()}
+    assert got == want
