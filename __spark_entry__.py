@@ -52,6 +52,9 @@ _SWEEP_FIRST = [
     "events_quantile_rollup",
     "events_click_attribution",
     "events_attribution_last_touch",
+    "quality_mutual_info",
+    "quality_key_skew",
+    "agg_weekday_seasonality",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

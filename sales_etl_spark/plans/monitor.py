@@ -514,3 +514,198 @@ def events_attribution_last_touch(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dependence / skew / seasonality profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_mutual_info",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(floor(
+                   (CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS mi_micro
+        FROM cells
+        JOIN mx USING (x) JOIN my USING (y), tot
+    )
+    SELECT CAST(SUM(mi_micro) AS DOUBLE) / 1000000.0 AS mi_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM terms
+    """,
+)
+def quality_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and order
+    status — the dependence profiler that catches leakage / redundant
+    columns before feature selection, complementing quality_chi2_drift
+    (chi2 asks "did the mix shift"; MI asks "how entangled are two
+    columns").
+
+    Spark-first shape: the contingency cells aggregate in one pass;
+    both marginals RE-AGGREGATE FROM THE CELLS (|x|·|y|-sized — never
+    a second scan of the fact) and join back broadcast; each cell's
+    p·ln term floors to integer micro-nats before the final sum, per
+    the registry's transcendental recipe — bit-stable at any
+    parallelism."""
+    st = _star(spark, sf_dir)
+    cells = (
+        st.orders.select(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    joined = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_xy = F.col("n_xy").cast("double") / F.col("n").cast("double")
+    ratio = (F.col("n_xy").cast("double") * F.col("n").cast("double")) / (
+        F.col("n_x").cast("double") * F.col("n_y").cast("double")
+    )
+    terms = joined.select(
+        F.floor(p_xy * F.log(ratio) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mi_micro")
+    )
+    return terms.agg(
+        (F.sum("mi_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "mi_nats"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+@query(
+    "quality_key_skew",
+    oracle="""
+    WITH kc AS (
+        SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM kc
+    )
+    SELECT key, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           (CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE))
+               / CAST(total AS DOUBLE) AS hot_factor
+    FROM kc, tot
+    ORDER BY cnt DESC, key LIMIT 10
+    """,
+)
+def quality_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the 10 hottest supplier keys in the
+    line-item fact with their share of all rows and hot_factor (count
+    over the uniform-key expectation). This is the diagnostic run
+    BEFORE choosing a shuffle strategy at 100 TB — hot_factor >> 1 on
+    a join key is the signal to salt (operators/skew.py) or rely on
+    AQE skew splitting; the engine ships the probe as a first-class
+    query. One groupBy + a broadcast 1-row total; top-10 is
+    TakeOrderedAndProject."""
+    st = _star(spark, sf_dir)
+    kc = (
+        st.lineitem.select(F.col("l_suppkey").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = kc.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        kc.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double"))
+            .alias("share"),
+            (
+                (F.col("cnt").cast("double") * F.col("n_keys").cast("double"))
+                / F.col("total").cast("double")
+            ).alias("hot_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
+
+
+@query(
+    "agg_weekday_seasonality",
+    oracle="""
+    WITH rev AS (
+        SELECT dayofweek(o.o_orderdate) AS dow,
+               CAST(SUM(CAST(CAST(l.l_quantity * l.l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev)
+    SELECT dow,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cents AS DOUBLE) * 7.0 / CAST(total AS DOUBLE)
+               AS index_vs_mean
+    FROM rev, tot
+    """,
+)
+def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality: share of revenue per weekday
+    and the index against a uniform week (index 1.0 = an average day)
+    — the BI profile behind staffing/campaign timing, and the
+    demand-shape input a forecaster (flagship_forecast_revenue)
+    conditions on.
+
+    Spark-first shape: revenue sums in exact integer cents at the
+    7-row day-of-week grain (one shuffle, map-side combine does
+    almost all the work); the grand total re-aggregates from the
+    7-row frame and rides a broadcast; share/index are divisions of
+    exact longs — identical IEEE both engines. Spark's dayofweek()
+    (1=Sunday..7) matches DuckDB's dayofweek()+1, aligned below."""
+    st = _star(spark, sf_dir)
+    from sales_etl_spark.operators.aggregates import money_cents
+
+    li = st.lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        money_cents("l_quantity", "l_extendedprice").alias("cents"),
+    )
+    orders = st.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        (F.dayofweek(F.col("o_orderdate")) - F.lit(1)).alias("dow"),
+    )
+    rev = (
+        li.join(orders, "order_id")
+        .groupBy("dow")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("cents").cast("double") / F.col("total").cast("double"))
+        .alias("share"),
+        (
+            F.col("cents").cast("double")
+            * F.lit(7.0)
+            / F.col("total").cast("double")
+        ).alias("index_vs_mean"),
+    )
