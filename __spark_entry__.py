@@ -55,6 +55,7 @@ _SWEEP_FIRST = [
     "quality_mutual_info",
     "quality_key_skew",
     "agg_weekday_seasonality",
+    "agg_rfm_segments",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

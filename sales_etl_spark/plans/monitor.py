@@ -709,3 +709,112 @@ def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double")
         ).alias("index_vs_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_SNAPSHOT = "2026-01-01"
+
+
+@query(
+    "agg_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS customer_id,
+               CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '{_RFM_SNAPSHOT}') AS BIGINT)
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+    rr AS (SELECT customer_id, row_number() OVER
+               (ORDER BY recency_days, customer_id) AS rn FROM cust),
+    ff AS (SELECT customer_id, row_number() OVER
+               (ORDER BY frequency, customer_id) AS rn FROM cust),
+    mm AS (SELECT customer_id, row_number() OVER
+               (ORDER BY monetary_cents, customer_id) AS rn FROM cust)
+    SELECT c.customer_id, c.recency_days, c.frequency,
+           CAST(c.monetary_cents AS DOUBLE) / 100.0 AS monetary,
+           ((rr.rn - 1) * 4) // nn.n + 1 AS r_q,
+           ((ff.rn - 1) * 4) // nn.n + 1 AS f_q,
+           ((mm.rn - 1) * 4) // nn.n + 1 AS m_q,
+           (((rr.rn - 1) * 4) // nn.n + 1) * 100
+             + (((ff.rn - 1) * 4) // nn.n + 1) * 10
+             + (((mm.rn - 1) * 4) // nn.n + 1) AS rfm_segment
+    FROM cust c
+    JOIN rr ON rr.customer_id = c.customer_id
+    JOIN ff ON ff.customer_id = c.customer_id
+    JOIN mm ON mm.customer_id = c.customer_id, nn
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days to the pinned
+    snapshot, the F2 convention), frequency (orders), monetary (exact
+    cents), each scored into ascending quartiles (1 = most recent /
+    least frequent / lowest spend) and fused into the classic 3-digit
+    segment code — the BI workload behind "target the 444s".
+
+    Spark-first shape: the customer rollup is one shuffle at customer
+    grain; each quartile rank uses the bucket-offset global ranking
+    (operators/windows.py:global_row_number) so NO customer-corpus
+    window runs single-partition — at 100 TB the three rank passes
+    are per-bucket sorts plus a broadcast offset frame each. Scores
+    use pure integer arithmetic ((rn-1)·4 div n + 1, the same closed
+    form in both engines — deliberately NOT SQL NTILE, whose
+    remainder placement differs), so the output is bit-exact."""
+    from sales_etl_spark.operators.windows import global_row_number
+
+    st = _star(spark, sf_dir)
+    cust = st.orders.groupBy(
+        F.col("o_custkey").alias("customer_id")
+    ).agg(
+        F.datediff(
+            F.lit(_RFM_SNAPSHOT).cast("date"),
+            F.max(F.col("o_orderdate")).cast("date"),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    nn = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = cust
+    for metric, bucket_width, out in (
+        ("recency_days", 30, "r_rn"),
+        ("frequency", 1, "f_rn"),
+        ("monetary_cents", 10_000_000, "m_rn"),
+    ):
+        ranked = global_row_number(
+            ranked,
+            order_by=[F.asc(metric), F.asc("customer_id")],
+            bucket=(F.col(metric) / F.lit(bucket_width)).cast("long"),
+            out=out,
+        )
+    scored = ranked.crossJoin(F.broadcast(nn))
+
+    def _q(rn: str) -> F.Column:
+        return F.expr(f"(({rn} - 1) * 4) div n + 1")
+
+    return scored.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / F.lit(100.0)).alias(
+            "monetary"
+        ),
+        _q("r_rn").alias("r_q"),
+        _q("f_rn").alias("f_q"),
+        _q("m_rn").alias("m_q"),
+        (_q("r_rn") * 100 + _q("f_rn") * 10 + _q("m_rn")).alias(
+            "rfm_segment"
+        ),
+    )
