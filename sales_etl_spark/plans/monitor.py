@@ -196,6 +196,10 @@ def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_b"),
         )
+        # |event types|-row frame feeds both the marginals and the
+        # cells; neither ReuseExchange nor AQE dedupes a view read
+        # twice (SCALE.md, Q15 note), so cache it — one events scan.
+        .cache()
     )
     tot = ct.agg(
         F.sum("n_a").cast("long").alias("t_a"),
@@ -567,6 +571,9 @@ def quality_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        # |x|·|y|-row frame, four consumers (mx/my/tot/cells) — cache
+        # so the orders fact scans exactly once (Q15 pattern).
+        .cache()
     )
     mx = cells.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
     my = cells.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
@@ -627,6 +634,10 @@ def quality_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.lineitem.select(F.col("l_suppkey").alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # |keys|-row frame feeds the 1-row total AND the top-10; cache
+        # keeps the fact scan single (Q15 pattern) without moving the
+        # key frame through any single-partition window.
+        .cache()
     )
     tot = kc.agg(
         F.sum("cnt").cast("long").alias("total"),
@@ -696,6 +707,9 @@ def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, "order_id")
         .groupBy("dow")
         .agg(F.sum("cents").cast("long").alias("cents"))
+        # 7-row frame, two consumers — cache so the lineitem⨝orders
+        # tree executes once (Q15 pattern).
+        .cache()
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("total"))
     return rev.crossJoin(F.broadcast(tot)).select(
@@ -785,7 +799,8 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("monetary_cents"),
-    )
+    ).cache()  # customer-grain frame: 5 consumers (nn + 3 rank passes
+    #            + output) — cache keeps the orders scan single.
     nn = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = cust
     for metric, bucket_width, out in (
