@@ -84,6 +84,10 @@ HEADLINE = [
     "text_bm25_topk",
     "emb_pca_power",
     "graph_triangle_cluster",
+    # reconciliation & monitoring tier: the full-outer snapshot diff
+    # (heaviest new join shape) + the triple-ranked RFM segmentation
+    "mart_snapshot_diff",
+    "agg_rfm_segments",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).
