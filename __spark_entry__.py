@@ -56,6 +56,7 @@ _SWEEP_FIRST = [
     "quality_key_skew",
     "agg_weekday_seasonality",
     "agg_rfm_segments",
+    "agg_share_of_parent",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -833,3 +833,106 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rfm_segment"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical percent-of-parent rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(CAST(l.l_quantity * l.l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT region, nation, cents,
+               CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+                   AS region_cents,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        FROM rev
+    )
+    SELECT region, nation,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+               AS share_of_region,
+           CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+               AS region_share
+    FROM shares
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical rollup: each nation's share of
+    its region's revenue and each region's share of the total — the
+    drill-down decomposition every BI tree table renders.
+
+    Spark-first shape: ONE shuffle reduces the fact to the 25-row
+    (region, nation) grain in exact integer cents (customer dim
+    broadcast, nation→region constant-folded); both parent levels are
+    windows over THAT bounded frame — at 100 TB the single-partition
+    window touches 25 rows, never the fact. Shares divide exact longs
+    once, in the identical IEEE order as the oracle."""
+    st = _star(spark, sf_dir)
+    from sales_etl_spark.operators.aggregates import money_cents
+
+    li = st.lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        money_cents("l_quantity", "l_extendedprice").alias("cents"),
+    )
+    orders = st.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+    )
+    cust = st.customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    nat = st.nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    reg = st.region.select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("region"),
+    )
+    dim = cust.join(F.broadcast(nat), "nationkey").join(
+        F.broadcast(reg), "regionkey"
+    ).select("customer_id", "nation", "region")
+    rev = (
+        li.join(orders, "order_id")
+        .join(F.broadcast(dim), "customer_id")
+        .groupBy("region", "nation")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    shares = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(w_region).cast("long").alias("region_cents"),
+        F.sum("cents").over(w_all).cast("long").alias("total_cents"),
+    )
+    return shares.select(
+        "region",
+        "nation",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("cents").cast("double")
+            / F.col("region_cents").cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("region_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("region_share"),
+    )
