@@ -936,3 +936,120 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_cents").cast("double")
         ).alias("region_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-language detection (per-chunk language consistency)
+# ---------------------------------------------------------------------------
+
+_LC_CHUNK = 50  # tokens per non-overlapping language-ID window
+
+
+def _chunk_lang_scores_sql() -> str:
+    """Per-language marker-hit scores over the chunk's token slice —
+    the oracle twin of functions.text.stopword_hits applied per
+    chunk."""
+    from sales_etl_spark.functions.text import LANG_MARKERS
+
+    return ", ".join(
+        f"len(list_filter(chunk, t -> t IN "
+        f"({', '.join(repr(w) for w in words)}))) AS s_{code}"
+        for code, words in sorted(LANG_MARKERS.items())
+    )
+
+
+@query(
+    "text_lang_consistency",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, lang, toks[s:s + {_LC_CHUNK - 1}] AS chunk
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents) t,
+             unnest(generate_series(1, greatest(len(toks), 1),
+                                    {_LC_CHUNK})) AS u(s)
+        WHERE len(toks) > 0 AND s <= len(toks)
+    ),
+    scored AS (
+        SELECT doc_id, lang, {_chunk_lang_scores_sql()}
+        FROM chunks
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS chunk_lang
+        FROM scored
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN chunk_lang = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN chunk_lang = lang THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS consistency
+    FROM pred GROUP BY doc_id, lang
+    """,
+)
+def text_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection: language-ID every non-overlapping
+    {n}-token window of a document and report how many windows agree
+    with the document's labeled language — the chunk-level purity
+    signal corpus pipelines use to drop code-switched / boilerplate-
+    contaminated documents that a whole-doc language ID misses.
+
+    Spark-first shape: the chunker is the text_chunk_tokens codegen
+    (sequence + explode + slice, tokenizer runs ONCE per doc); each
+    chunk scores with the same marker-hit argmax as text_lang_id,
+    entirely in array expressions; the per-doc rollup is one shuffle
+    of integer counts and the consistency ratio divides exact longs.
+    No UDF, no second tokenize, no corpus-sized window.""".replace(
+        "{n}", str(_LC_CHUNK)
+    )
+    from sales_etl_spark.functions import text as TX
+
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = st.documents.select("doc_id", "lang", toks.alias("__toks"))
+    k = F.size("__toks")
+    starts = F.when(
+        k > 0, F.sequence(F.lit(1), k, F.lit(_LC_CHUNK))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(F.col("__toks"), F.col("s"), _LC_CHUNK)
+    chunked = base.select(
+        "doc_id", "lang", F.explode(starts).alias("s"), "__toks"
+    ).select("doc_id", "lang", chunk.alias("__chunk"))
+
+    # marker-hit argmax over the ALREADY MATERIALIZED token slice
+    # (stopword_hits would re-tokenize the joined text)
+    def _contains(ws):
+        # factory keeps the lambda single-arg: a two-arg lambda is
+        # interpreted by F.filter as (element, index)
+        return lambda t: F.array_contains(ws, t)
+
+    best_code, best_score = F.lit("und"), F.lit(0)
+    for code, words in sorted(TX.LANG_MARKERS.items()):
+        wordset = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(F.col("__chunk"), _contains(wordset)))
+        is_better = score > best_score
+        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(is_better, score).otherwise(best_score)
+
+    scored = chunked.select(
+        "doc_id", "lang", best_code.alias("chunk_lang")
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("chunk_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+        (
+            F.sum(
+                F.when(F.col("chunk_lang") == F.col("lang"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("consistency"),
+    )
