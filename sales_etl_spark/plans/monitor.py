@@ -1053,3 +1053,45 @@ def text_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("consistency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML connector round-trip (native Spark 4 XML data source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector round-trip — the remaining first-class file
+    format (Spark 4 ships the XML data source natively; no external
+    package): write a documents projection as row-tagged XML, read it
+    back with an EXPLICIT schema, mirroring scan_csv/scan_jsonl — at
+    100 TB a schema-inference pass over XML is a full extra read, and
+    unlike ORC/parquet the schema does not travel in the file."""
+    from pyspark.sql import types as T
+
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    out = _scratch("scan_xml", sf_dir)
+    st.documents.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "doc").save(str(out))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(schema)
+        .load(str(out))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
