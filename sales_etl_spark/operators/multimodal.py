@@ -227,3 +227,82 @@ def demean_embeddings_per_group(
         demean,
         schema=f"{id_col} {id_t}, {group_col} {grp_t}, centered array<double>",
     )
+
+
+def parse_wav_metadata(
+    data: bytes,
+) -> tuple[int, int, int, int] | None:
+    """Real WAV (RIFF) header parse — no audio lib needed: walk the
+    chunk list for ``fmt `` (channels, sample rate, bit depth) and
+    ``data`` (payload size), from which duration follows. Returns
+    (sample_rate, channels, bits_per_sample, duration_ms) or None for
+    non-WAV payloads. Mirrors parse_image_dimensions: the metadata
+    tier of multimodal ingestion is pure byte-structure work and is
+    implemented for real; only sample DECODING (libav/soundfile)
+    remains stubbed."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = data[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data_size is None:
+        return None
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if not (channels and rate and bits):
+        return None
+    duration_ms = (data_size * 8 * 1000) // (rate * channels * bits)
+    return rate, channels, bits, duration_ms
+
+
+AUDIO_METADATA_SCHEMA = (
+    "media_id long, byte_length long, content_hash string, "
+    "sample_rate int, channels int, bits int, duration_ms long"
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Per-item WAV metadata via Arrow-batched mapInPandas (same batch
+    shape as featurize_media). Non-WAV payloads yield NULL audio
+    fields rather than erroring — ingestion keeps flowing and the
+    nulls are the quarantine signal."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = parse_wav_metadata(data)
+                rate, ch, bits, dur = meta if meta else (None,) * 4
+                rows.append(
+                    (
+                        media_id,
+                        len(data),
+                        hashlib.md5(data).hexdigest(),
+                        rate,
+                        ch,
+                        bits,
+                        dur,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "byte_length",
+                    "content_hash",
+                    "sample_rate",
+                    "channels",
+                    "bits",
+                    "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_METADATA_SCHEMA)

@@ -169,3 +169,47 @@ def test_featurize_media_reports_true_jpeg_dimensions(spark):
     assert got[2] == (64, 32)
     # non-parseable payload falls back to the deterministic stub
     assert 16 <= got[3][0] <= 255 and 16 <= got[3][1] <= 255
+
+
+# ---------------------------------------------------------------------------
+# WAV metadata (real RIFF header parse)
+# ---------------------------------------------------------------------------
+
+
+def _make_wav(rate=16000, channels=1, bits=16, n_frames=800) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * (bits // 8)))
+    return buf.getvalue()
+
+
+def test_parse_wav_metadata_real_header():
+    from sales_etl_spark.operators.multimodal import parse_wav_metadata
+
+    wav = _make_wav(rate=22050, channels=2, bits=16, n_frames=22050)
+    assert parse_wav_metadata(wav) == (22050, 2, 16, 1000)
+    assert parse_wav_metadata(b"not a wav at all") is None
+    assert parse_wav_metadata(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_audio_metadata_operator_mixed_payloads(spark):
+    from sales_etl_spark.operators.multimodal import audio_metadata
+
+    wav = _make_wav(rate=8000, channels=1, bits=8, n_frames=4000)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"JUNKJUNKJUNK"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_metadata(media).collect()}
+    assert rows[1]["sample_rate"] == 8000
+    assert rows[1]["channels"] == 1
+    assert rows[1]["bits"] == 8
+    assert rows[1]["duration_ms"] == 500
+    assert rows[2]["sample_rate"] is None  # quarantine, not an error
+    assert rows[2]["byte_length"] == 12
