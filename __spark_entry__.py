@@ -59,6 +59,7 @@ _SWEEP_FIRST = [
     "agg_share_of_parent",
     "text_lang_consistency",
     "scan_xml",
+    "multimodal_audio",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -306,3 +306,34 @@ def audio_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AUDIO_METADATA_SCHEMA)
+
+
+def documents_as_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture stream: one REAL (stdlib-wave) WAV
+    payload per document, parameters derived from doc fields so an
+    SQL oracle can predict every parsed header value — rate
+    8000 + (doc_id%4)·4000 Hz, 1 + doc_id%2 channels, 16-bit,
+    100 + n_chars%1000 zero frames. The synthesizer is the fixture
+    half; parse_wav_metadata is the production half under test."""
+    import io
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                rate = 8000 + (int(doc_id) % 4) * 4000
+                channels = 1 + int(doc_id) % 2
+                n_frames = 100 + int(n_chars) % 1000
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(b"\x00" * (n_frames * channels * 2))
+                rows.append((int(doc_id), bytearray(buf.getvalue())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )

@@ -1095,3 +1095,47 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(str(out))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio metadata (real WAV header parse, oracle-predicted)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_audio",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(44 + nf * ch * 2 AS BIGINT) AS byte_length,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST((nf * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+               AS duration_ms
+    FROM (SELECT doc_id, 1 + doc_id % 2 AS ch,
+                 100 + n_chars % 1000 AS nf
+          FROM documents) t
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingestion end-to-end with REAL header parsing: synthesize
+    a canonical WAV per document (operators/multimodal.py:
+    documents_as_wav — parameters derived from doc fields), run the
+    production parse_wav_metadata over the binary column via
+    Arrow-batched mapInPandas, and hash-compare every parsed field
+    against the oracle's closed-form prediction. Unlike the decode
+    stubs this exercises true byte-structure parsing; the plumbing
+    (binary columns, Arrow batches, fixed output schema) is the same
+    at 100 TB — only payload size changes."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_wav(st.documents)
+    return multimodal.audio_metadata(media).select(
+        "media_id",
+        "byte_length",
+        "sample_rate",
+        "channels",
+        "bits",
+        "duration_ms",
+    )
