@@ -60,6 +60,7 @@ _SWEEP_FIRST = [
     "text_lang_consistency",
     "scan_xml",
     "multimodal_audio",
+    "events_inter_arrival",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -1,27 +1,33 @@
 """Reconciliation & monitoring tier (round-4 continuation).
 
-Four operator families a production deployment runs AROUND the
-pipeline the reference ships — auditing its loads and monitoring its
-inputs — each with a distinct Spark-first scale shape:
+The operator families a production deployment runs AROUND the
+pipeline the reference ships — auditing its loads, monitoring its
+inputs, profiling its keys and corpus — each with a distinct
+Spark-first scale shape (details per query; SCALE.md §19/§20):
 
 - snapshot reconciliation (operators/reconcile.py): full-outer diff
   of two keyed snapshots, output proportional to churn, one shuffle
-  (zero once snapshots are bucketed on the key);
-- chi-square categorical drift: the discrete sibling of
-  quality_ks_drift — contingency table in one pass over the stream,
-  per-cell contributions floored to exact integer micro-units before
-  the (tiny) final sum, so the statistic is bit-stable at any
-  parallelism;
-- readability profiling (Flesch reading ease): sentence / word /
-  syllable counts as pure codegen regex run-length counts, integer
-  per-source sums, ONE double expression at the output boundary;
+  (zero once snapshots are bucketed on the key); plus the patch
+  (subscriber) half, property-tested as an exact inverse;
+- statistics monitors: chi-square categorical drift and mutual
+  information — the fact reduced to a |categories|-bounded cached
+  frame in one pass, transcendental/cell terms floored to exact
+  integer micro-units before any distributed sum;
+- corpus profiling: Flesch readability (regex run-length counts) and
+  per-chunk language-ID consistency (mixed-language detection);
 - mergeable binned-quantile rollup: the quantile twin of
   events_hll_rollup — daily fixed-width histograms merge by pure
-  addition into weekly ones, so a year of percentiles re-aggregates
-  from 365 daily sketches without ever re-shuffling raw events;
-- click→purchase attribution (streaming/joins.py): the batch twins of
-  the stream-stream interval join — the pair list, and last-touch
-  pick-one over it.
+  addition into any coarser grain, so a year of percentiles
+  re-aggregates from daily sketches without re-shuffling raw events;
+- click→purchase attribution (streaming/joins.py): batch twins of
+  the watermarked stream-stream interval join — the pair list, and
+  last-touch pick-one over it;
+- ops profiling & BI: join-key skew probe, weekday seasonality,
+  percent-of-parent hierarchical rollup, RFM segmentation via
+  bucket-offset global quartile ranks;
+- connectors & multimodal: native Spark-4 XML round-trip; real
+  WAV/RIFF header parsing over Arrow-batched binary columns with a
+  closed-form oracle.
 
 Reference parity: the reference engine (etl/transform.py) has no
 audit/monitoring surface; this tier is engine extension per
@@ -1138,4 +1144,116 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         "bits",
         "duration_ms",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap profile (lag + binned quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_inter_arrival",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    gg AS (
+        SELECT event_type, gap_us, gap_us // 60000000 AS bin
+        FROM g WHERE gap_us IS NOT NULL
+    ),
+    hist AS (
+        SELECT event_type, bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_us
+        FROM gg GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(sum_us) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tot_us
+        FROM hist
+    )
+    SELECT event_type,
+           MAX(n) AS n_gaps,
+           CAST(MAX(tot_us) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+               / 1000000.0 AS mean_gap_s,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS DOUBLE)
+               AS p50_min,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN bin END) AS DOUBLE)
+               AS p90_min
+    FROM cum GROUP BY event_type
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile: per event type, the count / exact mean /
+    p50 / p90 of the gap to the user's previous event — the telemetry
+    cadence monitor (a p90 collapse means a runaway client; a mean
+    drift means sampling changed).
+
+    Spark-first shape: ONE per-user window (lag over microsecond
+    epoch, deterministic (ts, event_id) order) feeds a minute-binned
+    histogram per type; quantiles read off integer cumulative
+    thresholds over |bins|-sized partitions (the events_quantile_rollup
+    recipe) and the mean divides exact long micro-sums once. Nothing
+    corpus-sized crosses a single-partition window."""
+    st = _star(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = st.events.select(
+        "event_type",
+        (us - F.lag(us).over(w_lag)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    hist = (
+        g.select(
+            "event_type",
+            "gap_us",
+            F.expr("gap_us div 60000000").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("gap_us").cast("long").alias("sum_us"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+        F.sum("sum_us").over(w_all).cast("long").alias("tot_us"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        (
+            F.max("tot_us").cast("double")
+            / F.max("n").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("mean_gap_s"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("bin"))
+        )
+        .cast("double")
+        .alias("p50_min"),
+        F.min(
+            F.when(
+                F.lit(10) * F.col("cum") >= F.lit(9) * F.col("n"),
+                F.col("bin"),
+            )
+        )
+        .cast("double")
+        .alias("p90_min"),
     )
