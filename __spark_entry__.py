@@ -61,6 +61,7 @@ _SWEEP_FIRST = [
     "scan_xml",
     "multimodal_audio",
     "events_inter_arrival",
+    "quality_column_profile",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

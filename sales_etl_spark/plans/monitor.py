@@ -1257,3 +1257,78 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p90_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profile (ANALYZE-style statistics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "quality_column_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT col, val, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+    """
+    + "\n UNION ALL \n".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in _PROFILE_COLS
+    )
+    + """
+        ) u GROUP BY col, val
+    )
+    SELECT col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE val IS NULL), 0)
+                AS BIGINT) AS n_null,
+           CAST(COUNT(val) AS BIGINT) AS n_distinct
+    FROM cells GROUP BY col
+    """,
+)
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of the orders table — row
+    count, null count, exact distinct count for every column — the
+    statistics a planner (or a data-quality dashboard) wants, in ONE
+    pass over the fact.
+
+    Spark-first shape: `stack` unpivots the row into (col, val)
+    pairs inside the scan projection (no expand, no per-column job),
+    then ONE shuffle at (col, value-cardinality) grain and a tiny
+    rollup. This is the multi-column distinct-count shape that does
+    NOT use Expand-based multi-distinct aggregation — at 100 TB the
+    expand multiplies the scan by |columns|, while the unpivot
+    shuffles each value once. Values compare as per-engine strings
+    (injective per engine, so the distinct COUNTS agree even where
+    float formatting differs)."""
+    st = _star(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    cells = (
+        st.orders.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, val)"
+            )
+        )
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return cells.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.count("val").cast("long").alias("n_distinct"),
+    )
