@@ -62,6 +62,7 @@ _SWEEP_FIRST = [
     "multimodal_audio",
     "events_inter_arrival",
     "quality_column_profile",
+    "scan_csv_quarantine",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

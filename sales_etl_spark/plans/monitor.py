@@ -1332,3 +1332,74 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null"),
         F.count("val").cast("long").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV quarantine scan (PERMISSIVE corrupt-record routing)
+# ---------------------------------------------------------------------------
+
+_BAD_LINES = ("oops,xx", "12,ok", "x,y,z,extra,cols")
+
+
+@query(
+    "scan_csv_quarantine",
+    # The three poison rows below are the MEASURED PERMISSIVE
+    # semantics: best-effort per-field parsing survives (a parseable
+    # token keeps its value, an unparseable one nulls), and the raw
+    # line lands in bad_line — quarantine keeps everything salvageable.
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           o_totalprice AS total, CAST(NULL AS VARCHAR) AS bad_line
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL SELECT CAST(NULL AS BIGINT), 'xx',
+                     CAST(NULL AS DOUBLE), 'oops,xx'
+    UNION ALL SELECT 12, 'ok', CAST(NULL AS DOUBLE), '12,ok'
+    UNION ALL SELECT CAST(NULL AS BIGINT), 'y',
+                     CAST(NULL AS DOUBLE), 'x,y,z,extra,cols'
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on CSV ingest: read with an
+    explicit schema in PERMISSIVE mode, routing every malformed line
+    into a ``bad_line`` column (raw text preserved; parseable fields
+    keep their values, unparseable ones null — the salvage-maximal
+    posture) instead of failing the job or silently dropping rows — the
+    production ingest posture for feeds you don't control
+    (complements S2's FAILFAST probe: probe loudly at the boundary,
+    quarantine quietly in the steady state). Good rows and the
+    poisoned-file fixture round-trip bit-exact against the oracle's
+    prediction of BOTH populations."""
+    from pyspark.sql import types as T
+
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    out = _scratch("scan_csv_quarantine", sf_dir)
+    st.orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    ).write.mode("overwrite").option("header", True).csv(str(out))
+    # Poison the directory the way a real feed does — a part file the
+    # writer never produced. First line is consumed as that file's
+    # header under header=True, so the payload starts at line 2.
+    bad = out / "zz_malformed.csv"
+    bad.write_text(
+        "order_id,status,total\n" + "\n".join(_BAD_LINES) + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("bad_line", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad_line")
+        .schema(schema)
+        .csv(str(out))
+        .select("order_id", "status", "total", "bad_line")
+    )
