@@ -1002,7 +1002,7 @@ def _chunk_lang_scores_sql() -> str:
 )
 def text_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-language detection: language-ID every non-overlapping
-    {n}-token window of a document and report how many windows agree
+    _LC_CHUNK(=50)-token window of a document and report how many agree
     with the document's labeled language — the chunk-level purity
     signal corpus pipelines use to drop code-switched / boilerplate-
     contaminated documents that a whole-doc language ID misses.
@@ -1012,9 +1012,7 @@ def text_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk scores with the same marker-hit argmax as text_lang_id,
     entirely in array expressions; the per-doc rollup is one shuffle
     of integer counts and the consistency ratio divides exact longs.
-    No UDF, no second tokenize, no corpus-sized window.""".replace(
-        "{n}", str(_LC_CHUNK)
-    )
+    No UDF, no second tokenize, no corpus-sized window."""
     from sales_etl_spark.functions import text as TX
 
     st = _star(spark, sf_dir)
