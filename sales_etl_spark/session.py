@@ -105,6 +105,17 @@ def get_spark(
         # 100 TB inputs produce ample splits at 128 MB, and tiny-file
         # over-splitting there is the opposite failure mode.
         builder = builder.config("spark.sql.files.maxPartitionBytes", "1m")
+        # In local mode the driver JVM IS every executor, yet Spark's
+        # default driver heap is 1g — on this 128 GiB / 32-thread box
+        # that manifested as GC-locker stalls under bench load and, in
+        # full-registry sweeps (190+ queries, one session), spurious
+        # "Not enough memory to build and broadcast" failures on late
+        # queries that pass in a fresh session. Only effective at JVM
+        # launch; a real cluster sets executor/driver memory itself.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
