@@ -63,6 +63,7 @@ _SWEEP_FIRST = [
     "events_inter_arrival",
     "quality_column_profile",
     "scan_csv_quarantine",
+    "events_ab_cuped",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -1401,3 +1401,124 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(str(out))
         .select("order_id", "status", "total", "bad_line")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+_CUPED_MID = "2024-01-16"
+
+
+@query(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_MID}'
+                   THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0)
+                   AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_MID}'
+                   THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0)
+                   AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    moments AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th
+        FROM moments
+    ),
+    adj AS (
+        SELECT variant,
+               CAST(floor((CAST(y AS DOUBLE)
+                   - th * (CAST(x AS DOUBLE)
+                           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * 10000.0 + 0.5) AS BIGINT) AS adj_cmicro
+        FROM per_user, theta
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(adj_cmicro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000.0 AS cuped_mean
+    FROM adj GROUP BY variant
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per-variant mean of the
+    adjusted outcome y − θ·(x − x̄), with x the user's pre-period
+    spend, y the in-period spend, and θ = cov(x,y)/var(x) pooled —
+    the adjustment modern experimentation platforms apply before the
+    significance test (pairs with events_ab_welch).
+
+    Cross-engine exactness: spend quantizes to CENTI-units at the
+    event (keeping every power sum below 2^53, so decimal→double
+    casts are exact and no engine-specific rounding of big integers
+    can occur — the corr-query hazard avoided by construction); θ and
+    each user's adjustment are the IDENTICAL IEEE sequence in both
+    engines; each adjustment floors to integer units before the
+    per-variant sum. One shuffle to user grain, 1-row moments frame
+    broadcast back."""
+    st = _star(spark, sf_dir)
+    mid = F.lit(_CUPED_MID).cast("timestamp_ntz")
+    cmicro = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per_user = (
+        st.events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < mid, cmicro)), F.lit(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= mid, cmicro)), F.lit(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+        # user-grain frame feeds the moments AND the adjusted rows —
+        # cache so the events fact scans once (Q15 pattern)
+        .cache()
+    )
+    moments = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    j = per_user.crossJoin(F.broadcast(moments))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    th = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    adj = j.select(
+        "variant",
+        F.floor(
+            (d("y") - th * (d("x") - d("sx") / d("n")))
+            * F.lit(10_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("adj_cmicro"),
+    )
+    return adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum("adj_cmicro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("cuped_mean"),
+    )
