@@ -332,6 +332,10 @@ _PYTHON_OK = {
     # rewrite exists, so grouped-map applyInPandas IS the Spark-first
     # shape (plans/resolution.py:window_capped_running_sum)
     "window_capped_running_sum",
+    # Arrow-batched WAV synthesis + RIFF header parse over binary
+    # columns (operators/multimodal.py) — byte-structure work is the
+    # declared Python tier
+    "multimodal_audio",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
@@ -384,6 +388,19 @@ _SCALAR_BNLJ_OK = {
     "ann_recall_eval",
     # same 1-row scalar shape for the dedup-recall report
     "dedup_recall_eval",
+    # monitoring tier: 1-row marginal/total frames broadcast into the
+    # |categories|-bounded cached cells (chi2, MI), the |keys|-row
+    # skew frame, the 7-row weekday frame, the 25-row hierarchy frame
+    "quality_chi2_drift",
+    "quality_mutual_info",
+    "quality_key_skew",
+    "agg_weekday_seasonality",
+    "agg_share_of_parent",
+    # 1-row customer-count scalar broadcast into the quartile scoring
+    "agg_rfm_segments",
+    # 1-row (n, Sx, Sy, Sxx, Sxy) moments frame broadcast into the
+    # user-grain CUPED adjustment
+    "events_ab_cuped",
 }
 
 
