@@ -82,3 +82,53 @@ def test_batch_pairs_within_window_only(spark):
         )
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Property: interval join ≡ brute-force pair enumeration
+# ---------------------------------------------------------------------------
+
+import datetime as dt  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings, strategies as hst  # noqa: E402
+
+_BASE = dt.datetime(2024, 1, 1)
+_GAP = dt.timedelta(hours=2)
+
+_users = hst.integers(min_value=0, max_value=2)
+_minutes = hst.integers(min_value=0, max_value=300)
+_clicks = hst.lists(hst.tuples(_users, _minutes), max_size=12)
+_purchases = hst.lists(hst.tuples(_users, _minutes), max_size=12)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(clicks=_clicks, purchases=_purchases)
+def test_interval_join_matches_bruteforce(spark, clicks, purchases):
+    clicks = [(i, u, _BASE + dt.timedelta(minutes=m))
+              for i, (u, m) in enumerate(clicks)]
+    purchases = [(100 + i, u, _BASE + dt.timedelta(minutes=m), 1.0)
+                 for i, (u, m) in enumerate(purchases)]
+    cdf = spark.createDataFrame(
+        clicks or [(None, None, None)],
+        "click_id long, user_id long, click_ts timestamp",
+    ).filter(F.col("click_id").isNotNull())
+    pdf = spark.createDataFrame(
+        purchases or [(None, None, None, None)],
+        "purchase_id long, user_id long, purchase_ts timestamp, "
+        "purchase_value double",
+    ).filter(F.col("purchase_id").isNotNull())
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in click_purchase_attribution(cdf, pdf).collect()
+    }
+    want = {
+        (pid, cid)
+        for cid, cu, cts in clicks
+        for pid, pu, pts, _ in purchases
+        if cu == pu and cts < pts <= cts + _GAP
+    }
+    assert got == want
