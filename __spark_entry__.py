@@ -64,6 +64,7 @@ _SWEEP_FIRST = [
     "quality_column_profile",
     "scan_csv_quarantine",
     "events_ab_cuped",
+    "mart_pipeline_e2e",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

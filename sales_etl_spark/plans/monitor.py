@@ -1522,3 +1522,108 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("cuped_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline: poisoned CSV extract → quarantine → transform → mart
+# ---------------------------------------------------------------------------
+
+_E2E_POISON = ("bad,1,2", "77,5,9,notanum,3.5,2024-01-01,X")
+
+
+@query(
+    "mart_pipeline_e2e",
+    oracle="""
+    WITH sales AS (
+        SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+               l.l_partkey AS product_id, l.l_quantity AS quantity,
+               l.l_extendedprice AS unit_price,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               o.o_orderpriority AS category
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deduped AS (
+        -- dedup on (order_id, product_id, quantity, unit_price): the
+        -- dependent columns are order-determined, so full-row DISTINCT
+        -- collapses exactly the duplicate groups
+        SELECT DISTINCT order_id, customer_id, product_id, quantity,
+                        unit_price, order_date, category
+        FROM sales
+    ),
+    enriched AS (
+        SELECT *, CAST(quantity * unit_price AS DECIMAL(18,2))
+                      AS total_price,
+               strftime(order_date, '%Y-%m') AS month
+        FROM deduped
+    )
+    SELECT category, month,
+           CAST(SUM(total_price) AS DOUBLE) AS total_sales,
+           CAST(SUM(quantity) AS DOUBLE) AS total_quantity,
+           COALESCE(CAST(SUM(total_price) AS DOUBLE)
+                    / NULLIF(COUNT(DISTINCT order_id), 0), 0.0)
+               AS average_order_value,
+           TRY_CAST(month || '-01' AS DATE) AS period_date
+    FROM enriched GROUP BY category, month
+    """,
+)
+def mart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE run as one lineage — extract → quarantine
+    → transform → mart (reference main.py:extract/transform/load, on
+    the hardened ingest path): the sales fact round-trips through a
+    header'd CSV extract whose directory is deliberately poisoned with
+    malformed lines, PERMISSIVE quarantine drops them, then the
+    production transform_sales (dedup / required-nonnull / fills /
+    money derivation — pipeline.py) feeds the flagship summary mart.
+    The oracle reproduces the mart from the parquet tables directly,
+    so the hash-compare proves the entire CSV+quarantine+transform
+    lineage is value-faithful.
+
+    Scale shape: the extract is a distributed write+scan; quarantine
+    is a scan-level filter; the mart is the reference's own operator.
+    The poison rows never reach the mart by construction (quarantine),
+    and even unquarantined partial rows would fall to the
+    required-nonnull gate — defense in depth the oracle ignores
+    entirely."""
+    from pyspark.sql import types as T
+
+    from sales_etl_spark.operators.aggregates import sales_summary
+    from sales_etl_spark.pipeline import transform_sales
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    raw = st.sales().select(
+        "order_id",
+        "customer_id",
+        "product_id",
+        "quantity",
+        "unit_price",
+        "order_date",
+        "category",
+    )
+    out = _scratch("mart_pipeline_e2e", sf_dir)
+    raw.write.mode("overwrite").option("header", True).csv(str(out))
+    (out / "zz_poison.csv").write_text(
+        "order_id,customer_id,product_id,quantity,unit_price,"
+        "order_date,category\n" + "\n".join(_E2E_POISON) + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("product_id", T.LongType()),
+            T.StructField("quantity", T.DoubleType()),
+            T.StructField("unit_price", T.DoubleType()),
+            T.StructField("order_date", T.DateType()),
+            T.StructField("category", T.StringType()),
+            T.StructField("bad_line", T.StringType()),
+        ]
+    )
+    ingested = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad_line")
+        .schema(schema)
+        .csv(str(out))
+    )
+    clean = ingested.filter(F.col("bad_line").isNull()).drop("bad_line")
+    return sales_summary(transform_sales(clean))
