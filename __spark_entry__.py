@@ -65,6 +65,7 @@ _SWEEP_FIRST = [
     "scan_csv_quarantine",
     "events_ab_cuped",
     "mart_pipeline_e2e",
+    "events_mad_anomaly",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

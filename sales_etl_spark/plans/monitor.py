@@ -1627,3 +1627,93 @@ def mart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = ingested.filter(F.col("bad_line").isNull()).drop("bad_line")
     return sales_summary(transform_sales(clean))
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_mad_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, cnt AS med_cnt
+        FROM (SELECT event_type, cnt,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cnt, day) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM daily) t
+        WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.cnt, m.med_cnt,
+               abs(d.cnt - m.med_cnt) AS adev
+        FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, adev AS mad_cnt
+        FROM (SELECT event_type, adev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY adev, day) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM dev) t
+        WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, d.day, d.cnt, d.med_cnt, m.mad_cnt
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > 3 * m.mad_cnt
+    """,
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily event volume: flag days whose
+    count deviates from the per-type MEDIAN by more than 3× the median
+    absolute deviation — the outlier monitor that, unlike the EWMA
+    z-score (events_rate_anomaly), is itself immune to the outliers it
+    hunts (mean/stddev get dragged by the spike; median/MAD don't).
+
+    Spark-first shape: the fact reduces to the (type, day) grain in
+    one shuffle; both order statistics (median, then MAD) are
+    row_number picks over |days|-sized per-type partitions — bounded
+    by the calendar, never the fact — with the deterministic day
+    tiebreak making the lower median identical in both engines. All
+    arithmetic is integer; the flag threshold is an exact integer
+    comparison."""
+    st = _star(spark, sf_dir)
+    daily = (
+        st.events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # (type, day) grain feeds both order-statistic passes and the
+        # final join — cache so the events fact scans once (Q15)
+        .cache()
+    )
+
+    def _median_pick(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "day")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = _median_pick(daily, "cnt", "med_cnt")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med_cnt"))
+    )
+    mad = _median_pick(dev, "adev", "mad_cnt")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad_cnt"))
+        .select("event_type", "day", "cnt", "med_cnt", "mad_cnt")
+    )
