@@ -66,6 +66,9 @@ _SWEEP_FIRST = [
     "events_ab_cuped",
     "mart_pipeline_e2e",
     "events_mad_anomaly",
+    "events_user_streaks",
+    "agg_abc_classification",
+    "events_cohort_ltv",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

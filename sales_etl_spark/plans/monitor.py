@@ -1717,3 +1717,264 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 3 * F.col("mad_cnt"))
         .select("event_type", "day", "cnt", "med_cnt", "mad_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, MIN(day) AS streak_start,
+               CAST(COUNT(*) AS BIGINT) AS streak_days
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_start, streak_days
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY streak_days DESC, streak_start) AS rn
+          FROM streaks) t
+    WHERE rn = 1
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day minus its per-user rank is constant
+    exactly within a run of consecutive days), the engagement metric
+    behind every "N-day streak" product surface.
+
+    Spark-first shape: the fact reduces to the DISTINCT (user, day)
+    grain in one shuffle; the island anchor is a per-user window over
+    calendar-bounded partitions; streaks aggregate per (user, anchor)
+    and the longest is a deterministic keep-one (earliest streak wins
+    ties). Integer dates end to end — nothing to drift."""
+    st = _star(spark, sf_dir)
+    days = (
+        st.events.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_start", "streak_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (cumulative revenue share classes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey AS product_id,
+               CAST(SUM(CAST(CAST(l_quantity * l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT product_id, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, product_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total
+        FROM part_rev
+    )
+    SELECT product_id,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                WHEN 20 * cum <= 19 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: every part labeled A/B/C by its
+    cumulative share of revenue in descending-revenue order (A = the
+    head filling 80%, B = the next 15%, C = the tail) — the
+    stock-policy segmentation ops teams run on the whole catalog,
+    generalizing the single Pareto threshold (agg_pareto_cut) to a
+    per-item label.
+
+    Spark-first shape: one shuffle to part grain in exact cents; the
+    corpus-wide running sum uses the bucket-offset prefix-sum
+    decomposition (operators/windows.py:global_prefix_sum) — no
+    single-partition window over the catalog. Class boundaries are
+    exact integer inequalities (5·cum ≤ 4·total), so the labels are
+    bit-stable; cum_share divides exact longs once."""
+    from sales_etl_spark.operators.windows import global_prefix_sum
+
+    st = _star(spark, sf_dir)
+    from sales_etl_spark.operators.aggregates import money_cents
+
+    part_rev = (
+        st.lineitem.select(
+            F.col("l_partkey").alias("product_id"),
+            money_cents("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .groupBy("product_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        # part-grain frame feeds the prefix sum AND the 1-row total —
+        # cache so the fact scans once (Q15 pattern)
+        .cache()
+    )
+    ranked = global_prefix_sum(
+        part_rev,
+        order_by=[F.desc("cents"), F.asc("product_id")],
+        bucket=-(F.col("cents") / F.lit(10_000_00)).cast("long"),
+        value_col="cents",
+        out="cum",
+    )
+    tot = part_rev.agg(F.sum("cents").cast("long").alias("total"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "product_id",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+        F.when(
+            F.lit(5) * F.col("cum") <= F.lit(4) * F.col("total"), F.lit("A")
+        )
+        .when(
+            F.lit(20) * F.col("cum") <= F.lit(19) * F.col("total"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per signup cohort by month offset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    firsts AS (
+        SELECT user_id, MIN(month) AS cohort_month FROM spend GROUP BY 1
+    ),
+    sized AS (
+        SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_month,
+               CAST(datediff('month', f.cohort_month, s.month) AS BIGINT)
+                   AS month_offset,
+               CAST(SUM(s.cents) AS BIGINT) AS cents
+        FROM spend s JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_month, month_offset, cents,
+               CAST(SUM(cents) OVER (PARTITION BY cohort_month
+                   ORDER BY month_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT c.cohort_month, c.month_offset, z.n_users,
+           CAST(c.cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+           CAST(c.cum_cents AS DOUBLE) / CAST(z.n_users AS DOUBLE)
+               / 100.0 AS ltv_per_user
+    FROM cum c JOIN sized z USING (cohort_month)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: for each first-activity-month cohort, the
+    period and cumulative spend at every month offset plus the
+    per-user LTV — the curve growth teams read payback periods off,
+    completing the cohort pair (events_cohort_retention counts WHO
+    stays; this sums WHAT they're worth).
+
+    Spark-first shape: spend quantizes to exact centi-units at the
+    event; one shuffle to user grain for cohort assignment, one to
+    the (cohort, offset) grain; the cumulative window runs over
+    |offsets|-sized per-cohort partitions (calendar-bounded); cohort
+    sizes ride a broadcast. Divisions of exact longs at the edge."""
+    st = _star(spark, sf_dir)
+    spend = st.events.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    firsts = spend.groupBy("user_id").agg(
+        F.min("month").alias("cohort_month")
+    )
+    sized = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        spend.join(firsts, "user_id")
+        .select(
+            "cohort_month",
+            F.months_between(F.col("month"), F.col("cohort_month"))
+            .cast("long")
+            .alias("month_offset"),
+            "cents",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("long")
+    )
+    return cum.join(F.broadcast(sized), "cohort_month").select(
+        "cohort_month",
+        "month_offset",
+        "n_users",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("cum_cents").cast("double") / F.lit(100.0)).alias(
+            "cum_revenue"
+        ),
+        (
+            F.col("cum_cents").cast("double")
+            / F.col("n_users").cast("double")
+            / F.lit(100.0)
+        ).alias("ltv_per_user"),
+    )
