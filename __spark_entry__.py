@@ -69,6 +69,8 @@ _SWEEP_FIRST = [
     "events_user_streaks",
     "agg_abc_classification",
     "events_cohort_ltv",
+    "agg_new_vs_returning",
+    "window_ma_cross",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

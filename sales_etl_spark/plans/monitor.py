@@ -1978,3 +1978,194 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning customers per month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH orders_m AS (
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    firsts AS (
+        SELECT customer_id, MIN(month) AS first_month
+        FROM orders_m GROUP BY 1
+    )
+    SELECT o.month,
+           CAST(SUM(CASE WHEN o.month = f.first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_orders,
+           CAST(SUM(CASE WHEN o.month = f.first_month THEN 0 ELSE 1 END)
+                AS BIGINT) AS returning_orders,
+           CAST(SUM(CASE WHEN o.month = f.first_month THEN o.cents
+                    ELSE 0 END) AS DOUBLE) / 100.0 AS new_revenue,
+           CAST(SUM(CASE WHEN o.month = f.first_month THEN 0
+                    ELSE o.cents END) AS DOUBLE) / 100.0
+               AS returning_revenue,
+           CAST(COUNT(DISTINCT CASE WHEN o.month = f.first_month
+                    THEN o.customer_id END) AS BIGINT) AS new_customers
+    FROM orders_m o JOIN firsts f USING (customer_id)
+    GROUP BY o.month
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per month: order counts, exact revenue,
+    and newly-acquired customer counts, by whether the order falls in
+    its customer's FIRST active month — the acquisition/retention
+    revenue decomposition every growth dashboard leads with.
+
+    Spark-first shape: one shuffle to customer grain for the first
+    month, the compact (customer → first_month) frame joins back
+    broadcast-or-shuffled (AQE's choice — at 100 TB it shuffles on
+    the customer key both sides), then ONE month-grain aggregation
+    computes all five measures as conditional sums over exact cents —
+    no second pass, no self-join of the fact against itself."""
+    st = _star(spark, sf_dir)
+    om = st.orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    firsts = om.groupBy("customer_id").agg(
+        F.min("month").alias("first_month")
+    )
+    is_new = F.col("month") == F.col("first_month")
+    return (
+        om.join(firsts, "customer_id")
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0))
+            .cast("long")
+            .alias("new_orders"),
+            F.sum(F.when(is_new, 0).otherwise(1))
+            .cast("long")
+            .alias("returning_orders"),
+            (
+                F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("new_revenue"),
+            (
+                F.sum(F.when(is_new, 0).otherwise(F.col("cents")))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("returning_revenue"),
+            F.countDistinct(F.when(is_new, F.col("customer_id")))
+            .cast("long")
+            .alias("new_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-average cross detection (7d vs 28d golden/death crosses)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ma_cross",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ma AS (
+        SELECT day, cents,
+               row_number() OVER (ORDER BY day) AS rn,
+               CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS s7,
+               CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS s28
+        FROM daily
+    ),
+    sig AS (
+        SELECT day, cents, rn, s7, s28,
+               lag(s7) OVER (ORDER BY day) AS p7,
+               lag(s28) OVER (ORDER BY day) AS p28
+        FROM ma
+    )
+    SELECT day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(s7 AS DOUBLE) / 700.0 AS ma7,
+           CAST(s28 AS DOUBLE) / 2800.0 AS ma28,
+           CASE WHEN 4 * s7 > s28 THEN 'golden' ELSE 'death' END AS signal
+    FROM sig
+    WHERE rn >= 29
+      AND ((4 * s7 > s28 AND 4 * p7 <= p28)
+           OR (4 * s7 < s28 AND 4 * p7 >= p28))
+    """,
+)
+def window_ma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection on daily revenue: days where
+    the 7-day mean crosses the 28-day mean (golden cross up, death
+    cross down) — the trend-shift alert finance/ops dashboards fire
+    on, completing the series tier (drawdown measures depth; this
+    timestamps regime changes).
+
+    Spark-first shape: the fact collapses to the calendar-bounded day
+    grain first (exact cents), so every window — both trailing sums,
+    the rank gate, the lag — runs over a |days|-sized series, never
+    the fact. The cross test avoids division entirely: mean7 vs
+    mean28 compares as 4·s7 vs s28 in exact integers, so signal days
+    are bit-stable; the reported means divide exact longs once."""
+    st = _star(spark, sf_dir)
+    daily = (
+        st.orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    ma = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(w.rowsBetween(-6, 0)).cast("long").alias("s7"),
+        F.sum("cents")
+        .over(w.rowsBetween(-27, 0))
+        .cast("long")
+        .alias("s28"),
+    )
+    sig = ma.select(
+        "day",
+        "cents",
+        "rn",
+        "s7",
+        "s28",
+        F.lag("s7").over(w).alias("p7"),
+        F.lag("s28").over(w).alias("p28"),
+    )
+    up = (F.lit(4) * F.col("s7") > F.col("s28")) & (
+        F.lit(4) * F.col("p7") <= F.col("p28")
+    )
+    down = (F.lit(4) * F.col("s7") < F.col("s28")) & (
+        F.lit(4) * F.col("p7") >= F.col("p28")
+    )
+    return sig.filter((F.col("rn") >= 29) & (up | down)).select(
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("s7").cast("double") / F.lit(700.0)).alias("ma7"),
+        (F.col("s28").cast("double") / F.lit(2800.0)).alias("ma28"),
+        F.when(F.lit(4) * F.col("s7") > F.col("s28"), F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("signal"),
+    )
