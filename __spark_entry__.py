@@ -71,6 +71,8 @@ _SWEEP_FIRST = [
     "events_cohort_ltv",
     "agg_new_vs_returning",
     "window_ma_cross",
+    "quality_freshness_sla",
+    "agg_supplier_hhi",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -2169,3 +2169,153 @@ def window_ma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("death"))
         .alias("signal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Freshness SLA audit
+# ---------------------------------------------------------------------------
+
+_FRESH_SNAPSHOT = "2024-02-01 00:00:00"
+_FRESH_SLA_HOURS = (24, 72, 168)
+
+
+@query(
+    "quality_freshness_sla",
+    oracle=f"""
+    WITH lag AS (
+        SELECT event_type,
+               MAX(ts) AS latest_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST((epoch_us(TIMESTAMP '{_FRESH_SNAPSHOT}')
+                     - epoch_us(MAX(ts))) // 1000000 AS BIGINT) AS lag_s
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, latest_ts, n_events, lag_s,
+           CASE WHEN lag_s <= {_FRESH_SLA_HOURS[0]} * 3600 THEN 'fresh'
+                WHEN lag_s <= {_FRESH_SLA_HOURS[1]} * 3600 THEN 'stale'
+                WHEN lag_s <= {_FRESH_SLA_HOURS[2]} * 3600 THEN 'late'
+                ELSE 'breach' END AS sla_status
+    FROM lag
+    """,
+)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit: per feed (event type), the latest
+    event time, its lag against the pinned audit snapshot, and the
+    SLA bucket (fresh ≤24h / stale ≤72h / late ≤168h / breach) — the
+    first page of every pipeline-health dashboard, and the check a
+    100 TB ingest runs before promoting a partition.
+
+    Spark-first shape: ONE aggregation (max + count per type); the
+    lag is exact integer seconds (µs epoch difference div 1e6 —
+    identical truncation in both engines) and the SLA buckets are
+    integer comparisons. The max(ts) pushes into the scan's
+    min/max statistics path at scale."""
+    st = _star(spark, sf_dir)
+    # positive numerator: floor division semantics identical in both
+    # engines with no trunc-vs-floor subtlety
+    lag_s = F.expr(
+        f"(unix_micros(CAST(TIMESTAMP '{_FRESH_SNAPSHOT}' AS TIMESTAMP)) "
+        "- unix_micros(CAST(latest_ts AS TIMESTAMP))) div 1000000"
+    )
+    out = (
+        st.events.groupBy("event_type")
+        .agg(
+            F.max("ts").alias("latest_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .withColumn("lag_s", lag_s.cast("long"))
+    )
+    h = [x * 3600 for x in _FRESH_SLA_HOURS]
+    return out.select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        "lag_s",
+        F.when(F.col("lag_s") <= h[0], F.lit("fresh"))
+        .when(F.col("lag_s") <= h[1], F.lit("stale"))
+        .when(F.col("lag_s") <= h[2], F.lit("late"))
+        .otherwise(F.lit("breach"))
+        .alias("sla_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (Herfindahl–Hirschman index per part)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_supplier_hhi",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS product_id, l_suppkey AS supplier_id,
+               CAST(SUM(CAST(CAST(l_quantity * l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT product_id, CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM ps GROUP BY 1
+    ),
+    terms AS (
+        SELECT p.product_id, t.n_suppliers,
+               CAST(floor((CAST(p.cents AS DOUBLE) / CAST(t.total AS DOUBLE))
+                   * (CAST(p.cents AS DOUBLE) / CAST(t.total AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS hhi_micro
+        FROM ps p JOIN tot t USING (product_id)
+    )
+    SELECT product_id, MAX(n_suppliers) AS n_suppliers,
+           CAST(SUM(hhi_micro) AS DOUBLE) / 1000000.0 AS hhi
+    FROM terms GROUP BY product_id
+    ORDER BY hhi DESC, product_id LIMIT 25
+    """,
+)
+def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl–Hirschman index of
+    supplier revenue shares per part, top-25 most concentrated —
+    HHI → 1 flags single-source risk, the procurement counterpart of
+    the key-skew probe.
+
+    Spark-first shape: one shuffle to the (part, supplier) grain in
+    exact cents; per-part totals re-aggregate from the CACHED grain
+    frame (Q15 pattern, no second fact scan); each squared share
+    floors to integer micro-units before the per-part sum, so the
+    concentration ranking is bit-stable; top-25 is
+    TakeOrderedAndProject."""
+    from sales_etl_spark.operators.aggregates import money_cents
+
+    st = _star(spark, sf_dir)
+    ps = (
+        st.lineitem.select(
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_suppkey").alias("supplier_id"),
+            money_cents("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .groupBy("product_id", "supplier_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .cache()
+    )
+    tot = ps.groupBy("product_id").agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("total").cast("double")
+    terms = ps.join(tot, "product_id").select(
+        "product_id",
+        "n_suppliers",
+        F.floor(share * share * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("hhi_micro"),
+    )
+    return (
+        terms.groupBy("product_id")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            (F.sum("hhi_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "hhi"
+            ),
+        )
+        .orderBy(F.desc("hhi"), F.asc("product_id"))
+        .limit(25)
+    )
