@@ -401,6 +401,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row (n, Sx, Sy, Sxx, Sxy) moments frame broadcast into the
     # user-grain CUPED adjustment
     "events_ab_cuped",
+    # 1-row catalog-total scalar broadcast into the prefix-summed
+    # part frame for the A/B/C boundary tests
+    "agg_abc_classification",
 }
 
 
