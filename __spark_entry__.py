@@ -73,6 +73,7 @@ _SWEEP_FIRST = [
     "window_ma_cross",
     "quality_freshness_sla",
     "agg_supplier_hhi",
+    "agg_ship_lag_dist",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -2319,3 +2319,110 @@ def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hhi"), F.asc("product_id"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-lag distribution per order priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ship_lag_dist",
+    oracle="""
+    WITH lags AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+        SELECT priority, lag_days, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lags GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, lag_days, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY priority ORDER BY lag_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n,
+               CAST(SUM(lag_days * cnt) OVER (PARTITION BY priority)
+                   AS BIGINT) AS tot_days
+        FROM hist
+    )
+    SELECT priority,
+           MAX(n) AS n_lines,
+           CAST(MAX(tot_days) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+               AS mean_lag_days,
+           MIN(CASE WHEN 2 * cum >= n THEN lag_days END) AS p50_days,
+           MIN(CASE WHEN 20 * cum >= 19 * n THEN lag_days END) AS p95_days,
+           MAX(lag_days) AS max_days
+    FROM cum GROUP BY priority
+    """,
+)
+def agg_ship_lag_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per priority class: line count, exact
+    mean, p50/p95 (exact order statistics off the integer day-lag
+    histogram), and worst case — the fulfilment-SLA profile that
+    answers "does URGENT actually ship faster".
+
+    Spark-first shape: the lag is an integer day difference computed
+    at scan grain; ONE shuffle to the (priority, lag) histogram
+    (bounded by |priorities|·|lag domain|); quantiles are integer
+    cumulative thresholds over those tiny partitions and the mean
+    divides exact longs — nothing floats until the output edge."""
+    st = _star(spark, sf_dir)
+    lags = (
+        st.lineitem.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_shipdate").cast("date").alias("ship"),
+        )
+        .join(
+            st.orders.select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate").cast("date").alias("ordered"),
+            ),
+            "order_id",
+        )
+        .select(
+            "priority",
+            F.datediff(F.col("ship"), F.col("ordered"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    hist = lags.groupBy("priority", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "lag_days",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+        F.sum(F.col("lag_days") * F.col("cnt"))
+        .over(w_all)
+        .cast("long")
+        .alias("tot_days"),
+    )
+    return cum.groupBy("priority").agg(
+        F.max("n").alias("n_lines"),
+        (F.max("tot_days").cast("double") / F.max("n").cast("double")).alias(
+            "mean_lag_days"
+        ),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("lag_days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(
+                F.lit(20) * F.col("cum") >= F.lit(19) * F.col("n"),
+                F.col("lag_days"),
+            )
+        ).alias("p95_days"),
+        F.max("lag_days").alias("max_days"),
+    )
