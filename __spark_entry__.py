@@ -74,6 +74,7 @@ _SWEEP_FIRST = [
     "quality_freshness_sla",
     "agg_supplier_hhi",
     "agg_ship_lag_dist",
+    "emb_dist_outliers",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

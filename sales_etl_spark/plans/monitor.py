@@ -2426,3 +2426,128 @@ def agg_ship_lag_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_days"),
         F.max("lag_days").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers by centroid distance (p99 tail)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_dist_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    ),
+    cent AS (
+        SELECT i,
+               CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY i
+    ),
+    dist AS (
+        SELECT q.vec_id, q.label,
+               CAST(SUM(CAST(floor(
+                   (q.x - CAST(c.s AS DOUBLE) / 1000000000.0
+                          / CAST(c.n AS DOUBLE))
+                   * (q.x - CAST(c.s AS DOUBLE) / 1000000000.0
+                            / CAST(c.n AS DOUBLE))
+                   * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS dsq_pico
+        FROM q JOIN cent c USING (i)
+        GROUP BY q.vec_id, q.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY dsq_pico, vec_id) AS rnk,
+               COUNT(*) OVER () AS n FROM dist
+    )
+    SELECT vec_id, label, rnk,
+           sqrt(CAST(dsq_pico AS DOUBLE) / 1000000000000.0) AS dist
+    FROM ranked WHERE rnk > (99 * n) // 100
+    """,
+)
+def emb_dist_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outliers: the p99 tail of distance to the
+    global centroid — the embedding-QA gate that catches corrupt /
+    out-of-distribution vectors before they poison an ANN index or a
+    clustering (pairs with emb_norm_stats; this looks at POSITION,
+    not length).
+
+    Spark-first shape: the centroid aggregates per dimension in exact
+    nano-units over one exploded pass (64-row frame, broadcast back);
+    each vector's squared distance floors per-term to integer
+    pico-units so the distributed per-vector sum is an order-free
+    long; the global rank uses the bucket-offset decomposition and
+    the p99 cut is an exact integer rank comparison. The only floats
+    are engine-identical IEEE sequences."""
+    from sales_etl_spark.operators.windows import global_row_number
+
+    st = _star(spark, sf_dir)
+    q = st.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = q.groupBy("i").agg(
+        F.sum(
+            F.floor(F.col("x") * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = (
+        F.col("s").cast("double")
+        / F.lit(1_000_000_000.0)
+        / F.col("n").cast("double")
+    )
+    dist = (
+        q.join(F.broadcast(cent), "i")
+        .select(
+            "vec_id",
+            "label",
+            F.floor(
+                (F.col("x") - c) * (F.col("x") - c)
+                * F.lit(1_000_000_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").cast("long").alias("dsq_pico"))
+        # vector-grain frame feeds the rank AND the 1-row count —
+        # cache so the explode pass runs once (Q15 pattern)
+        .cache()
+    )
+    ranked = global_row_number(
+        dist,
+        order_by=[F.asc("dsq_pico"), F.asc("vec_id")],
+        bucket=(F.col("dsq_pico") / F.lit(1_000_000_000_000)).cast("long"),
+        out="rnk",
+    )
+    nn = dist.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .filter(F.col("rnk") > F.expr("(99 * n) div 100"))
+        .select(
+            "vec_id",
+            "label",
+            "rnk",
+            F.sqrt(
+                F.col("dsq_pico").cast("double")
+                / F.lit(1_000_000_000_000.0)
+            ).alias("dist"),
+        )
+    )
