@@ -404,6 +404,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row catalog-total scalar broadcast into the prefix-summed
     # part frame for the A/B/C boundary tests
     "agg_abc_classification",
+    # 1-row vector-count scalar broadcast into the ranked distance
+    # frame for the exact p99 rank cut
+    "emb_dist_outliers",
 }
 
 
