@@ -75,6 +75,7 @@ _SWEEP_FIRST = [
     "agg_supplier_hhi",
     "agg_ship_lag_dist",
     "emb_dist_outliers",
+    "window_rank_movers",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -2551,3 +2551,104 @@ def emb_dist_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month product rank movement
+# ---------------------------------------------------------------------------
+
+_MOVER_MIN_DELTA = 20
+
+
+@query(
+    "window_rank_movers",
+    oracle=f"""
+    WITH rev AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               l.l_partkey AS product_id,
+               CAST(SUM(CAST(CAST(l.l_quantity * l.l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT month, product_id, cents,
+               CAST(row_number() OVER (PARTITION BY month
+                   ORDER BY cents DESC, product_id) AS BIGINT) AS rnk
+        FROM rev
+    ),
+    moved AS (
+        SELECT month, product_id, cents, rnk,
+               lag(rnk) OVER (PARTITION BY product_id ORDER BY month)
+                   AS prev_rnk
+        FROM ranked
+    )
+    SELECT month, product_id,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           rnk, prev_rnk, prev_rnk - rnk AS rank_delta
+    FROM moved
+    WHERE prev_rnk IS NOT NULL
+      AND abs(prev_rnk - rnk) >= {_MOVER_MIN_DELTA}
+    """,
+)
+def window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month leaderboard movement: products whose revenue
+    rank within the month moved by ≥{d} places since their previous
+    active month — the "biggest movers" panel of every category
+    dashboard, surfacing demand shifts the absolute numbers hide.
+
+    Spark-first shape: one shuffle to the (month, product) grain in
+    exact cents; the within-month rank is a window over
+    catalog-bounded partitions (never the raw fact) with a
+    deterministic product tiebreak; the movement is a lag over
+    per-product month series. All ranks are exact integers — the
+    mover set is bit-stable."""
+    st = _star(spark, sf_dir)
+    from sales_etl_spark.operators.aggregates import money_cents
+
+    li = st.lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+        money_cents("l_quantity", "l_extendedprice").alias("c"),
+    )
+    orders = st.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+    )
+    rev = (
+        li.join(orders, "order_id")
+        .groupBy("month", "product_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w_rank = Window.partitionBy("month").orderBy(
+        F.desc("cents"), F.asc("product_id")
+    )
+    ranked = rev.withColumn(
+        "rnk", F.row_number().over(w_rank).cast("long")
+    )
+    w_lag = Window.partitionBy("product_id").orderBy("month")
+    moved = ranked.withColumn("prev_rnk", F.lag("rnk").over(w_lag))
+    return (
+        moved.filter(
+            F.col("prev_rnk").isNotNull()
+            & (
+                F.abs(F.col("prev_rnk") - F.col("rnk"))
+                >= _MOVER_MIN_DELTA
+            )
+        )
+        .select(
+            "month",
+            "product_id",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_delta"),
+        )
+    )
+
+
+window_rank_movers.__doc__ = window_rank_movers.__doc__.format(
+    d=_MOVER_MIN_DELTA
+)
