@@ -76,6 +76,7 @@ _SWEEP_FIRST = [
     "agg_ship_lag_dist",
     "emb_dist_outliers",
     "window_rank_movers",
+    "text_pmi_collocations",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

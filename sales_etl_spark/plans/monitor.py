@@ -2652,3 +2652,142 @@ def window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 window_rank_movers.__doc__ = window_rank_movers.__doc__.format(
     d=_MOVER_MIN_DELTA
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (lexical association over the token stream)
+# ---------------------------------------------------------------------------
+
+_PMI_SUPPORT = 5
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH base AS (
+        SELECT regexp_extract_all(lower(text), '\\w+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+    big AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(toks[i:i+1], ' ')
+                   )) AS gram
+            FROM base WHERE len(toks) > 1
+        ) GROUP BY gram
+    ),
+    btot AS (SELECT CAST(SUM(cab) AS BIGINT) AS b FROM big),
+    scored AS (
+        SELECT g.gram, g.cab, ua.c AS ca, ub.c AS cb,
+               CAST(floor(ln(
+                   (CAST(g.cab AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                    * CAST(tot.t AS DOUBLE))
+                   / (CAST(btot.b AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                      * CAST(ub.c AS DOUBLE))
+               ) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        FROM big g
+        JOIN uni ua ON ua.w = split_part(g.gram, ' ', 1)
+        JOIN uni ub ON ub.w = split_part(g.gram, ' ', 2)
+        , tot, btot
+        WHERE g.cab >= {_PMI_SUPPORT}
+    )
+    SELECT gram, cab, ca, cb,
+           CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_micro DESC, gram LIMIT 25
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocations by pointwise mutual information at support
+    ≥ 5 — the lexical-association miner that separates real phrases
+    ("magna aliqua") from merely frequent pairs, upgrading the raw
+    bigram counts (text_ngram_topk) the way lift upgrades co-purchase
+    counts (agg_association_rules).
+
+    Spark-first shape: one tokenize pass feeds both the unigram and
+    adjacent-bigram counts (vocab-sized frames, CACHED per the Q15
+    pattern since each also yields its corpus total); the support
+    filter cuts the bigram table BEFORE the two unigram joins; PMI's
+    ln floors to integer micro-nats over an engine-identical ratio of
+    exact counts, so the ranking is bit-stable. Top-25 is
+    TakeOrderedAndProject."""
+    from sales_etl_spark.functions import text as TX
+
+    st = _star(spark, sf_dir)
+    base = st.documents.select(
+        TX.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("t"))
+    big = (
+        base.filter(F.size("toks") > 1)
+        .select(
+            F.explode(
+                TX.shingles_from_tokens(F.col("toks"), n=2)
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .cache()
+    )
+    btot = big.agg(F.sum("cab").cast("long").alias("b"))
+    ua = uni.select(F.col("w").alias("__wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("__wb"), F.col("c").alias("cb"))
+    scored = (
+        big.filter(F.col("cab") >= _PMI_SUPPORT)
+        .withColumn("__wa", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .withColumn("__wb", F.split_part(F.col("gram"), F.lit(" "), F.lit(2)))
+        .join(ua, "__wa")
+        .join(ub, "__wb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "gram",
+            "cab",
+            "ca",
+            "cb",
+            F.floor(
+                F.log(
+                    (
+                        F.col("cab").cast("double")
+                        * F.col("t").cast("double")
+                        * F.col("t").cast("double")
+                    )
+                    / (
+                        F.col("b").cast("double")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "gram",
+            "cab",
+            "ca",
+            "cb",
+            (F.col("pmi_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "pmi"
+            ),
+        )
+        .orderBy(F.desc("pmi"), F.asc("gram"))
+        .limit(25)
+    )
