@@ -77,6 +77,8 @@ _SWEEP_FIRST = [
     "emb_dist_outliers",
     "window_rank_movers",
     "text_pmi_collocations",
+    "events_time_to_purchase",
+    "agg_order_aging",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -2791,3 +2791,150 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("gram"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-purchase latency (first click → first purchase per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_time_to_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id,
+               (epoch_us(first_purchase) - epoch_us(first_click))
+                   // 60000000 AS lat_min
+        FROM firsts
+        WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_click
+    ),
+    hist AS (
+        SELECT CAST(lat_min // 60 AS BIGINT) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(lat_min) AS BIGINT) AS tot_min
+        FROM lat GROUP BY 1
+    )
+    SELECT hour_bucket, n_users,
+           CAST(tot_min AS DOUBLE) / CAST(n_users AS DOUBLE)
+               AS mean_latency_min
+    FROM hist
+    """,
+)
+def events_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: minutes from a user's FIRST
+    click to their FIRST purchase, bucketed by hour — the funnel-speed
+    histogram behind "how long does intent take to convert" (pairs
+    with events_funnel, which counts conversion; this times it).
+
+    Spark-first shape: ONE pass computes both firsts as conditional
+    mins at user grain; the latency is an exact integer µs difference
+    floor-divided to minutes (positive numerator — identical in both
+    engines); the hour histogram is a second tiny shuffle with exact
+    integer sums."""
+    st = _star(spark, sf_dir)
+    firsts = st.events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        F.expr(
+            "(unix_micros(CAST(first_purchase AS TIMESTAMP)) "
+            "- unix_micros(CAST(first_click AS TIMESTAMP))) div 60000000"
+        ).alias("lat_min")
+    )
+    hist = lat.groupBy(
+        F.expr("lat_min div 60").cast("long").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("lat_min").cast("long").alias("tot_min"),
+    )
+    return hist.select(
+        "hour_bucket",
+        "n_users",
+        (
+            F.col("tot_min").cast("double") / F.col("n_users").cast("double")
+        ).alias("mean_latency_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging buckets
+# ---------------------------------------------------------------------------
+
+_AGING_SNAPSHOT = "2026-01-01"
+
+
+@query(
+    "agg_order_aging",
+    oracle=f"""
+    WITH open_orders AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    DATE '{_AGING_SNAPSHOT}') AS BIGINT) AS age_days,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus AS status,
+           CASE WHEN age_days <= 365 THEN '0-1y'
+                WHEN age_days <= 1825 THEN '1-5y'
+                ELSE '5y+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS open_value
+    FROM open_orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging: non-finalized orders bucketed by age against
+    the pinned snapshot (the F2 date convention) with count and exact
+    open value per (status, bucket) — the WIP/backlog report finance
+    closes the books against.
+
+    Spark-first shape: the status filter pushes to the scan; age is
+    an exact integer day difference; buckets are integer comparisons;
+    one shuffle to the tiny (status, bucket) grain with exact-cents
+    sums."""
+    st = _star(spark, sf_dir)
+    open_orders = st.orders.filter(F.col("o_orderstatus") != "F").select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(
+            F.lit(_AGING_SNAPSHOT).cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("age_days"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 365, F.lit("0-1y"))
+        .when(F.col("age_days") <= 1825, F.lit("1-5y"))
+        .otherwise(F.lit("5y+"))
+    )
+    return (
+        open_orders.groupBy("status", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias(
+                "open_value"
+            ),
+        )
+    )
