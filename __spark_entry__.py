@@ -79,6 +79,7 @@ _SWEEP_FIRST = [
     "text_pmi_collocations",
     "events_time_to_purchase",
     "agg_order_aging",
+    "mart_customer_360",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

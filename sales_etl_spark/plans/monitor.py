@@ -2938,3 +2938,95 @@ def agg_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer-360 mart (entity stitch at customer grain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mart_customer_360",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS customer_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents,
+               CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS max_cents,
+               CAST(MAX(o_orderdate) AS DATE) AS last_order_date
+        FROM orders GROUP BY 1
+    )
+    SELECT p.customer_id,
+           COALESCE(r.r_name, 'Unknown') AS region,
+           p.n_orders,
+           CAST(p.cents AS DOUBLE) / 100.0 AS lifetime_value,
+           CAST(p.cents AS DOUBLE) / CAST(p.n_orders AS DOUBLE) / 100.0
+               AS avg_order_value,
+           CAST(p.max_cents AS DOUBLE) / 100.0 AS max_order_value,
+           p.last_order_date,
+           CAST(datediff('day', p.last_order_date,
+                DATE '{_RFM_SNAPSHOT}') AS BIGINT) AS recency_days
+    FROM per_cust p
+    LEFT JOIN customer c ON c.c_custkey = p.customer_id
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def mart_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-360 mart: one row per customer stitching the order
+    history (count, exact lifetime value, average and largest order,
+    last order date, recency vs the pinned snapshot) with the
+    geography dim — the entity table CRM/activation tools read, and
+    the natural upstream of agg_rfm_segments.
+
+    Spark-first shape: ONE shuffle to customer grain with exact-cents
+    aggregates; the region attaches via the constant-folded
+    nation→region map inside the broadcast customers dim (zero extra
+    exchanges); recency is an exact integer day difference and every
+    money figure divides exact longs once at the edge."""
+    st = _star(spark, sf_dir)
+    per_cust = st.orders.groupBy(
+        F.col("o_custkey").alias("customer_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("cents"),
+        F.max(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("max_cents"),
+        F.max(F.col("o_orderdate")).cast("date").alias("last_order_date"),
+    )
+    dim = st.customers().select("customer_id", "region")
+    return (
+        per_cust.join(F.broadcast(dim), "customer_id", "left")
+        .select(
+            "customer_id",
+            F.coalesce(F.col("region"), F.lit("Unknown")).alias("region"),
+            "n_orders",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias(
+                "lifetime_value"
+            ),
+            (
+                F.col("cents").cast("double")
+                / F.col("n_orders").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_order_value"),
+            (F.col("max_cents").cast("double") / F.lit(100.0)).alias(
+                "max_order_value"
+            ),
+            "last_order_date",
+            F.datediff(
+                F.lit(_RFM_SNAPSHOT).cast("date"),
+                F.col("last_order_date"),
+            )
+            .cast("long")
+            .alias("recency_days"),
+        )
+    )
