@@ -407,6 +407,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row vector-count scalar broadcast into the ranked distance
     # frame for the exact p99 rank cut
     "emb_dist_outliers",
+    # two 1-row corpus totals (unigram tokens, bigram count) broadcast
+    # into the vocab-sized scored frame for the PMI denominator
+    "text_pmi_collocations",
 }
 
 
