@@ -80,6 +80,14 @@ _SWEEP_FIRST = [
     "events_time_to_purchase",
     "agg_order_aging",
     "mart_customer_360",
+    # -- supply tier (TPC-H-22 completion, newest code, no driver row
+    # yet) ----------------------------------------------------------
+    "flagship_min_cost_supplier",
+    "flagship_product_profit",
+    "flagship_important_stock",
+    "flagship_shipmode_priority",
+    "flagship_supplier_variety",
+    "flagship_dominant_supplier",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",
@@ -201,8 +209,10 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
-    # The thirty-nine-key lead tier pushes the tail of this list (events_twap
-    # through agg_skew_kurtosis, positions 51+) past the 50-slot
+    # The lead tier (now forty-five keys after the six-query supply
+    # tier that completes the TPC-H-22 family joined it — newest code
+    # of all, zero driver rows) pushes the tail of this list
+    # (quality_orphan_audit onward, positions 51+) past the 50-slot
     # window this round. More round-4 additions exist than window
     # slots, so SOME never-driver-checked keys must wait a round
     # regardless of ordering; the lead tier is the NEWEST code (least

@@ -18,5 +18,6 @@ from sales_etl_spark.plans import trade  # noqa: F401
 from sales_etl_spark.plans import resolution  # noqa: F401
 from sales_etl_spark.plans import structure  # noqa: F401
 from sales_etl_spark.plans import monitor  # noqa: F401
+from sales_etl_spark.plans import supply  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "query"]

@@ -410,6 +410,9 @@ _SCALAR_BNLJ_OK = {
     # two 1-row corpus totals (unigram tokens, bigram count) broadcast
     # into the vocab-sized scored frame for the PMI denominator
     "text_pmi_collocations",
+    # 1-row (total, cnt) frame broadcast into the part-grain supply
+    # values for the scale-free Q11 importance threshold
+    "flagship_important_stock",
 }
 
 
