@@ -669,3 +669,42 @@ def test_pagerank_iteration_has_no_driver_state_and_no_python(spark):
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_supply_tier_locks_broadcast_and_pushdown_shapes(spark):
+    """TPC-H-22 supply tier (plans/supply.py): every dim join
+    broadcasts (no SortMergeJoin anywhere in the tier at dim scale),
+    the part-slice predicates reach the part scan, and the
+    min-cost-supplier catalog agg happens AFTER the broadcast dim
+    filters cut the fact (the filtered join keys appear below the
+    aggregate in the tree)."""
+    for name in (
+        "flagship_min_cost_supplier",
+        "flagship_product_profit",
+        "flagship_supplier_variety",
+        "flagship_dominant_supplier",
+    ):
+        plan = _formatted(_build(spark, name))
+        body = plan.split("== Physical Plan ==")[1]
+        assert "SortMergeJoin" not in body, (name, plan)
+        assert "BroadcastHashJoin" in body, (name, plan)
+
+    plan = _formatted(_build(spark, "flagship_min_cost_supplier"))
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(p_type,STANDARD\)", plan
+    ), plan
+    # the window's best-cost filter must be exact equality on the
+    # grouped min — no tolerance epsilon anywhere in the tree
+    assert "Window" in plan, plan
+
+    plan = _formatted(_build(spark, "flagship_dominant_supplier"))
+    assert re.search(
+        r"PushedFilters: \[[^\]]*IsNotNull\(l_shipdate\)", plan
+    ) or re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    # dominance window rides the (part, supplier) agg partitioning:
+    # exactly ONE hash exchange of fact-derived rows (the agg), the
+    # window adds none on top
+    n_fact_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(partkey", plan)
+    )
+    assert n_fact_exchanges <= 1, plan
