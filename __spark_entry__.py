@@ -88,6 +88,10 @@ _SWEEP_FIRST = [
     "flagship_shipmode_priority",
     "flagship_supplier_variety",
     "flagship_dominant_supplier",
+    # emb_pca_power re-enters the window: its Gram pass was rewritten
+    # this session (long products + split-accumulator sums) — changed
+    # code outranks rotation turns
+    "emb_pca_power",
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",
@@ -119,7 +123,6 @@ _SWEEP_FIRST = [
     "quality_ks_drift",
     "agg_association_rules",
     "quality_benford_digits",
-    "emb_pca_power",
     "agg_argmin_supplier",
     "events_path_topk",
     "scan_dpp_prune",
@@ -209,9 +212,10 @@ _SWEEP_FIRST = [
     # yields to the higher-moments closer, which carries the
     # distribution-profile flag in-window now)
     "agg_skew_kurtosis",
-    # The lead tier (now forty-five keys after the six-query supply
-    # tier that completes the TPC-H-22 family joined it — newest code
-    # of all, zero driver rows) pushes the tail of this list
+    # The lead tier (now forty-six keys: the six-query supply tier
+    # that completes the TPC-H-22 family, plus emb_pca_power's
+    # re-entry after its Gram rewrite — newest code of all, zero
+    # driver rows for the tier) pushes the tail of this list
     # (quality_orphan_audit onward, positions 51+) past the 50-slot
     # window this round. More round-4 additions exist than window
     # slots, so SOME never-driver-checked keys must wait a round

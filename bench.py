@@ -88,6 +88,10 @@ HEADLINE = [
     # (heaviest new join shape) + the triple-ranked RFM segmentation
     "mart_snapshot_diff",
     "agg_rfm_segments",
+    # supply tier (TPC-H-22 completion): the lineitem-derived catalog
+    # agg + window argmin, and the 5-table all-decimal profit rollup
+    "flagship_min_cost_supplier",
+    "flagship_product_profit",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).
