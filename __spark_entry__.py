@@ -47,6 +47,7 @@ _SWEEP_FIRST = [
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------
     "mart_snapshot_diff",
+    "quality_psi_drift",
     "quality_chi2_drift",
     "text_readability",
     "events_quantile_rollup",

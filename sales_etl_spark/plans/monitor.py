@@ -245,6 +245,129 @@ def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PSI drift (population stability index over order value)
+# ---------------------------------------------------------------------------
+
+_PSI_BIN = 50_000.0  # fixed-width bins over o_totalprice
+_PSI_NBINS = 10  # Laplace smoothing constant: (cnt+1)/(tot+NBINS)
+
+
+@query(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH ct AS (
+        SELECT CAST(floor(o_totalprice / {_PSI_BIN}) AS BIGINT) AS bin,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM ct
+    ),
+    contrib AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(floor((
+                   (CAST(n_ref + 1 AS DOUBLE)
+                        / CAST(t_ref + {_PSI_NBINS} AS DOUBLE)
+                    - CAST(n_cur + 1 AS DOUBLE)
+                        / CAST(t_cur + {_PSI_NBINS} AS DOUBLE))
+                   * ln((CAST(n_ref + 1 AS DOUBLE)
+                         / CAST(t_ref + {_PSI_NBINS} AS DOUBLE))
+                        / (CAST(n_cur + 1 AS DOUBLE)
+                           / CAST(t_cur + {_PSI_NBINS} AS DOUBLE)))
+               ) * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+        FROM ct, tot
+    )
+    SELECT bin, n_ref, n_cur,
+           CAST(psi_micro AS DOUBLE) / 1000000.0 AS psi_contrib,
+           CAST(SUM(psi_micro) OVER () AS DOUBLE) / 1000000.0 AS psi_total
+    FROM contrib
+    ORDER BY bin
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-value distribution,
+    reference window (pre-1998) vs current (1998+) — THE standard
+    model-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted),
+    completing the drift triad with quality_chi2_drift (categorical
+    mix) and quality_ks_drift (continuous shape).
+
+    Spark-first shape: the chi2 recipe on fixed-width value bins —
+    ONE orders pass builds both window counts per bin (conditional
+    sums, no second scan), totals ride a broadcast 1-row frame off
+    the cached 10-row bin frame, Laplace-smoothed shares make every
+    ratio well-defined from exact integers, and each bin's
+    (p−q)·ln(p/q) quantizes to integer micro-nats (the registry's
+    transcendental micro-floor move) so the score is bit-stable at
+    any partitioning. Fixed bin EDGES (not quantiles) are the
+    production-correct choice: the reference window's binning must
+    be frozen when the monitor is installed, or drift moves the
+    yardstick with the distribution."""
+    st = _star(spark, sf_dir)
+    ct = (
+        st.orders.select(
+            F.floor(F.col("o_totalprice") / F.lit(_PSI_BIN))
+            .cast("long")
+            .alias("bin"),
+            (
+                F.col("o_orderdate")
+                < F.lit("1998-01-01").cast("timestamp_ntz")
+            ).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_cur"),
+        )
+        # 10-row frame feeds both the totals and the contributions —
+        # cache so orders scans once (the Q15 pattern).
+        .cache()
+    )
+    tot = ct.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + _PSI_NBINS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + _PSI_NBINS
+    ).cast("double")
+    contrib = ct.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.floor((p - q) * F.log(p / q) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("psi_micro"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        contrib.select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            (F.col("psi_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "psi_contrib"
+            ),
+            (
+                F.sum("psi_micro").over(w_all).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Readability profiling (Flesch reading ease per source)
 # ---------------------------------------------------------------------------
 

@@ -413,6 +413,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row (total, cnt) frame broadcast into the part-grain supply
     # values for the scale-free Q11 importance threshold
     "flagship_important_stock",
+    # 1-row (t_ref, t_cur) totals broadcast into the 10-row bin frame
+    # for the PSI shares
+    "quality_psi_drift",
 }
 
 
