@@ -44,6 +44,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # AND sf0.1 (0 failures), plus the cross-parallelism scale sweep
 # (local[2]/[4]/[16] hash-identical, pytest -m scale_sweep).
 _SWEEP_FIRST = [
+    # -- round-4 continuation-2 additions (newest code, no driver row
+    # yet) ----------------------------------------------------------
+    "scan_bloom_skip",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------
     "mart_snapshot_diff",

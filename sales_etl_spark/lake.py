@@ -33,9 +33,11 @@ This replaces the rename-swap dance in streaming/upsert_sink.py at
 the "real deployment" layer its docstring promises: the snapshot swap
 becomes manifest vN → vN+1, and recovery is "read the latest
 manifest" with no repair states. The implementation is deliberately
-tiny — one JSON list per commit, no column stats — where Delta adds
-per-file min/max for data skipping (see load.write_parquet
-cluster_by/zorder for the layout half of that story).
+tiny — one JSON manifest per commit, carrying optional per-file
+min/max stats (``stats_cols`` → range skipping) and bloom skip
+indexes (``bloom_cols`` → point-lookup skipping) — Delta's
+data-skipping surface without the format weight (see
+load.write_parquet cluster_by/zorder for the layout half).
 """
 
 from __future__ import annotations
@@ -111,6 +113,149 @@ def _file_stats(path: Path, cols: list[str]) -> dict:
     return out
 
 
+#: Bloom skip-index defaults: 8192 bits = 128 manifest longs per
+#: (file, column); 6 hashes → fpp ≈ 0.6% at 1k distinct keys/file.
+BLOOM_BITS = 8192
+BLOOM_HASHES = 6
+
+
+def _file_blooms(
+    spark: SparkSession,
+    table_path: str,
+    rel_files: list[str],
+    cols: list[str],
+    m_bits: int,
+    k: int,
+) -> dict:
+    """Per-(file, column) BLOOM FILTERS over the staged files, built
+    DISTRIBUTED: one Spark pass explodes each value into its k bit
+    positions (``xxhash64(value, seed) mod m`` — the JVM hash, so the
+    read-side probe computes the identical positions) and bit-ORs
+    them into ``m/64`` longs per file. The collect is manifest-sized
+    metadata (≤128 rows × files × cols), never data.
+
+    This is the POINT-LOOKUP half of data skipping that min/max zone
+    maps can't provide: hash-distributed files have overlapping
+    [min, max] ranges (zone maps prune nothing), but a bloom answers
+    "key definitely absent from this file" regardless of layout —
+    Delta's bloom-filter index / Iceberg puffin blobs, manifest-native.
+    Words are stored UNSIGNED so JSON round-trips exactly.
+
+    ``m_bits`` is a floor: the filter AUTO-SIZES to ≥16 bits per row
+    of the largest staged file (footer metadata, no data read) so the
+    false-positive rate stays ~1e-3 instead of saturating as files
+    grow — capped at 2^20 bits (16 KB of manifest per file·col; past
+    that, a JSON manifest is the wrong store and the cap trades fpp
+    for metadata size, which only weakens skipping, never
+    correctness)."""
+    from pyspark.sql import functions as F
+
+    import pyarrow.parquet as pq
+
+    paths = [str(Path(table_path) / f) for f in rel_files]
+    max_rows = max(
+        (pq.ParquetFile(p).metadata.num_rows for p in paths), default=0
+    )
+    while m_bits < min(16 * max_rows, 1 << 20):
+        m_bits *= 2
+    df = spark.read.parquet(*paths)
+    out: dict = {}
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        if col not in dtypes:
+            continue
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(col), F.lit(seed)), F.lit(m_bits)
+                    )
+                    for seed in range(k)
+                ]
+            )
+        ).alias("pos")
+        rows = (
+            df.filter(F.col(col).isNotNull())
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__file"),
+                pos,
+            )
+            .select(
+                "__file",
+                (F.col("pos") / 64).cast("int").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("__file", "word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            ent = out.setdefault(f"data/{r['__file']}", {}).setdefault(
+                col,
+                {
+                    "m": m_bits,
+                    "k": k,
+                    "type": dtypes[col],
+                    "words": [0] * (m_bits // 64),
+                },
+            )
+            ent["words"][r["word"]] = r["bits"] & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def bloom_pruned_files(
+    spark: SparkSession, table_path: str, version: int, col: str, value
+) -> tuple[list[str], int]:
+    """Manifest-level POINT-LOOKUP skipping: the snapshot's files whose
+    bloom for ``col`` might contain ``value``, plus every file with no
+    recorded bloom (unknown ⇒ must read — skipping is an optimization,
+    never a filter; no false negatives by bloom construction). The k
+    probe positions come from a 1-row Spark job so the hash is the
+    same JVM ``xxhash64`` (with the value cast to the column type
+    recorded at write — xxhash64 is type-sensitive) that built the
+    index. Returns (files, n_skipped)."""
+    from pyspark.sql import functions as F
+
+    m_ = _read_manifest(table_path, version)
+    bloom = m_.get("bloom") or {}
+    keep: list[str] = []
+    skipped = 0
+    pos_cache: dict[tuple, list[int]] = {}
+    for f in m_["files"]:
+        ent = (bloom.get(f) or {}).get(col)
+        if ent is None:
+            keep.append(f)
+            continue
+        key = (ent["m"], ent["k"], ent["type"])
+        if key not in pos_cache:
+            row = (
+                spark.range(1)
+                .select(
+                    *[
+                        F.pmod(
+                            F.xxhash64(
+                                F.lit(value).cast(ent["type"]), F.lit(s)
+                            ),
+                            F.lit(ent["m"]),
+                        ).alias(f"p{s}")
+                        for s in range(ent["k"])
+                    ]
+                )
+                .collect()[0]
+            )
+            pos_cache[key] = [row[f"p{s}"] for s in range(ent["k"])]
+        words = ent["words"]
+        if all(words[p // 64] & (1 << (p % 64)) for p in pos_cache[key]):
+            keep.append(f)
+        else:
+            skipped += 1
+    return keep, skipped
+
+
 def commit_write(
     df: DataFrame,
     table_path: str,
@@ -118,6 +263,9 @@ def commit_write(
     max_retries: int = 10,
     expected_base: int | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS,
+    bloom_hashes: int = BLOOM_HASHES,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     atomically as the next table version. Returns the version number.
@@ -140,6 +288,11 @@ def commit_write(
     (:func:`read_table` ``prune=``): the Delta data-skipping half the
     module docstring defers. Pair with load.write_parquet's
     range-clustering so file ranges are disjoint and skipping bites.
+
+    ``bloom_cols`` additionally records a per-file BLOOM skip index
+    for the named columns (:func:`_file_blooms`), enabling point-
+    lookup skipping (:func:`read_table` ``point=``) even on layouts
+    where ranges overlap and zone maps are useless.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
@@ -163,6 +316,16 @@ def commit_write(
                 data_dir / name, stats_cols
             )
     shutil.rmtree(staging, ignore_errors=True)
+    new_bloom: dict = {}
+    if bloom_cols and new_files:
+        new_bloom = _file_blooms(
+            df.sparkSession,
+            table_path,
+            new_files,
+            bloom_cols,
+            bloom_bits,
+            bloom_hashes,
+        )
 
     # 2. commit: O_EXCL manifest create, retry on version races
     for _ in range(max_retries):
@@ -177,6 +340,7 @@ def commit_write(
         version = (existing[-1] + 1) if existing else 0
         carried_dv: list[str] = []
         stats: dict = dict(new_stats)
+        bloom: dict = dict(new_bloom)
         if mode == "append" and existing:
             prev = _read_manifest(table_path, existing[-1])
             files = prev["files"] + new_files
@@ -186,6 +350,7 @@ def commit_write(
             # uuid names, vectors reference files by name)
             carried_dv = prev.get("delete_files") or []
             stats = {**(prev.get("stats") or {}), **new_stats}
+            bloom = {**(prev.get("bloom") or {}), **new_bloom}
         else:
             files = list(new_files)
         manifest = {
@@ -198,6 +363,8 @@ def commit_write(
             manifest["delete_files"] = carried_dv
         if stats:
             manifest["stats"] = stats
+        if bloom:
+            manifest["bloom"] = bloom
         target = _manifest_path(table_path, version)
         # fully-written unique temp, then hard-link to the version
         # name: link() is create-if-absent WITH content — the claim
@@ -247,6 +414,7 @@ def read_table(
     version: int | None = None,
     merge_schema: bool = False,
     prune: tuple | None = None,
+    point: tuple | None = None,
 ) -> DataFrame:
     """The committed snapshot as a DataFrame — latest, or any retained
     historical ``version`` (time travel). ``merge_schema=True`` unions
@@ -265,7 +433,11 @@ def read_table(
     (:func:`pruned_files`): files whose recorded [min, max] for
     ``col`` cannot intersect [lo, hi] are never opened. The caller
     still applies the actual row filter — skipping only shrinks the
-    file list (exactly Delta's stats-based pruning contract)."""
+    file list (exactly Delta's stats-based pruning contract).
+
+    ``point=(col, value)`` applies BLOOM-INDEX skipping
+    (:func:`bloom_pruned_files`) for point lookups; composes with
+    ``prune`` (intersection — a file must survive both)."""
     vs = versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {table_path}")
@@ -277,6 +449,10 @@ def read_table(
     files = manifest["files"]
     if prune is not None:
         files, _ = pruned_files(table_path, version, *prune)
+    if point is not None:
+        bloom_keep, _ = bloom_pruned_files(spark, table_path, version, *point)
+        keep_set = set(bloom_keep)
+        files = [f for f in files if f in keep_set]
     if not files:
         return spark.read.parquet(str(Path(table_path) / "data")).limit(0)
     reader = spark.read
@@ -424,6 +600,9 @@ def delete_where(
             # still sound after deletes: bounds only get looser, and
             # skipping needs containment, not tightness
             next_manifest["stats"] = manifest["stats"]
+        if manifest.get("bloom"):
+            # same: a deleted key degrades to a false positive
+            next_manifest["bloom"] = manifest["bloom"]
         target = _manifest_path(table_path, base + 1)
         tmp = _log_dir(table_path) / f".tmp-{token}-{base + 1}.json"
         tmp.write_text(json.dumps(next_manifest))
@@ -528,6 +707,8 @@ def merge_into(
             # carried for old files; the merge's new files have no
             # stats (unknown => always read — sound, never wrong)
             next_manifest["stats"] = manifest["stats"]
+        if manifest.get("bloom"):
+            next_manifest["bloom"] = manifest["bloom"]
         target = _manifest_path(table_path, base + 1)
         tmp = _log_dir(table_path) / f".tmp-{token}-{base + 1}.json"
         tmp.write_text(json.dumps(next_manifest))
@@ -610,6 +791,9 @@ def compact(
         tracked = sorted(
             {c for s in (prev.get("stats") or {}).values() for c in s}
         )
+        tracked_bloom = sorted(
+            {c for b in (prev.get("bloom") or {}).values() for c in b}
+        )
         df = read_table(spark, table_path, version=base).coalesce(
             target_files
         )
@@ -617,6 +801,7 @@ def compact(
             return commit_write(
                 df, table_path, mode="overwrite", expected_base=base,
                 stats_cols=tracked or None,
+                bloom_cols=tracked_bloom or None,
             )
         except CommitConflict:
             continue  # someone appended mid-compaction: re-read, redo

@@ -849,6 +849,63 @@ def scan_lake_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom skip-index point-lookup key (exists at every SF: doc_ids are
+#: dense from 0).
+_BLOOM_KEY = 17
+
+
+@query(
+    "scan_bloom_skip",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id = {_BLOOM_KEY}
+    """,
+)
+def scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the lake's BLOOM skip index on the
+    oracle-checked surface: documents land HASH-distributed across 8
+    files (every file spans the full doc_id range, so min/max zone
+    maps can prune NOTHING — the layout where range skipping is
+    useless by construction), with a per-file bloom on doc_id in the
+    manifest (lake._file_blooms — built distributed, xxhash64 bit-OR
+    into m/64 longs/file, m auto-sized to ≥16 bits/row). The read
+    probes the bloom
+    (read_table(point=...)): all but ~1 file are skipped without
+    being opened (no false negatives; the plan-shape test asserts
+    n_skipped ≥ 6 of 8), then the row filter lands on the survivor.
+    The result must equal the flat-parquet oracle — skipping is an
+    optimization, never a filter.
+
+    Scale notes: this is Delta's bloom index / Iceberg's puffin blobs
+    manifest-native — at 100 TB a needle lookup on a non-clustered
+    key reads O(1) files instead of O(all); the index itself is
+    manifest metadata (1 KB/file/col), built in the same distributed
+    pass as the write. Scratch build is idempotent and crash-safe
+    (completion sentinel; see scan_lake_table)."""
+    import shutil
+    from pathlib import Path
+
+    from sales_etl_spark import lake
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    path = str(_scratch("lake_bloom", sf_dir))
+    done = Path(path) / "_build_complete"
+    if not done.exists():
+        shutil.rmtree(path, ignore_errors=True)
+        docs = st.documents.select(
+            "doc_id", "lang", "source", "n_chars"
+        ).repartition(8, "doc_id")
+        lake.commit_write(docs, path, mode="append", bloom_cols=["doc_id"])
+        done.touch()
+    return (
+        lake.read_table(spark, path, point=("doc_id", _BLOOM_KEY))
+        .filter(F.col("doc_id") == _BLOOM_KEY)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 #: binaryFile ingestion fixture: this many docs land as loose files.
 _BINFILE_N = 100
 

@@ -602,3 +602,102 @@ def test_stats_survive_delete_merge_and_compaction(spark, tmp_path):
         r.k for r in lake.read_table(spark, t, prune=("k", 0, 50)).collect()
     )
     assert got == [i for i in range(20) if i != 3]
+
+
+def test_bloom_index_point_skipping(spark, tmp_path):
+    """Bloom skip index: hash-distributed files (overlapping ranges —
+    zone maps prune nothing) still skip on point lookups; present
+    keys are NEVER skipped (no false negatives); results equal the
+    unpruned filter; bloom-less files are always read."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "k long, v string"
+    ).repartition(8, "k")
+    lake.commit_write(df, t, "append", bloom_cols=["k"])
+    v = lake.versions(t)[-1]
+    # min/max cannot skip here (every file spans ~the full range)...
+    m = json.loads((Path(t) / "_log" / f"{v:08d}.json").read_text())
+    assert len(m["files"]) == 8 and m.get("bloom")
+    # ...but the bloom skips most files for a point key
+    keep, skipped = lake.bloom_pruned_files(spark, t, v, "k", 123)
+    assert skipped >= 6
+    got = (
+        lake.read_table(spark, t, point=("k", 123))
+        .filter("k = 123").collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(123, "v123")]
+    # no false negatives: every present key keeps its file
+    for probe in range(0, 400, 37):
+        rows = (
+            lake.read_table(spark, t, point=("k", probe))
+            .filter(f"k = {probe}").collect()
+        )
+        assert len(rows) == 1 and rows[0].v == f"v{probe}"
+    # an absent key may prune everything — and reads as empty
+    assert (
+        lake.read_table(spark, t, point=("k", 10_000))
+        .filter("k = 10000").count() == 0
+    )
+    # a bloom-less append is never skipped
+    lake.commit_write(
+        spark.createDataFrame([(123, "dup")], "k long, v string"), t,
+        "append",
+    )
+    v2 = lake.versions(t)[-1]
+    keep2, _ = lake.bloom_pruned_files(spark, t, v2, "k", 777)
+    assert any(f not in (m.get("bloom") or {}) for f in keep2)
+
+
+def test_bloom_survives_delete_merge_and_compaction(spark, tmp_path):
+    """The bloom index rides the DML stack like min/max stats:
+    carried by delete/merge commits (sound — a dead key is only a
+    false positive), re-harvested by compaction."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(i, "x") for i in range(50)], "k long, v string"
+        ).repartition(4, "k"),
+        t, "append", bloom_cols=["k"],
+    )
+    lake.delete_where(spark, t, "k = 7")
+    lake.merge_into(
+        spark, t,
+        spark.createDataFrame([(9, "new")], "k long, v string"),
+        keys=["k"],
+    )
+    v = lake.versions(t)[-1]
+    m = json.loads((Path(t) / "_log" / f"{v:08d}.json").read_text())
+    assert m.get("bloom")  # carried through delete + merge
+    # updated key 9 lives in a bloom-less merge file: still found
+    rows = (
+        lake.read_table(spark, t, point=("k", 9))
+        .filter("k = 9").collect()
+    )
+    assert [r.v for r in rows] == ["new"]
+    v2 = lake.compact(spark, t, target_files=2)
+    m2 = json.loads((Path(t) / "_log" / f"{v2:08d}.json").read_text())
+    assert m2.get("bloom") and all(
+        "k" in b for b in m2["bloom"].values()
+    )
+    got = sorted(
+        r.k for r in lake.read_table(spark, t, point=("k", 30))
+        .filter("k = 30").collect()
+    )
+    assert got == [30]
+
+
+def test_bloom_autosizes_to_file_cardinality(spark, tmp_path):
+    """m is a floor: a file with many keys gets a proportionally
+    larger filter (≥16 bits/row) so fpp stays useful instead of the
+    filter saturating."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame(
+            [(i,) for i in range(3000)], "k long"
+        ).coalesce(1),
+        t, "append", bloom_cols=["k"],
+    )
+    m = json.loads((Path(t) / "_log" / "00000000.json").read_text())
+    ent = next(iter(m["bloom"].values()))["k"]
+    assert ent["m"] >= 16 * 3000
+    assert len(ent["words"]) == ent["m"] // 64
