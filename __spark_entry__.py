@@ -47,6 +47,7 @@ _SWEEP_FIRST = [
     # -- round-4 continuation-2 additions (newest code, no driver row
     # yet) ----------------------------------------------------------
     "scan_bloom_skip",
+    "emb_silhouette",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------
     "mart_snapshot_diff",

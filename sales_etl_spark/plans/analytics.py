@@ -488,6 +488,161 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_silhouette",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY label, i
+    ),
+    d AS (
+        SELECT q.vec_id, q.label AS own, c.label AS other,
+               CAST(SUM(CAST(floor(
+                   (q.x - CAST(c.s AS DOUBLE) / 1000000000.0
+                          / CAST(c.n AS DOUBLE))
+                 * (q.x - CAST(c.s AS DOUBLE) / 1000000000.0
+                          / CAST(c.n AS DOUBLE))
+                 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS dsq_pico
+        FROM q JOIN cent c USING (i)
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, own AS label,
+               sqrt(CAST(MAX(CASE WHEN other = own THEN dsq_pico END)
+                         AS DOUBLE) / 1000000000000.0) AS a_d,
+               sqrt(CAST(MIN(CASE WHEN other <> own THEN dsq_pico END)
+                         AS DOUBLE) / 1000000000000.0) AS b_d
+        FROM d GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT label,
+               CASE WHEN greatest(a_d, b_d) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((b_d - a_d) / greatest(a_d, b_d)
+                                    * 1000000000.0 + 0.5) AS BIGINT)
+               END AS s_nano
+        FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_nano) AS DOUBLE) / 1000000000.0 / COUNT(*)
+               AS mean_silhouette
+    FROM s
+    GROUP BY label
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per label — the cluster-quality
+    readout for the embedding corpus (is a label tight and separated,
+    or smeared into its neighbors?): for each vector, a = distance to
+    its OWN label centroid, b = distance to the NEAREST other
+    centroid, s = (b−a)/max(a,b); report each label's mean s. The
+    centroid form is the O(n·k) silhouette used at corpus scale —
+    exact pairwise silhouette is O(n²) and adds nothing at 100 TB.
+
+    Spark-first plan: ONE bounded shuffle builds exact per-label
+    centroids (integer nano-unit sums over (label, dim) — k·64
+    groups, map-side partial), the k centroids re-enter the plan as
+    literals, and scoring is MAP-ONLY (each row computes all k
+    distances in one projection — zero joins, the kmeans-assign
+    shape) into a k-group final agg. Bit-exact across engines by the
+    emb_dist_outliers recipe: per-dim squared deltas quantize to
+    integer pico-units (order-free sums), a and b become identical
+    IEEE doubles via the same sqrt/divide sequence, and the per-row
+    silhouette quantizes to nano-units before the distributed mean.
+    Singleton/tight labels where max(a,b)=0 score 0 by convention."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * F.lit(1_000_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()  # k x dim rows (bounded: |labels| x 64)
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        # identical IEEE sequence to the oracle's
+        # CAST(s AS DOUBLE)/1e9/CAST(n AS DOUBLE)
+        by_label.setdefault(r.label, {})[r.pos] = r.s / 1e9 / r.n
+    cents = [
+        (lab, [dims[p] for p in sorted(dims)])
+        for lab, dims in sorted(by_label.items())
+    ]
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+
+    def dsq_pico(vec: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                xd,
+                F.array(*[F.lit(c) for c in vec]),
+                lambda x, c: F.floor(
+                    (x - c) * (x - c) * F.lit(1_000_000_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(lab).cast("int").alias("lab"),
+                dsq_pico(vec).alias("dsq"),
+            )
+            for lab, vec in cents
+        ]
+    )
+    own = F.element_at(
+        F.filter(arr, lambda c: c["lab"] == F.col("label")), 1
+    )["dsq"]
+    other = F.array_min(
+        F.transform(
+            F.filter(arr, lambda c: c["lab"] != F.col("label")),
+            lambda c: c["dsq"],
+        )
+    )
+    a_d = F.sqrt(own.cast("double") / F.lit(1_000_000_000_000.0))
+    b_d = F.sqrt(other.cast("double") / F.lit(1_000_000_000_000.0))
+    s_nano = F.when(
+        F.greatest(a_d, b_d) == F.lit(0.0), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            (b_d - a_d) / F.greatest(a_d, b_d) * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return (
+        e.select("label", s_nano.alias("s_nano"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum("s_nano").cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
+@query(
     "window_ntile_quartiles",
     oracle="""
     WITH ltv AS (
