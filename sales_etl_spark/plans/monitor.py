@@ -789,6 +789,141 @@ def quality_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-anonymity thresholds audited (the sweep a release gate runs).
+_KANON_KS = (2, 5, 10, 20)
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest(ARRAY{list(_KANON_KS)}) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (sz < ks.k) AS BIGINT) AS n_violating,
+           CAST(COALESCE(SUM(sz) FILTER (sz < ks.k), 0) AS BIGINT)
+               AS rows_at_risk,
+           CAST(COALESCE(SUM(sz) FILTER (sz < ks.k), 0) AS DOUBLE)
+               / CAST(SUM(sz) AS DOUBLE) AS pct_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS dataset_k
+    FROM classes, ks
+    GROUP BY ks.k
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers (nation ×
+    market segment) — the privacy release gate a training-data
+    pipeline runs before shipping a de-identified extract: a row is
+    re-identifiable when its quasi-identifier equivalence class is
+    smaller than k, so the report sweeps the standard thresholds and
+    counts violating classes, rows at risk, and the dataset's actual
+    anonymity level (the min class size). Complements text_redact_pii
+    (which masks direct identifiers; this audits the INDIRECT ones
+    redaction can't touch).
+
+    Spark-first plan: ONE shuffle collapses the table to its
+    equivalence classes (|nations|·|segments| rows — map-side partial
+    does the heavy lifting), then the threshold sweep is a literal
+    4-row explode over that tiny frame and a 4-group agg; nothing
+    corpus-sized moves again. All counts are exact longs; the one
+    double (pct_at_risk) is a division of exact operands — identical
+    IEEE in both engines."""
+    st = _star(spark, sf_dir)
+    classes = (
+        st.customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("int") for k in _KANON_KS])
+    ).alias("k")
+    at_risk = F.when(F.col("sz") < F.col("k"), F.col("sz"))
+    return (
+        classes.select("sz", ks)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.count(at_risk).cast("long").alias("n_violating"),
+            F.coalesce(F.sum(at_risk), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            (
+                F.coalesce(F.sum(at_risk), F.lit(0)).cast("double")
+                / F.sum("sz").cast("double")
+            ).alias("pct_at_risk"),
+            F.min("sz").cast("long").alias("dataset_k"),
+        )
+    )
+
+
+#: l-diversity thresholds audited alongside the k-anonymity sweep.
+_LDIV_LS = (2, 3, 5)
+
+
+@query(
+    "quality_l_diversity",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                                        AS BIGINT)) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2
+    ),
+    ls AS (SELECT unnest(ARRAY{list(_LDIV_LS)}) AS lt)
+    SELECT CAST(ls.lt AS INTEGER) AS l_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (l < ls.lt) AS BIGINT) AS n_violating,
+           CAST(COALESCE(SUM(sz) FILTER (l < ls.lt), 0) AS BIGINT)
+               AS rows_at_risk,
+           CAST(MIN(l) AS BIGINT) AS dataset_l
+    FROM classes, ls
+    GROUP BY ls.lt
+    """,
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a class
+    can be large (k-anonymous) yet leak the SENSITIVE attribute if
+    every member shares one value (the homogeneity attack). Per
+    quasi-identifier class (nation × segment), l = distinct sensitive
+    values (account balance in 1000-unit bands); the report sweeps
+    the standard thresholds with violating classes and rows at risk.
+
+    Spark-first plan: one shuffle to the class grain with a
+    count-distinct on the banded sensitive value (map-side partial
+    distinct first — the band cast collapses cardinality before the
+    exchange), then the literal 3-row threshold explode over the tiny
+    class frame. All-integer outputs — trivially bit-exact."""
+    st = _star(spark, sf_dir)
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    classes = (
+        st.customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.countDistinct(band).cast("long").alias("l"),
+        )
+    )
+    ls = F.explode(
+        F.array(*[F.lit(lt).cast("int") for lt in _LDIV_LS])
+    ).alias("l_threshold")
+    at_risk = F.when(F.col("l") < F.col("l_threshold"), F.col("sz"))
+    return (
+        classes.select("sz", "l", ls)
+        .groupBy("l_threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.count(at_risk).cast("long").alias("n_violating"),
+            F.coalesce(F.sum(at_risk), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("l").cast("long").alias("dataset_l"),
+        )
+    )
+
+
 @query(
     "agg_weekday_seasonality",
     oracle="""
