@@ -1193,23 +1193,30 @@ def _pca_sql() -> str:
 @query("emb_pca_power", oracle=_pca_sql())
 def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by power
-    iteration — distributed PCA in the RowMatrix.computeCovariance
-    shape: ONE O(n·d²) distributed pass builds the covariance, then
-    the iteration runs on the d²-row matrix frame (d=64 → 4096 rows),
-    never touching the corpus again.
+    iteration — distributed PCA in EXACTLY MLlib's RowMatrix shape:
+    ONE O(n·d²) distributed pass builds the Gram/covariance, then the
+    eigensolve runs LOCAL over the d²-bounded matrix (d=64 → 2080
+    upper-triangle cells — driver state, like Lloyd's centroids),
+    never touching the corpus again. Earlier revisions ran the 3
+    matvec+renormalize rounds as chained distributed jobs over the
+    4096-row frame; that burned ~4 s of pure task-scheduling floor on
+    ~36 tiny stages at bench scale — the local solve removes every
+    one of them and is the only sane shape at ANY scale (the iterate
+    is d ints; the cluster's job is the corpus pass).
 
     Bit-exact across engines end to end: elements quantize to integer
-    nano-units at the scan; the Gram matrix accumulates exact 128-bit
-    integer products (decimal(38,0) / HUGEINT), mean-centering uses
-    the division-free scaling C' = n·Σqqᵀ − (Σq)(Σq)ᵀ (a positive
+    nano-units at the scan; the Gram matrix accumulates exact integer
+    products (long hi/lo split accumulators / HUGEINT), mean-centering
+    uses the division-free scaling C' = n·Σqqᵀ − (Σq)(Σq)ᵀ (a positive
     rescale cannot change eigenvectors), each matvec is an exact
-    integer sum, and renormalization is sign-split NONNEGATIVE floor
-    division by max|w| (Spark `div` ≡ DuckDB `//` on nonnegative
+    arbitrary-precision integer sum (Python ints ≡ the oracle's
+    HUGEINT), and renormalization is sign-split NONNEGATIVE floor
+    division by max|w| (Python `//` ≡ DuckDB `//` on nonnegative
     operands — the sign never rides the division, so truncate-vs-
     floor cannot diverge). Floats appear exactly once: the final
     loading = v/√Σv² over small exact integers, identical IEEE in
-    both engines. The same integer-fold recipe as PageRank
-    (graph_pagerank_trade), applied to spectral analysis."""
+    both engines. The exact-integer iteration is replicated
+    independently in tests/test_structure.py."""
     st = _star(spark, sf_dir)
     q = st.embeddings.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
@@ -1224,7 +1231,6 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = q.agg(F.countDistinct("vec_id").alias("n"))
     s = q.groupBy("i").agg(F.sum("q").alias("s"))
-    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     # Gram via array slices instead of the q⨯q self-join: each row
     # keeps its quantized vector, a first posexplode fixes i, and the
     # tail slice [i..d] generates only the UPPER-TRIANGLE products —
@@ -1273,8 +1279,6 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"p div {_M}").alias("hi"),
         F.expr(f"p % {_M}").alias("lo"),
     )
-    # 4096-row upper triangle feeds both union branches — cache so the
-    # O(n·d²) pass executes once (Q15 pattern).
     gram_u = (
         tri.groupBy("i", "j")
         .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"))
@@ -1287,57 +1291,47 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("slo").cast("decimal(38,0)")
             ).alias("g"),
         )
-        .cache()
     )
-    gram = gram_u.unionByName(
-        gram_u.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
-        )
-    )
-    si = s.select(F.col("i"), F.col("s").alias("s_i"))
-    sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
-    cp = (
-        gram.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("n").cast("decimal(19,0)") * F.col("g")
-                - d19("s_i") * d19("s_j")
-            ).alias("cp"),
-        )
-    )
-    v = s.select("i", F.lit(_PCA_VSCALE).cast("long").alias("v"))
+    # LOCAL eigensolve over the collected d²-bounded state (2080
+    # upper-triangle cells + d sums + 1 count — the ONLY collects,
+    # all O(d²) metadata regardless of corpus size). Arbitrary-
+    # precision Python ints reproduce the oracle's HUGEINT arithmetic
+    # exactly; the distributed version of these 3 rounds cost ~36
+    # scheduler floors and computed the identical 64 longs.
+    n_vecs = n.collect()[0]["n"]
+    s_by_dim = {r["i"]: int(r["s"]) for r in s.collect()}
+    d = len(s_by_dim)
+    g: dict[tuple[int, int], int] = {}
+    for r in gram_u.collect():
+        gv = int(r["g"])
+        g[(r["i"], r["j"])] = gv
+        g[(r["j"], r["i"])] = gv
+    cp = [
+        [
+            n_vecs * g[(i, j)] - s_by_dim[i] * s_by_dim[j]
+            for j in range(1, d + 1)
+        ]
+        for i in range(1, d + 1)
+    ]
+    v = [_PCA_VSCALE] * d
     for _ in range(_PCA_ITERS):
-        w = (
-            cp.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("cp") * F.col("v")).alias("w"))
-        )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                "i",
-                F.when(
-                    F.col("w") < 0,
-                    -F.expr(f"(abs(w) * {_PCA_VSCALE}) div m"),
-                )
-                .otherwise(F.expr(f"(abs(w) * {_PCA_VSCALE}) div m"))
-                .cast("long")
-                .alias("v"),
-            )
-        )
-    nrm = v.agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
-    return v.crossJoin(F.broadcast(nrm)).select(
-        F.col("i").alias("dim"),
-        F.col("v").alias("v_scaled"),
-        (
-            F.col("v").cast("double")
-            / F.sqrt(F.col("n2").cast("double"))
-        ).alias("loading"),
+        w = [
+            sum(cp[i][j] * v[j] for j in range(d)) for i in range(d)
+        ]
+        m = max(abs(x) for x in w)
+        v = [
+            -((-x) * _PCA_VSCALE // m)
+            if x < 0
+            else x * _PCA_VSCALE // m
+            for x in w
+        ]
+    n2 = sum(x * x for x in v)
+    import math
+
+    root = math.sqrt(float(n2))
+    return spark.createDataFrame(
+        [(i + 1, v[i], float(v[i]) / root) for i in range(d)],
+        "dim int, v_scaled long, loading double",
     )
 
 
