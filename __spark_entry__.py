@@ -48,6 +48,10 @@ _SWEEP_FIRST = [
     # yet) ----------------------------------------------------------
     "scan_bloom_skip",
     "emb_silhouette",
+    "quality_k_anonymity",
+    "quality_l_diversity",
+    "dedup_lsh_incremental",
+    "emb_pca_power",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------
     "mart_snapshot_diff",
@@ -93,10 +97,8 @@ _SWEEP_FIRST = [
     "flagship_shipmode_priority",
     "flagship_supplier_variety",
     "flagship_dominant_supplier",
-    # emb_pca_power re-enters the window: its Gram pass was rewritten
-    # this session (long products + split-accumulator sums) — changed
-    # code outranks rotation turns
-    "emb_pca_power",
+    # (emb_pca_power moved to the lead cohort: its eigensolve went
+    # local this session — changed code outranks rotation turns)
     # -- resolution/ordering/ledger tier (newest code, no driver row
     # yet — leads the window so the hard signal lands first) ---------
     "dedup_fuzzy_names",

@@ -367,6 +367,97 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a (doc, signature) frame into its LSH band buckets:
+    one row per (doc, band) carrying the band's bucket hash (xxhash64
+    of the band's signature slice) beside the full signature. This is
+    the INDEX ROW format — what a persisted LSH index stores and what
+    both the batch self-join and the incremental probe equi-join on."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc", "signature", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+
+def _est_jaccard(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    return F.aggregate(
+        F.zip_with(
+            sig_a, sig_b,
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(num_hashes)
+
+
+def incremental_minhash_lsh(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental fuzzy dedup: probe a PERSISTED LSH index with a new
+    ingest batch — the near-duplicate complement of
+    :func:`incremental_exact_dedup`. Returns ``(new_index_rows,
+    candidate_pairs)``: the batch's band rows (append them to the
+    index — :func:`banded_signatures` format) and every candidate
+    pair touching the batch (batch×corpus AND batch×batch), scored by
+    estimated Jaccard exactly like :func:`minhash_lsh_pairs`.
+
+    Scale shape — O(batch) per ingest: the batch's signatures build
+    from the batch alone (one bounded shuffle), then BROADCAST into
+    an equi-join against the index scan, so the corpus-sized index is
+    read but NEVER shuffled and nothing is recomputed for old docs.
+    Incremental ≡ full-corpus LSH restricted to batch-touching pairs
+    (same hash family, same band buckets — asserted in tests), so
+    ingest-by-ingest dedup converges to exactly what a from-scratch
+    run would find."""
+    sig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    new_rows = banded_signatures(sig, num_hashes, bands).cache()
+    full = index.unionByName(new_rows)
+    a, b = full.alias("a"), new_rows.alias("b")
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+            _est_jaccard(
+                F.col("a.signature"), F.col("b.signature"), num_hashes
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+    return new_rows, cand
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -388,27 +479,8 @@ def minhash_lsh_pairs(
     all on hashed (uniform) keys. No quadratic blowup unless a bucket
     is hot, and hot buckets mean near-identical docs, which is the
     signal itself."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("signature")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc", "signature", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc", "signature", "bb.band", "bb.bucket")
+    banded = banded_signatures(sig, num_hashes, bands)
     # signatures are tiny (num_hashes longs/doc); cache so the shingle
     # explode + min-agg pipeline runs once, not once per join side
     banded = banded.cache()
@@ -430,14 +502,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.aggregate(
-        F.zip_with(
-            "sig_a", "sig_b",
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(num_hashes)
+    est = _est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)

@@ -879,6 +879,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_lsh_incremental", oracle=None)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup against a PERSISTED LSH index — the
+    near-duplicate complement of dedup_incremental's exact
+    fingerprints: the corpus's banded MinHash signatures live as a
+    lake table (built once, committed atomically), and an arriving
+    batch (doc_id % 4 = 0) computes signatures for ITSELF only, then
+    broadcasts into an equi-join probe of the index scan — per-ingest
+    cost O(batch), the corpus-sized index read but never shuffled,
+    nothing recomputed for old docs. Candidates cover batch×corpus
+    AND batch×batch, scored by estimated Jaccard exactly like
+    dedup_minhash_lsh. Approximate family → rows-only driver check;
+    incremental ≡ full-corpus-LSH-restricted-to-batch-touching-pairs
+    is asserted in tests/test_dedup.py (same hash family, same band
+    buckets — ingest-by-ingest converges to the from-scratch result).
+    Index build is idempotent/crash-safe (completion sentinel)."""
+    import shutil
+    from pathlib import Path
+
+    from sales_etl_spark import lake
+
+    st = _star(spark, sf_dir)
+    corpus = st.documents.filter(F.col("doc_id") % 4 != 0)
+    batch = st.documents.filter(F.col("doc_id") % 4 == 0)
+    path = str(_scratch("lsh_index", sf_dir))
+    done = Path(path) / "_build_complete"
+    if not done.exists():
+        shutil.rmtree(path, ignore_errors=True)
+        sig = dedup.minhash_signatures(
+            corpus, "doc_id", "text", num_hashes=32, shingle_n=3
+        )
+        lake.commit_write(
+            dedup.banded_signatures(sig, num_hashes=32, bands=8),
+            path,
+            mode="append",
+        )
+        done.touch()
+    index = lake.read_table(spark, path)
+    _, pairs = dedup.incremental_minhash_lsh(
+        index, batch, "doc_id", "text",
+        num_hashes=32, bands=8, min_est_jaccard=0.5,
+    )
+    return pairs
+
+
 @query(
     "dedup_cluster_resolve",
     oracle=f"""

@@ -369,3 +369,78 @@ def test_containment_catches_doc_inside_doc_jaccard_misses(spark):
     assert len(rows) == 1 and rows[0].containment == 1.0
     jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
     assert jac.count() == 0
+
+
+def test_incremental_lsh_equals_full_corpus_restriction(spark):
+    """The incremental probe must find EXACTLY the full-corpus LSH
+    pairs that touch the batch (same hash family, same band buckets):
+    ingest-by-ingest dedup converges to the from-scratch result. Also
+    locks the scale shape — the batch side broadcasts (the corpus
+    index is never shuffled)."""
+    from sales_etl_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_lsh,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter("doc_id % 4 <> 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    kw = dict(num_hashes=32, bands=8, min_est_jaccard=0.3)
+
+    index = banded_signatures(
+        minhash_signatures(corpus, "doc_id", "text", 32, 3), 32, 8
+    )
+    _, inc = incremental_minhash_lsh(index, batch, "doc_id", "text", **kw)
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in inc.collect()
+    }
+
+    full = minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in full.collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    assert got == want and len(got) > 0
+
+    plan = inc._sc._jvm.PythonSQLUtils.explainString(
+        inc._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_lsh_two_ingests_converge(spark, docs):
+    """Two sequential ingests over a planted corpus: every known dup
+    pair lands in exactly one ingest's candidate set (the one where
+    its second member arrives), and the union equals the from-scratch
+    pair set."""
+    from sales_etl_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_lsh,
+        minhash_signatures,
+    )
+
+    kw = dict(num_hashes=32, bands=8, min_est_jaccard=0.5)
+    base = docs.filter("doc_id <= 2")          # doc 1 + its exact dup 2
+    ingest1 = docs.filter("doc_id IN (3, 4)")  # variants of 1
+    ingest2 = docs.filter("doc_id >= 5")
+
+    index = banded_signatures(
+        minhash_signatures(base, "doc_id", "text", 32, 3), 32, 8
+    )
+    rows1, p1 = incremental_minhash_lsh(index, ingest1, "doc_id", "text", **kw)
+    index = index.unionByName(rows1)
+    rows2, p2 = incremental_minhash_lsh(index, ingest2, "doc_id", "text", **kw)
+
+    def pairs(df):
+        return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+    got = pairs(p1) | pairs(p2)
+    # base-internal pair (1,2) is the only one no ingest can see
+    want = pairs(
+        minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    ) - {(1, 2)}
+    assert got == want
+    assert pairs(p1) & pairs(p2) == set()
