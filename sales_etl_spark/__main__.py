@@ -97,6 +97,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="output file count for --lake-compact",
     )
     p.add_argument(
+        "--lake-vacuum", metavar="TABLE_PATH",
+        help="reclaim data files unreferenced by the retained "
+        "versions (see --keep-versions); prints what was deleted",
+    )
+    p.add_argument(
+        "--keep-versions", type=int, default=1,
+        help="history retention for --lake-vacuum (time travel "
+        "keeps working for the newest N versions)",
+    )
+    p.add_argument(
         "--lake-delete", metavar="TABLE_PATH",
         help="row-level DELETE on a lake table via positional deletion "
         "vectors (no data-file rewrite; --where gives the predicate; "
@@ -233,6 +243,27 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         except Exception:
             logger.exception("lake compaction failed")
+            return 1
+    if args.lake_vacuum:
+        from sales_etl_spark import lake
+
+        try:
+            if not lake.versions(args.lake_vacuum):
+                logger.error(
+                    "no committed versions at %s — not a lake table",
+                    args.lake_vacuum,
+                )
+                return 1
+            deleted = lake.vacuum(
+                args.lake_vacuum, keep_versions=args.keep_versions
+            )
+            logger.info(
+                "vacuumed %s: %d files reclaimed (kept %d versions)",
+                args.lake_vacuum, len(deleted), args.keep_versions,
+            )
+            return 0
+        except Exception:
+            logger.exception("lake vacuum failed")
             return 1
     if args.lake_delete:
         from sales_etl_spark import lake

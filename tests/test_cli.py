@@ -176,3 +176,21 @@ def test_cli_lake_delete(spark, tmp_path):
     assert lake.versions(t)[-1] == head
     # missing --where is an error
     assert main(["--lake-delete", t]) == 1
+
+
+def test_cli_lake_vacuum(spark, tmp_path):
+    from sales_etl_spark import lake
+    from sales_etl_spark.__main__ import main
+
+    t = str(tmp_path / "tbl")
+    lake.commit_write(spark.createDataFrame([(1,)], "k long"), t)
+    lake.commit_write(
+        spark.createDataFrame([(9,)], "k long"), t, "overwrite"
+    )
+    rc = main(["--lake-vacuum", t, "--keep-versions", "1"])
+    assert rc == 0
+    # the overwritten v0 file is gone; the live snapshot still reads
+    assert [r.k for r in lake.read_table(spark, t).collect()] == [9]
+    assert lake.versions(t) == [1]
+    # a bad path is an error exit, not a traceback
+    assert main(["--lake-vacuum", str(tmp_path / "nope")]) == 1
