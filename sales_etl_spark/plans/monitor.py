@@ -3288,3 +3288,189 @@ def mart_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recency_days"),
         )
     )
+
+
+#: Holt forecast horizon (days ahead) — α = β = 1/2 dyadic smoothing.
+_HOLT_H = 7
+
+
+@query(
+    "agg_holt_forecast",
+    oracle="""
+    WITH RECURSIVE day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents, row_number() OVER (ORDER BY d) AS t FROM day
+    ),
+    holt(t, lvl, tr) AS (
+        SELECT 1, cents, CAST(0 AS BIGINT) FROM seq WHERE t = 1
+        UNION ALL
+        SELECT s.t,
+               CASE WHEN (s.cents + h.lvl + h.tr) < 0
+                    THEN -((-(s.cents + h.lvl + h.tr)) // 2)
+                    ELSE (s.cents + h.lvl + h.tr) // 2 END,
+               CASE WHEN ((CASE WHEN (s.cents + h.lvl + h.tr) < 0
+                                THEN -((-(s.cents + h.lvl + h.tr)) // 2)
+                                ELSE (s.cents + h.lvl + h.tr) // 2 END)
+                          - h.lvl + h.tr) < 0
+                    THEN -((-((CASE WHEN (s.cents + h.lvl + h.tr) < 0
+                                    THEN -((-(s.cents + h.lvl + h.tr)) // 2)
+                                    ELSE (s.cents + h.lvl + h.tr) // 2 END)
+                               - h.lvl + h.tr)) // 2)
+                    ELSE ((CASE WHEN (s.cents + h.lvl + h.tr) < 0
+                                THEN -((-(s.cents + h.lvl + h.tr)) // 2)
+                                ELSE (s.cents + h.lvl + h.tr) // 2 END)
+                          - h.lvl + h.tr) // 2 END
+        FROM holt h JOIN seq s ON s.t = h.t + 1
+    ),
+    fin AS (
+        SELECT lvl, tr FROM holt ORDER BY t DESC LIMIT 1
+    ),
+    hs AS (SELECT unnest(generate_series(1, 7)) AS h)
+    SELECT CAST(hs.h AS INTEGER) AS horizon,
+           CAST(fin.lvl + hs.h * fin.tr AS DOUBLE) / 100.0
+               AS forecast_revenue,
+           CAST(fin.lvl AS DOUBLE) / 100.0 AS level_revenue,
+           CAST(fin.tr AS DOUBLE) / 100.0 AS trend_per_day
+    FROM hs, fin
+    """,
+)
+def agg_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day revenue forecast by Holt double-exponential smoothing
+    (level + trend, α = β = 1/2): the production "where is this
+    series heading" readout next to the descriptive anomaly monitors
+    (events_mad_anomaly, events_ewma_rate, window_ma_cross). The
+    recursion runs over OBSERVED days (gapless smoothing is the
+    events_gapfill composition).
+
+    Spark-first plan: ONE shuffle collapses the fact to the day grain
+    in exact integer cents; the smoothing recursion is inherently
+    sequential and the day series is CALENDAR-BOUNDED (~2.4k rows at
+    any corpus size), so it runs locally over the collected series —
+    the PCA/Lloyd driver-state pattern; a distributed recursion over
+    2.4k rows would be thousands of pure scheduler floors. Bit-exact
+    across engines: α = β = 1/2 makes every update an integer
+    halving, SIGN-SPLIT so Python's floor `//` and DuckDB's `//`
+    cannot disagree on negatives (trend dips below zero on declining
+    stretches); floats appear only at the output boundary as
+    divisions of exact integers."""
+    st = _star(spark, sf_dir)
+    day = (
+        st.orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    series = [
+        int(r["cents"]) for r in day.orderBy("d").collect()
+    ]  # calendar-bounded driver state (~2.4k longs at any SF)
+
+    def _half(v: int) -> int:
+        return -((-v) // 2) if v < 0 else v // 2
+
+    lvl, tr = series[0], 0
+    for x in series[1:]:
+        new_lvl = _half(x + lvl + tr)
+        tr = _half(new_lvl - lvl + tr)
+        lvl = new_lvl
+    return spark.createDataFrame(
+        [
+            (
+                h,
+                float(lvl + h * tr) / 100.0,
+                float(lvl) / 100.0,
+                float(tr) / 100.0,
+            )
+            for h in range(1, _HOLT_H + 1)
+        ],
+        "horizon int, forecast_revenue double, level_revenue double, "
+        "trend_per_day double",
+    )
+
+
+def _uniqueness_row(df: DataFrame, table: str, key_cols: list[str]):
+    """One audit row for a candidate key: total rows, distinct keys,
+    violating keys (>1 row) and the excess rows a dedup would drop —
+    all from ONE key-grain aggregate (map-side partial) + a tiny
+    second agg, nothing corpus-sized past the first exchange."""
+    per_key = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_key.agg(
+        F.lit(table).alias("table_name"),
+        F.lit("+".join(key_cols)).alias("candidate_key"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.count(F.when(F.col("c") > 1, 1)).cast("long").alias("dup_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("excess_rows"),
+    )
+
+
+@query(
+    "quality_uniqueness_audit",
+    oracle="""
+    WITH audits AS (
+        SELECT 'orders' AS table_name, 'o_orderkey' AS candidate_key,
+               c FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'customer', 'c_custkey',
+               c FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey+l_linenumber', c
+        FROM (SELECT COUNT(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey',
+               c FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+        UNION ALL
+        SELECT 'documents', 'doc_id',
+               c FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+    )
+    SELECT table_name, candidate_key,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (c > 1) AS BIGINT) AS dup_keys,
+           CAST(COALESCE(SUM(c - 1) FILTER (c > 1), 0) AS BIGINT)
+               AS excess_rows
+    FROM audits GROUP BY 1, 2
+    """,
+)
+def quality_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit — the SET-level expectation the
+    row-level quality_expectations report can't express: for each
+    candidate key, total rows vs distinct keys, violating keys, and
+    the excess rows a keep-one dedup would drop. The deliberately
+    WRONG candidate (lineitem by l_orderkey alone) shows what a
+    failed audit reads like — the true grain is
+    (l_orderkey, l_linenumber); run this BEFORE declaring a merge/
+    upsert key (operators/upsert.py) or a dedup key, because a
+    non-unique merge key silently multiplies rows at 100 TB.
+
+    One key-grain aggregate per audited table (map-side partial does
+    the work), then 1-row summaries unioned — the fact is never
+    shuffled twice. All-integer outputs."""
+    st = _star(spark, sf_dir)
+    audits = [
+        _uniqueness_row(st.orders, "orders", ["o_orderkey"]),
+        _uniqueness_row(st.customer, "customer", ["c_custkey"]),
+        _uniqueness_row(
+            st.lineitem, "lineitem", ["l_orderkey", "l_linenumber"]
+        ),
+        _uniqueness_row(st.lineitem, "lineitem", ["l_orderkey"]),
+        _uniqueness_row(st.documents, "documents", ["doc_id"]),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
