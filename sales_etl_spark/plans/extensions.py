@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_etl_spark.functions import text as TX
+from sales_etl_spark.functions import vectors
 from sales_etl_spark.functions.vectors import cosine_rounded
 from sales_etl_spark.operators import (
     decontam,
@@ -2280,6 +2281,102 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Late-correction window for the partition-backfill demo: Q1-1995
+#: order prices double after the mart first materialized.
+_BACKFILL_LO = "1995-01-01"
+_BACKFILL_HI = "1995-04-01"
+
+
+@query(
+    "mart_backfill_partitions",
+    oracle=f"""
+    WITH up AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(o_totalprice AS DECIMAL(18,2))
+               * CASE WHEN o_orderdate >= CAST('{_BACKFILL_LO}' AS TIMESTAMP)
+                       AND o_orderdate <  CAST('{_BACKFILL_HI}' AS TIMESTAMP)
+                      THEN 2 ELSE 1 END AS p
+        FROM orders
+    )
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS revenue
+    FROM up GROUP BY 1
+    """,
+)
+def mart_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level mart BACKFILL — the 100 TB late-data pattern:
+    the month-partitioned revenue mart materializes, THEN an upstream
+    correction lands (Q1-1995 prices double); instead of a full
+    rebuild, the backfill derives the affected months FROM THE
+    CORRECTION SET (a distributed distinct, broadcast as a semi-join
+    filter), recomputes mart rows for those months only, and rewrites
+    them with DYNAMIC partition overwrite — untouched month
+    directories keep their physical files (asserted byte-level in
+    tests/test_queries_extra.py). At 100 TB this is the difference
+    between rewriting ~3/80 partitions and rewriting the mart; the
+    final state must equal the oracle's full relational rebuild, so
+    the split-then-patch sequence provably loses nothing. Scratch
+    build is idempotent/crash-safe (completion sentinel)."""
+    import shutil
+    from pathlib import Path
+
+    from sales_etl_spark.load import write_parquet
+
+    st = _star(spark, sf_dir)
+    out = str(_scratch("backfill_mart", sf_dir))
+    done = Path(out) / "_build_complete"
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    if not done.exists():
+        shutil.rmtree(out, ignore_errors=True)
+        # v1: the mart as first materialized (pre-correction upstream)
+        write_parquet(
+            st.orders.groupBy(month).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            ),
+            out,
+            partition_by=["order_month"],
+        )
+        # the correction arrives: derive affected months from it,
+        # recompute ONLY those months from corrected upstream
+        in_window = F.col("o_orderdate").between(
+            F.lit(_BACKFILL_LO).cast("timestamp_ntz"),
+            F.lit(_BACKFILL_HI).cast("timestamp_ntz"),
+        ) & (
+            F.col("o_orderdate")
+            < F.lit(_BACKFILL_HI).cast("timestamp_ntz")
+        )
+        affected = (
+            st.orders.filter(in_window).select(month).distinct()
+        )
+        corrected_price = F.col("o_totalprice").cast(
+            "decimal(18,2)"
+        ) * F.when(in_window, F.lit(2)).otherwise(F.lit(1))
+        fix = (
+            st.orders.select(month, corrected_price.alias("p"))
+            .join(F.broadcast(affected), "order_month", "left_semi")
+            .groupBy("order_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("p").cast("double").alias("revenue"),
+            )
+        )
+        write_parquet(
+            fix,
+            out,
+            mode="overwrite",
+            partition_by=["order_month"],
+            dynamic_partition_overwrite=True,
+        )
+        done.touch()
+    return spark.read.parquet(out).select(
+        "order_month", "n_orders", "revenue"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus analytics: pairwise source overlap matrix (round 4)
 # ---------------------------------------------------------------------------
@@ -2762,4 +2859,90 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
         .filter(F.col("cosine") >= _TF_COSINE_THRESHOLD)
+    )
+
+
+#: Matryoshka truncation budgets evaluated (full dim is 64).
+_TRUNC_BUDGETS = (8, 16, 32)
+
+#: DuckDB dot of the first-k slice with itself (fold order = Spark's).
+_TRUNC_SSQ_SQL = (
+    "list_reduce(list_transform("
+    "list_zip(list_slice(embedding, 1, ks.k), "
+    "list_slice(embedding, 1, ks.k)), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "emb_truncate_fidelity",
+    oracle=f"""
+    WITH ks AS (SELECT unnest(ARRAY{list(_TRUNC_BUDGETS)}) AS k),
+    per AS (
+        SELECT ks.k,
+               CAST(floor(sqrt({_TRUNC_SSQ_SQL}
+                   / {_DOT_SQL.format(a='embedding', b='embedding')})
+                   * 1000000.0 + 0.5) AS BIGINT) AS f_micro
+        FROM embeddings, ks
+    )
+    SELECT CAST(k AS INTEGER) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(f_micro) AS DOUBLE) / 1000000.0 / COUNT(*)
+               AS mean_fidelity,
+           CAST(MIN(f_micro) AS DOUBLE) / 1000000.0 AS min_fidelity
+    FROM per GROUP BY k
+    """,
+)
+def emb_truncate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much of each
+    vector survives keeping only the first k dims — cosine between
+    the full vector and its zero-padded truncation is exactly
+    ‖x[:k]‖/‖x‖, so the report gives mean and worst-case fidelity per
+    budget. This is the measurement behind the 'store 64 dims, search
+    8/16/32' decision: run it BEFORE committing an MRL-truncated ANN
+    index (ann_quantized_topk's int8 evaluation is the precision
+    sibling; this is the dimension one).
+
+    Spark-first plan: MAP-ONLY per-row slice dot-products (identical
+    left-fold order as the vectors.dot_double twin), the per-row
+    fidelity quantized to integer micro-units before the 3-group
+    distributed mean — zero joins, one 3-group exchange. Min over
+    micro-units is integer-exact; the means are divisions of exact
+    operands."""
+    st = _star(spark, sf_dir)
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    ssq_full = vectors.dot_double(xd, xd)
+    per = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("budget"),
+                    vectors.dot_double(
+                        F.slice(xd, 1, k), F.slice(xd, 1, k)
+                    ).alias("ssq_k"),
+                )
+                for k in _TRUNC_BUDGETS
+            ]
+        )
+    ).alias("per")
+    rows = st.embeddings.select(ssq_full.alias("ssq"), per).select(
+        F.col("per.budget").alias("budget"),
+        F.floor(
+            F.sqrt(F.col("per.ssq_k") / F.col("ssq"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f_micro"),
+    )
+    return rows.groupBy("budget").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (
+            F.sum("f_micro").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+        ).alias("mean_fidelity"),
+        (F.min("f_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "min_fidelity"
+        ),
     )

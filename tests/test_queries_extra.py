@@ -77,3 +77,49 @@ def test_variant_extraction_nulls_malformed_and_missing(spark):
         ).collect()
     }
     assert out == {1: 7, 2: None, 3: None, 4: None, 5: None}
+
+
+def test_backfill_rewrites_only_affected_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: the correction's months are
+    rewritten, every other month directory keeps its PHYSICAL files
+    (same names — a rewrite would mint new uuids), and the patched
+    table equals a full rebuild."""
+    from pathlib import Path
+
+    from sales_etl_spark.load import write_parquet
+
+    out = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [(f"2024-{m:02d}", m, float(m * 100)) for m in range(1, 13)],
+        "order_month string, n_orders long, revenue double",
+    )
+    write_parquet(base, out, partition_by=["order_month"])
+
+    def listing(month):
+        d = Path(out) / f"order_month={month}"
+        return sorted(p.name for p in d.glob("*.parquet"))
+
+    before = {f"2024-{m:02d}": listing(f"2024-{m:02d}")
+              for m in range(1, 13)}
+    assert all(before.values())
+
+    fix = spark.createDataFrame(
+        [("2024-03", 3, 999.0), ("2024-07", 7, 777.0)],
+        "order_month string, n_orders long, revenue double",
+    )
+    write_parquet(
+        fix, out, mode="overwrite",
+        partition_by=["order_month"], dynamic_partition_overwrite=True,
+    )
+    for m in range(1, 13):
+        key = f"2024-{m:02d}"
+        if m in (3, 7):
+            assert listing(key) != before[key]  # rewritten
+        else:
+            assert listing(key) == before[key]  # physically untouched
+    got = {
+        r.order_month: r.revenue
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["2024-03"] == 999.0 and got["2024-07"] == 777.0
+    assert got["2024-05"] == 500.0 and len(got) == 12
