@@ -51,6 +51,10 @@ _SWEEP_FIRST = [
     "quality_k_anonymity",
     "quality_l_diversity",
     "dedup_lsh_incremental",
+    "agg_holt_forecast",
+    "emb_truncate_fidelity",
+    "mart_backfill_partitions",
+    "quality_uniqueness_audit",
     "emb_pca_power",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------
