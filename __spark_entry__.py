@@ -55,6 +55,8 @@ _SWEEP_FIRST = [
     "emb_truncate_fidelity",
     "mart_backfill_partitions",
     "quality_uniqueness_audit",
+    "ann_hard_negatives",
+    "agg_holt_backtest",
     "emb_pca_power",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------

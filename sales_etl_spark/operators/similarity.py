@@ -82,6 +82,67 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the k nearest corpus vectors with a DIFFERENT label — the
+    most-confusable negatives, which carry nearly all the gradient
+    signal in a contrastive batch (random negatives are trivially
+    separated). Same physical shape as :func:`cosine_topk` (broadcast
+    queries, codegen cosine with hoisted norms, partial
+    WindowGroupLimit under the single exchange); the label inequality
+    is one extra codegen predicate on the scored stream, so the
+    top-k state holds only cross-label candidates. Self-matches are
+    excluded by the label filter itself (same id ⇒ same label)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(label_col).alias("__ql"),
+        to_double(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            to_double(vec_col).alias("__cv"),
+            norm(vec_col).alias("__cn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("__ql"))
+        .select(
+            query_id_col,
+            F.col("__ql").alias("query_label"),
+            "neighbor_id",
+            "neighbor_label",
+            cosine_prenorm_rounded("__qv", "__qn", "__cv", "__cn").alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "query_label",
+            "rank",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine_sim",
+        )
+    )
+
+
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((planes, dim))

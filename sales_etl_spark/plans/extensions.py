@@ -1415,6 +1415,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _star(spark, sf_dir)
     e = st.embeddings
     return similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10,
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, q.query_label,
+               e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               round(
+                   {{dot_qe}}
+                   / nullif(sqrt({{dot_qq}})
+                          * sqrt({{dot_ee}}), 0),
+                   6) AS cosine_sim
+        FROM q JOIN embeddings e ON e.label <> q.query_label
+    )
+    SELECT query_id, query_label, CAST(rnk AS INTEGER) AS rank,
+           neighbor_id, neighbor_label, cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """.format(
+        dot_qe=_DOT_SQL.format(a="q.qv", b="e.embedding"),
+        dot_qq=_DOT_SQL.format(a="q.qv", b="q.qv"),
+        dot_ee=_DOT_SQL.format(a="e.embedding", b="e.embedding"),
+    ),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 10 most-similar corpus vectors with a DIFFERENT label
+    — the confusable negatives that carry the gradient signal in a
+    contrastive batch (random negatives are trivially separated;
+    retrieval-training recipes mine exactly this). Same plan as
+    ann_cosine_topk (broadcast queries, codegen cosine, partial
+    WindowGroupLimit) with the cross-label predicate as one extra
+    codegen filter on the scored stream; at 100 TB the scoring pass
+    scales with the corpus like the baseline — swap in the LSH/IVF
+    tiers for candidate generation and keep this as the exact
+    re-scorer over candidates."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings
+    return similarity.hard_negatives(
         e, e.filter(F.col("vec_id") < 5), k=10
     )
 

@@ -3474,3 +3474,121 @@ def quality_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out
+
+
+#: Holt backtest holdout (last N OBSERVED days).
+_HOLT_TEST = 28
+
+#: One Holt update in SQL: sign-split integer halving of (x+lvl+tr)
+#: then of (lvl'−lvl+tr) — `//` agrees with Python either side of 0
+#: under the sign split.
+_HOLT_LVL = """CASE WHEN (s.cents + h.lvl + h.tr) < 0
+     THEN -((-(s.cents + h.lvl + h.tr)) // 2)
+     ELSE (s.cents + h.lvl + h.tr) // 2 END"""
+_HOLT_TR = f"""CASE WHEN (({_HOLT_LVL}) - h.lvl + h.tr) < 0
+     THEN -((-(({_HOLT_LVL}) - h.lvl + h.tr)) // 2)
+     ELSE (({_HOLT_LVL}) - h.lvl + h.tr) // 2 END"""
+
+
+@query(
+    "agg_holt_backtest",
+    oracle=f"""
+    WITH RECURSIVE day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents, row_number() OVER (ORDER BY d) AS t FROM day
+    ),
+    meta AS (SELECT MAX(t) AS n FROM seq),
+    train AS (
+        SELECT s.* FROM seq s, meta m WHERE s.t <= m.n - {_HOLT_TEST}
+    ),
+    holt(t, lvl, tr) AS (
+        SELECT 1, cents, CAST(0 AS BIGINT) FROM train WHERE t = 1
+        UNION ALL
+        SELECT s.t, {_HOLT_LVL}, {_HOLT_TR}
+        FROM holt h JOIN train s ON s.t = h.t + 1
+    ),
+    fin AS (SELECT lvl, tr FROM holt ORDER BY t DESC LIMIT 1),
+    naive AS (
+        SELECT tr.cents AS last_train
+        FROM train tr, meta m WHERE tr.t = m.n - {_HOLT_TEST}
+    ),
+    test AS (
+        SELECT s.t - (m.n - {_HOLT_TEST}) AS h, s.cents
+        FROM seq s, meta m WHERE s.t > m.n - {_HOLT_TEST}
+    ),
+    err AS (
+        SELECT abs(fin.lvl + test.h * fin.tr - test.cents) AS holt_ae,
+               abs(naive.last_train - test.cents) AS naive_ae,
+               (fin.lvl + test.h * fin.tr - test.cents) AS holt_e
+        FROM test, fin, naive
+    )
+    SELECT (SELECT CAST(m.n - {_HOLT_TEST} AS BIGINT) FROM meta m)
+               AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(holt_ae) AS DOUBLE) / COUNT(*) / 100.0 AS holt_mae,
+           CAST(SUM(naive_ae) AS DOUBLE) / COUNT(*) / 100.0
+               AS naive_mae,
+           CAST(SUM(holt_e) AS DOUBLE) / COUNT(*) / 100.0 AS holt_bias
+    FROM err
+    """,
+)
+def agg_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest for agg_holt_forecast — the evaluation-as-operator
+    pattern (ann_recall_eval / dedup_recall_eval for forecasting):
+    hold out the last 28 OBSERVED days, fit Holt on the prefix,
+    score the holdout with MAE, a last-train-value NAIVE baseline
+    (the skill bar any forecast must beat), and signed bias. Run this
+    before trusting the forecast, exactly like recall before
+    committing an ANN index.
+
+    Same execution shape as the forecast op: distributed day-grain
+    agg, local exact-integer recursion over the calendar-bounded
+    series; every error is an |exact int|, so the means are divisions
+    of exact operands."""
+    st = _star(spark, sf_dir)
+    day = (
+        st.orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    series = [int(r["cents"]) for r in day.orderBy("d").collect()]
+    train, test = series[: -_HOLT_TEST], series[-_HOLT_TEST:]
+
+    def _half(v: int) -> int:
+        return -((-v) // 2) if v < 0 else v // 2
+
+    lvl, tr = train[0], 0
+    for x in train[1:]:
+        new_lvl = _half(x + lvl + tr)
+        tr = _half(new_lvl - lvl + tr)
+        lvl = new_lvl
+    naive = train[-1]
+    holt_ae = naive_ae = holt_e = 0
+    for h, actual in enumerate(test, start=1):
+        f = lvl + h * tr
+        holt_ae += abs(f - actual)
+        naive_ae += abs(naive - actual)
+        holt_e += f - actual
+    n_test = len(test)
+    return spark.createDataFrame(
+        [
+            (
+                len(train),
+                n_test,
+                float(holt_ae) / n_test / 100.0,
+                float(naive_ae) / n_test / 100.0,
+                float(holt_e) / n_test / 100.0,
+            )
+        ],
+        "n_train long, n_test long, holt_mae double, naive_mae double, "
+        "holt_bias double",
+    )
