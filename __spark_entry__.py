@@ -57,6 +57,7 @@ _SWEEP_FIRST = [
     "quality_uniqueness_audit",
     "ann_hard_negatives",
     "agg_holt_backtest",
+    "dedup_cluster_weights",
     "emb_pca_power",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------

@@ -92,6 +92,11 @@ HEADLINE = [
     # agg + window argmin, and the 5-table all-decimal profit rollup
     "flagship_min_cost_supplier",
     "flagship_product_profit",
+    # continuation window 2: the map-only centroid-silhouette scoring
+    # pass and the O(batch) LSH index probe (broadcast batch, index
+    # scan never shuffled)
+    "emb_silhouette",
+    "dedup_lsh_incremental",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -979,6 +979,91 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_weights",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc
+        JOIN sizes sb ON c.doc_b = sb.doc
+        WHERE CAST(c.common AS DOUBLE)
+              / (sa.set_size + sb.set_size - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           1.0 / COALESCE(s.cluster_size, 1) AS weight
+    FROM documents d
+    LEFT JOIN cc ON cc.node = d.doc_id
+    LEFT JOIN csize s USING (cluster_id)
+    """,
+)
+def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, every doc gets
+    sampling weight 1/cluster_size over the exact-Jaccard cluster
+    graph (singletons keep weight 1.0) — the down-weighting
+    alternative to hard removal, which preserves rare phrasing inside
+    duplicate clusters while equalizing each cluster's total mass to
+    one document. Feed the weight column straight into
+    sample_weighted_k / mix_token_budget for a dedup-aware mixture.
+
+    Same distributed machinery as dedup_cluster_resolve (inverted-
+    index pairs → min-label CC), then one broadcast join back to the
+    corpus for the singleton fill — the cluster frame is |clustered
+    docs|-sized, never corpus-sized. weight = 1/size is a division of
+    exact integers (identical IEEE both engines)."""
+    st = _star(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        st.documents, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=10_000,
+    )
+    clustered = dedup.resolve_clusters(pairs).select(
+        F.col("doc_id"), "cluster_id", "cluster_size"
+    )
+    return (
+        st.documents.select("doc_id")
+        .join(F.broadcast(clustered), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("weight"),
+        )
+    )
+
+
+@query(
     "dedup_corpus_survivors",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},

@@ -341,7 +341,11 @@ _PYTHON_OK = {
 #: Declared ground-truth tiers allowed an all-pairs join at
 #: verification scale (each has an implemented, tested scale twin).
 _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
-                 "ann_quantized_topk"}
+                 "ann_quantized_topk",
+                 # same broadcast-queries × corpus scoring shape as
+                 # the cosine baseline (declared exact tier; LSH/IVF
+                 # are the candidate-generation scale path)
+                 "ann_hard_negatives"}
 
 #: Queries that broadcast a ONE-ROW aggregate (corpus doc count /
 #: log-prob normalizer) into every row — Spark plans that scalar
