@@ -976,3 +976,58 @@ def test_stream_ledger_equals_batch_capped_running_sum(spark, tmp_path):
         .collect()
     )
     assert len(got) == len(want) and got == want
+
+
+def test_stream_lsh_dedup_converges_to_batch_result(spark, tmp_path):
+    """Streaming fuzzy ingest dedup: 3 micro-batches through the
+    persisted-index probe emit, in union, EXACTLY the full-corpus
+    batch LSH pair set (each pair surfaces once — when its later
+    member arrives), and the index holds one lake version per
+    non-empty batch."""
+    from sales_etl_spark import lake
+    from sales_etl_spark.operators.dedup import minhash_lsh_pairs
+    from sales_etl_spark.streaming.dedup_stream import stream_lsh_dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    kw = dict(num_hashes=32, bands=8, min_est_jaccard=0.3)
+    index_path = str(tmp_path / "lsh_index")
+    pairs_path = str(tmp_path / "pairs")
+    q = (
+        stream_lsh_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            index_path, pairs_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            **kw,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    assert got == want and len(want) > 0
+    assert len(lake.versions(index_path)) == 3  # one commit per batch
+    # the index is the full corpus's band rows
+    assert (
+        lake.read_table(spark, index_path).select("doc").distinct().count()
+        == docs.count()
+    )
