@@ -58,6 +58,8 @@ _SWEEP_FIRST = [
     "ann_hard_negatives",
     "agg_holt_backtest",
     "dedup_cluster_weights",
+    "agg_seasonal_decompose",
+    "events_bot_score",
     "emb_pca_power",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------

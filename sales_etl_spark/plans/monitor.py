@@ -3592,3 +3592,196 @@ def agg_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train long, n_test long, holt_mae double, naive_mae double, "
         "holt_bias double",
     )
+
+
+@query(
+    "agg_seasonal_decompose",
+    oracle="""
+    WITH day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT dow, cents,
+               SUM(cents) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+               COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        FROM day
+    ),
+    det AS (
+        SELECT dow,
+               CAST(floor((cents - s7 / 7.0) * 1000000.0 + 0.5)
+                    AS BIGINT) AS f
+        FROM win WHERE c7 = 7
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(f) AS DOUBLE) / 1000000.0 / COUNT(*) / 100.0
+               AS seasonal_idx
+    FROM det GROUP BY dow
+    """,
+)
+def agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, the weekday half:
+    trend = centered 7-day moving average over the observed-day
+    series, seasonal index per weekday = mean of the detrended
+    residuals (in revenue dollars; positive = that weekday runs above
+    trend). The descriptive companion to agg_holt_forecast — Holt
+    says where the series is going, this says what shape a week has
+    (agg_weekday_seasonality's share-of-revenue view is the
+    multiplicative cousin; this is the additive level view).
+
+    Spark-first plan: one shuffle to the day grain in exact integer
+    cents, then the centered window runs over the CALENDAR-BOUNDED
+    day series — a single-partition window, correct here for the same
+    reason as window_ntile_quartiles (the frame is post-agg,
+    ~2.4k rows at any corpus size). Edge days without a full 7-row
+    frame are EXCLUDED (count guard), not padded — the standard MA
+    convention, and the choice both engines state identically.
+    Per-row residuals quantize to micro-units before the 7-group
+    mean; cents−s7/7.0 is the same long−double IEEE op either side."""
+    st = _star(spark, sf_dir)
+    day = (
+        st.orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+        .select(
+            "d",
+            (F.dayofweek("d") - F.lit(1)).alias("dow"),
+            "cents",
+        )
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        day.select(
+            "dow",
+            "cents",
+            F.sum("cents").over(w7).alias("s7"),
+            F.count(F.lit(1)).over(w7).alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .select(
+            "dow",
+            F.floor(
+                (F.col("cents") - F.col("s7") / F.lit(7.0))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    return det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("f").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("seasonal_idx"),
+    )
+
+
+@query(
+    "events_bot_score",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) AS BIGINT)) // 1000 AS gap_ms
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_ms) AS BIGINT) AS s1,
+               CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS s2
+        FROM g WHERE gap_ms IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= 5
+    )
+    SELECT user_id, n_gaps,
+           CAST(s1 AS DOUBLE) / n_gaps / 1000.0 AS mean_gap_s,
+           sqrt(CAST(CAST(n_gaps AS HUGEINT) * s2
+                     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+               / CAST(s1 AS DOUBLE) AS gap_cv
+    FROM stats
+    ORDER BY gap_cv ASC, user_id LIMIT 20
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection from inter-arrival REGULARITY: humans
+    produce bursty, high-variance gaps; schedulers and scripts
+    produce metronomic ones, so the 20 lowest coefficients of
+    variation (std/mean of per-user event gaps, ≥5 gaps) are the
+    audit queue — the behavioral-hygiene sibling of the content
+    filters (text_quality_filter) for event/clickstream corpora.
+
+    Bit-exact across engines: gaps are integer MILLISECONDS (lag over
+    a per-user window with the unique event_id tiebreak; µs would
+    overflow Σg² on multi-hour gaps — measured, hence the ms floor
+    division, identical `div`/`//` on nonnegative gaps), and the
+    cv comes from exact integer moments — cv = sqrt(n·Σg²−(Σg)²)/Σg,
+    the numerator in 128-bit exact arithmetic (decimal(38,0) /
+    HUGEINT — n·Σg² tops long range on active users), the
+    sqrt/divide the same IEEE sequence both sides. One shuffle to the user
+    window, map-side-combinable moment sums, TakeOrderedAndProject
+    top-20.
+
+    Scale note: Σg² of ms gaps bounds at n·(span_ms)² — fine through
+    month-scale spans; widen to decimal past that. The audit-queue
+    shape (bounded top-k out) is unchanged."""
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = st.events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull()).select(
+        "user_id", F.expr("gap_us div 1000").alias("gap_ms")
+    )
+    stats = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_ms").cast("long").alias("s1"),
+            F.sum(F.col("gap_ms") * F.col("gap_ms"))
+            .cast("long")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    return (
+        stats.select(
+            "user_id",
+            "n_gaps",
+            (
+                F.col("s1").cast("double")
+                / F.col("n_gaps")
+                / F.lit(1_000.0)
+            ).alias("mean_gap_s"),
+            (
+                F.sqrt(
+                    (
+                        F.col("n_gaps").cast("decimal(38,0)")
+                        * F.col("s2").cast("decimal(38,0)")
+                        - F.col("s1").cast("decimal(38,0)")
+                        * F.col("s1").cast("decimal(38,0)")
+                    ).cast("double")
+                )
+                / F.col("s1").cast("double")
+            ).alias("gap_cv"),
+        )
+        .orderBy(F.asc("gap_cv"), F.asc("user_id"))
+        .limit(20)
+    )
