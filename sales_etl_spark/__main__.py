@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
         "keeps working for the newest N versions)",
     )
     p.add_argument(
+        "--lake-fsck", metavar="TABLE_PATH",
+        help="manifest integrity audit: missing files (fatal), "
+        "orphans, stale index entries, version gaps; exit 1 if a "
+        "reader-visible invariant is broken",
+    )
+    p.add_argument(
         "--lake-delete", metavar="TABLE_PATH",
         help="row-level DELETE on a lake table via positional deletion "
         "vectors (no data-file rewrite; --where gives the predicate; "
@@ -244,6 +250,14 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             logger.exception("lake compaction failed")
             return 1
+    if args.lake_fsck:
+        import json as _json
+
+        from sales_etl_spark import lake
+
+        report = lake.fsck(args.lake_fsck)
+        print(_json.dumps(report, indent=2, default=str))
+        return 0 if report["ok"] else 1
     if args.lake_vacuum:
         from sales_etl_spark import lake
 

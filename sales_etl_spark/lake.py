@@ -898,3 +898,66 @@ def stream_upsert_lake(
         stream_df.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def fsck(table_path: str) -> dict:
+    """Manifest integrity audit (the lake's `fsck`): returns a report
+    dict and NEVER mutates state — run it before trusting a table
+    after manual surgery, a partial vacuum, or a filesystem restore.
+
+    Checks, per the format's invariants:
+
+    - ``missing_files``: (version, file) pairs a manifest references
+      but the filesystem lacks — the ONE fatal state (a reader of
+      that version will fail); every other finding is benign.
+    - ``orphan_files``: data/delete files on disk no retained
+      manifest references — invisible to readers, vacuum reclaims.
+    - ``stale_stats`` / ``stale_bloom``: skip-index entries for files
+      not in their manifest's file list — dead weight, never consulted
+      (pruning iterates the file list, not the index), but a sign a
+      manifest was hand-edited.
+    - ``version_gaps``: missing version numbers in the log — fine for
+      reads (readers use the latest retained version) but means
+      history was partially vacuumed or a commit was hand-deleted.
+    - ``ok``: no missing files (the only invariant readers need).
+    """
+    table = Path(table_path)
+    vs = versions(table_path)
+    report: dict = {
+        "versions": vs,
+        "missing_files": [],
+        "orphan_files": [],
+        "stale_stats": [],
+        "stale_bloom": [],
+        "version_gaps": [],
+    }
+    if not vs:
+        report["ok"] = False
+        report["missing_files"] = [(None, "<no committed versions>")]
+        return report
+    report["version_gaps"] = [
+        v for v in range(vs[0], vs[-1]) if v not in set(vs)
+    ]
+    referenced: set[str] = set()
+    for v in vs:
+        m = _read_manifest(table_path, v)
+        files = m["files"] + (m.get("delete_files") or [])
+        referenced.update(files)
+        for f in files:
+            if not (table / f).exists():
+                report["missing_files"].append((v, f))
+        in_manifest = set(m["files"])
+        for key, bucket in (("stats", "stale_stats"),
+                            ("bloom", "stale_bloom")):
+            for f in (m.get(key) or {}):
+                if f not in in_manifest:
+                    report[bucket].append((v, f))
+    for sub in ("data", "deletes"):
+        d = table / sub
+        if d.is_dir():
+            for p in sorted(d.glob("*.parquet")):
+                rel = f"{sub}/{p.name}"
+                if rel not in referenced:
+                    report["orphan_files"].append(rel)
+    report["ok"] = not report["missing_files"]
+    return report

@@ -701,3 +701,73 @@ def test_bloom_autosizes_to_file_cardinality(spark, tmp_path):
     ent = next(iter(m["bloom"].values()))["k"]
     assert ent["m"] >= 16 * 3000
     assert len(ent["words"]) == ent["m"] // 64
+
+
+def test_fsck_clean_table_and_every_finding_class(spark, tmp_path):
+    """fsck: a healthy table reports ok; orphans, stale index
+    entries, version gaps, and missing files each surface in their
+    own bucket (missing = the one fatal state)."""
+    t = str(tmp_path / "tbl")
+    lake.commit_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t,
+        "append", stats_cols=["k"], bloom_cols=["k"],
+    )
+    lake.commit_write(
+        spark.createDataFrame([(2, "b")], "k long, v string"), t,
+        "append",
+    )
+    rep = lake.fsck(t)
+    assert rep["ok"] and not any(
+        rep[k] for k in ("missing_files", "orphan_files",
+                         "stale_stats", "stale_bloom", "version_gaps")
+    )
+    # orphan: a data file no manifest references
+    orphan = Path(t) / "data" / "deadbeef-part00000.parquet"
+    src = next((Path(t) / "data").glob("*.parquet"))
+    orphan.write_bytes(src.read_bytes())
+    rep = lake.fsck(t)
+    assert rep["ok"] and rep["orphan_files"] == [
+        "data/deadbeef-part00000.parquet"
+    ]
+    orphan.unlink()
+    # version gap: drop v0 from the log (vacuum-style history trim)
+    (Path(t) / "_log" / "00000000.json").unlink()
+    rep = lake.fsck(t)
+    assert rep["version_gaps"] == [] and rep["versions"] == [1]
+    lake.commit_write(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t,
+        "append",
+    )
+    lake.commit_write(
+        spark.createDataFrame([(4, "d")], "k long, v string"), t,
+        "append",
+    )
+    (Path(t) / "_log" / "00000002.json").unlink()
+    rep = lake.fsck(t)
+    assert rep["version_gaps"] == [2] and rep["ok"]
+    # missing file: manifest references a file the fs lacks
+    victim = next((Path(t) / "data").glob("*.parquet"))
+    victim.unlink()
+    rep = lake.fsck(t)
+    assert not rep["ok"] and rep["missing_files"]
+    # stale index entries: stats/bloom for a file not in the list
+    m_path = Path(t) / "_log" / "00000003.json"
+    m = json.loads(m_path.read_text())
+    m["stats"] = {"data/ghost.parquet": {"k": [0, 1]}}
+    m["bloom"] = {"data/ghost.parquet": {"k": {}}}
+    m_path.write_text(json.dumps(m))
+    rep = lake.fsck(t)
+    assert rep["stale_stats"] == [(3, "data/ghost.parquet")]
+    assert rep["stale_bloom"] == [(3, "data/ghost.parquet")]
+
+
+def test_cli_lake_fsck(spark, tmp_path, capsys):
+    from sales_etl_spark.__main__ import main
+
+    t = str(tmp_path / "tbl")
+    lake.commit_write(spark.createDataFrame([(1,)], "k long"), t)
+    assert main(["--lake-fsck", t]) == 0
+    out = capsys.readouterr().out
+    assert '"ok": true' in out
+    next((Path(t) / "data").glob("*.parquet")).unlink()
+    assert main(["--lake-fsck", t]) == 1
