@@ -60,6 +60,7 @@ _SWEEP_FIRST = [
     "dedup_cluster_weights",
     "agg_seasonal_decompose",
     "events_bot_score",
+    "sample_kcenter_coreset",
     "emb_pca_power",
     # -- reconciliation & monitoring tier (newest code, no driver row
     # yet) ----------------------------------------------------------

@@ -1951,3 +1951,138 @@ def mart_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_lines").cast("bigint").alias("n_lines"),
         F.col("__rev").cast("double").alias("revenue"),
     )
+
+
+#: k-center coreset size (greedy farthest-point traversal).
+_KCENTER_K = 8
+
+#: DuckDB pico-quantized squared L2 between two embedding arrays —
+#: identical per-term IEEE + integer fold as the Spark zip_with.
+_DSQ_PICO = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * 1000000000000.0 + 0.5) AS BIGINT)), (x, y) -> x + y)"
+)
+
+
+def _kcenter_sql() -> str:
+    """Unrolled greedy k-center oracle: seed = min vec_id, then each
+    step picks the vector FARTHEST from its nearest chosen center
+    (pico-integer distances; vec_id tiebreak), exactly the Spark
+    loop's arithmetic."""
+    steps = []
+    sel = ["SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS mind FROM c1"]
+    steps.append(
+        "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)"
+    )
+    steps.append(
+        "d1 AS (SELECT e.vec_id, "
+        + _DSQ_PICO.format(a="e.embedding", b="c1.embedding")
+        + " AS mind FROM e, c1)"
+    )
+    for j in range(2, _KCENTER_K + 1):
+        steps.append(
+            f"c{j} AS (SELECT d.vec_id, e.embedding, d.mind "
+            f"FROM d{j - 1} d JOIN e USING (vec_id) "
+            f"ORDER BY d.mind DESC, d.vec_id LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT {j} AS rank, vec_id, mind FROM c{j}"
+        )
+        if j < _KCENTER_K:
+            steps.append(
+                f"d{j} AS (SELECT d.vec_id, "
+                f"LEAST(d.mind, "
+                + _DSQ_PICO.format(a="e.embedding", b=f"c{j}.embedding")
+                + f") AS mind "
+                f"FROM d{j - 1} d JOIN e USING (vec_id), c{j})"
+            )
+    return (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n"
+        + ",\n".join(steps)
+        + "\nSELECT CAST(rank AS INTEGER) AS rank, vec_id,\n"
+        "       sqrt(CAST(mind AS DOUBLE) / 1000000000000.0)\n"
+        "           AS dist_to_chosen\n"
+        "FROM (" + " UNION ALL ".join(sel) + ")"
+    )
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_sql())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-maximizing coreset by greedy k-center (farthest-point
+    traversal): seed with the min-id vector, then repeatedly take the
+    vector FARTHEST from its nearest chosen center — the classic
+    2-approximation to the k-center cover, and the standard
+    diversity-selection move for training-data curation (pick the
+    examples that cover embedding space, not the densest cluster;
+    complements the density-driven samplers in operators/sampling.py).
+    Output: selection order, vec_id, and each pick's distance to the
+    previously chosen set (the running coverage radius, decreasing).
+
+    Spark-first plan: the chosen set is k-BOUNDED DRIVER STATE (the
+    Lloyd/PCA pattern) — each of the k−1 rounds is ONE map-only pass
+    (literal center vector, pico-integer min-distance update) into a
+    1-row argmax (max over (dist, -vec_id) structs — largest distance,
+    smallest id on ties), so the corpus is never joined or shuffled;
+    the running min-distance column folds into the next round's
+    projection. Bit-exact across engines: per-term pico quantization
+    before the fold, integer comparisons throughout, one sqrt at the
+    output boundary."""
+    st = _star(spark, sf_dir)
+    e = st.embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "xd"
+        ),
+    )
+
+    def dsq(center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("xd"),
+                F.array(*[F.lit(c) for c in center]),
+                lambda x, c: F.floor(
+                    (x - c) * (x - c) * F.lit(1_000_000_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(1, int(seed["vec_id"]), 0)]
+    center = [float(x) for x in seed["xd"]]
+    cur = e.select("vec_id", "xd", dsq(center).alias("mind"))
+    for j in range(2, _KCENTER_K + 1):
+        top = (
+            cur.select(
+                F.max(
+                    F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        far_id, far_d = -top["nid"], int(top["mind"])
+        chosen.append((j, far_id, far_d))
+        if j < _KCENTER_K:
+            center = [
+                float(x)
+                for x in e.filter(F.col("vec_id") == far_id)
+                .collect()[0]["xd"]
+            ]
+            cur = cur.select(
+                "vec_id",
+                "xd",
+                F.least(F.col("mind"), dsq(center)).alias("mind"),
+            )
+    import math
+
+    return spark.createDataFrame(
+        [
+            (rank, vid, math.sqrt(float(d) / 1e12))
+            for rank, vid, d in chosen
+        ],
+        "rank int, vec_id long, dist_to_chosen double",
+    )
