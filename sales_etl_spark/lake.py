@@ -328,6 +328,35 @@ def commit_write(
         )
 
     # 2. commit: O_EXCL manifest create, retry on version races
+    return commit_staged(
+        table_path, new_files, mode,
+        max_retries=max_retries, expected_base=expected_base,
+        new_stats=new_stats, new_bloom=new_bloom,
+    )
+
+
+def commit_staged(
+    table_path: str,
+    new_files: list[str],
+    mode: str = "append",
+    max_retries: int = 10,
+    expected_base: int | None = None,
+    new_stats: dict | None = None,
+    new_bloom: dict | None = None,
+) -> int:
+    """Publish ALREADY-STAGED data files (table-relative names, bytes
+    fully on disk, invisible until named) as the next version — the
+    manifest half of :func:`commit_write`, exposed for writers that
+    produce files on executors themselves (the Python DataSource sink
+    in sources/lake_sink.py). Same O_EXCL link protocol, same version
+    -race retries, same append carry-forward of deletion vectors and
+    skip indexes."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown commit mode: {mode}")
+    new_stats = new_stats or {}
+    new_bloom = new_bloom or {}
+    _log_dir(table_path).mkdir(parents=True, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
     for _ in range(max_retries):
         existing = versions(table_path)
         if expected_base is not None:

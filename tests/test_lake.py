@@ -771,3 +771,44 @@ def test_cli_lake_fsck(spark, tmp_path, capsys):
     assert '"ok": true' in out
     next((Path(t) / "data").glob("*.parquet")).unlink()
     assert main(["--lake-fsck", t]) == 1
+
+
+def test_python_datasource_sink_writes_atomic_versions(spark, tmp_path):
+    """The DataSource writer: executor-parallel parquet files publish
+    as ONE atomic lake version (append and overwrite SaveModes);
+    interleaves with commit_write on the same table; empty partitions
+    contribute no files; time travel and fsck hold."""
+    from sales_etl_spark.sources.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    ).repartition(4)
+    df.write.format("lake_table").option("path", t).mode("append").save()
+    assert lake.versions(t) == [0]
+    m = json.loads((Path(t) / "_log" / "00000000.json").read_text())
+    assert m["n_new_files"] == 4  # one file per task
+    got = sorted(r.k for r in lake.read_table(spark, t).collect())
+    assert got == list(range(40))
+    # interleave: a commit_write append lands as v1 on the same log
+    lake.commit_write(
+        spark.createDataFrame([(100, "x")], "k long, v string"), t,
+        "append",
+    )
+    # DataSource append on top — sees v1 as its base
+    spark.createDataFrame([(200, "y")], "k long, v string").repartition(
+        8
+    ).write.format("lake_table").option("path", t).mode("append").save()
+    assert lake.versions(t) == [0, 1, 2]
+    assert lake.read_table(spark, t).count() == 42
+    # 8 partitions of 1 row → 7 empty tasks contribute no files
+    m2 = json.loads((Path(t) / "_log" / "00000002.json").read_text())
+    assert m2["n_new_files"] == 1
+    # overwrite SaveMode = overwrite commit; history stays readable
+    spark.createDataFrame([(9, "z")], "k long, v string").write.format(
+        "lake_table"
+    ).option("path", t).mode("overwrite").save()
+    assert [r.k for r in lake.read_table(spark, t).collect()] == [9]
+    assert lake.read_table(spark, t, 2).count() == 42  # time travel
+    assert lake.fsck(t)["ok"]
