@@ -686,29 +686,59 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value quartiles: decimal-exact per-customer
-    spend, then ntile(4) over the global value order — the RFM-style
-    segmentation mart. ntile is SQL-standard (first ``n mod 4``
-    buckets get the extra row) so both engines agree exactly; the
+    spend, quartiled over the global value order — the RFM-style
+    segmentation mart. Bit-exact with the SQL-standard ntile(4)
+    oracle (the first ``n mod 4`` buckets get one extra row); the
     unique customer_id tiebreak makes the global order total.
 
-    Scale note: a global ntile is a single-partition window — fine
-    for |customers| aggregate rows (the window input is POST-agg),
-    wrong on a raw fact. At 100 TB swap ntile for percent_rank
-    computed from a 2-pass count, or interpolate against an
-    approx-quantile sketch, if even the aggregate outgrows one task."""
+    Spark-first shape: NO single-partition ntile window (|customers|
+    grows with the corpus — at 100 TB that window is one task sorting
+    ~10⁹ rows). Instead the global rank comes from the bucket-offset
+    decomposition (operators/windows.py:global_row_number — per-bucket
+    sorts + a broadcast offset frame; the only unpartitioned window
+    runs over the tiny post-agg per-bucket counts), and the
+    SQL-standard bucket assignment is computed CLOSED-FORM from the
+    rank and the broadcast 1-row global count: with q = n div 4 and
+    r = n mod 4, rows rn ≤ r·(q+1) land in bucket (rn−1) div (q+1) + 1
+    and the rest in r + (rn − r·(q+1) − 1) div q + 1 — pure integer
+    arithmetic, identical in both engines. Two bounded exchanges
+    total; the per-bucket sort parallelizes over value-range buckets."""
+    from sales_etl_spark.operators.windows import global_row_number
+
     st = _star(spark, sf_dir)
     ltv = st.orders.groupBy(
         F.col("o_custkey").alias("customer_id")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("lifetime_value")
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+        ).alias("lv_cents")
+    ).cache()  # customer-grain frame: 3 consumers (count scalar +
+    #            rank passes) — cache keeps the orders scan single.
+    nn = ltv.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # bucket = −(cents div $10k): monotone NON-decreasing along the
+    # DESC value order (ties share a bucket); long→double→trunc is
+    # exact for cents ≪ 2^53.
+    ranked = global_row_number(
+        ltv,
+        order_by=[F.desc("lv_cents"), F.asc("customer_id")],
+        bucket=(-F.col("lv_cents") / F.lit(1_000_000)).cast("long"),
+        out="rn",
     )
-    w = Window.orderBy(F.desc("lifetime_value"), "customer_id")
-    return ltv.select(
+    scored = ranked.crossJoin(F.broadcast(nn))
+    quartile = F.expr(
+        "CAST(CASE WHEN rn <= (n % 4) * (n div 4 + 1)"
+        " THEN (rn - 1) div (n div 4 + 1) + 1"
+        " ELSE (n % 4) + (rn - (n % 4) * (n div 4 + 1) - 1)"
+        "      div greatest(n div 4, 1) + 1 END AS INT)"
+    )
+    return scored.select(
         "customer_id",
-        "lifetime_value",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        (F.col("lv_cents").cast("double") / F.lit(100.0)).alias(
+            "lifetime_value"
+        ),
+        quartile.alias("quartile"),
     )
 
 

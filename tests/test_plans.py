@@ -402,6 +402,9 @@ _SCALAR_BNLJ_OK = {
     "agg_share_of_parent",
     # 1-row customer-count scalar broadcast into the quartile scoring
     "agg_rfm_segments",
+    # 1-row customer-count scalar broadcast into the bucket-offset
+    # ranked frame for the closed-form SQL-standard ntile assignment
+    "window_ntile_quartiles",
     # 1-row (n, Sx, Sy, Sxx, Sxy) moments frame broadcast into the
     # user-grain CUPED adjustment
     "events_ab_cuped",
@@ -618,6 +621,23 @@ def test_global_rownum_has_no_full_table_global_sort(spark):
     # the docs-side window is partitioned by bucket; the offsets window
     # follows an aggregate, so no rangepartitioning over raw doc rows
     assert "rangepartitioning(doc_id" not in plan.lower(), plan
+
+
+def test_ntile_quartiles_has_no_single_partition_customer_window(spark):
+    """window_ntile_quartiles must NOT run ntile over the customer
+    frame through one task: the quartile comes from the bucket-offset
+    global rank plus the closed-form SQL-standard assignment, so the
+    plan has no ntile node at all, the customer-side window is
+    partitioned by the value bucket, and the only SinglePartition
+    exchange feeds the tiny post-agg per-bucket offsets window."""
+    plan = _formatted(_build(spark, "window_ntile_quartiles"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "ntile" not in body.lower(), body
+    # the big-frame window shuffles on the bucket key, never globally
+    assert "hashpartitioning(__bkt" in body, body
+    # no range repartition of customer rows for a global sort
+    assert "rangepartitioning(lv_cents" not in body.lower(), body
+    assert "rangepartitioning(customer_id" not in body.lower(), body
 
 
 def test_forecast_revenue_pushes_all_predicates_and_prunes(spark):
