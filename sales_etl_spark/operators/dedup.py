@@ -458,6 +458,126 @@ def incremental_minhash_lsh(
     return new_rows, cand
 
 
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """EXACT Jaccard pairs touching an ingest batch — the hash-checkable
+    ground-truth twin of :func:`incremental_minhash_lsh` (same batch,
+    same pair universe batch×corpus ∪ batch×batch, but true n-gram
+    Jaccard instead of the banded-MinHash estimate). Output matches
+    :func:`ngram_jaccard_pairs` restricted to pairs with at least one
+    batch doc: (doc_a < doc_b, common, size_a, size_b, jaccard).
+
+    Scale shape — the batch side is small by definition, so its
+    shingle set BROADCASTS into both candidate legs: batch×corpus
+    candidates come from one map-side broadcast join against the
+    corpus shingle stream (corpus scanned, never shuffled), and
+    batch×batch candidates from the broadcast self-join. Per-ingest
+    shuffle cost is O(candidates), not O(corpus). In production the
+    corpus leg reads a maintained (doc, shingle-hash) inverted-index
+    store with its document-frequency stats kept alongside (exactly
+    like the persisted LSH index) instead of re-shingling raw text;
+    the joins are unchanged. ``max_shingle_df`` drops stopword-grade
+    hot shingles from BOTH legs (df measured over corpus ∪ batch) —
+    the same skew guard, and the same "jaccard over capped sets"
+    contract, as :func:`ngram_jaccard_pairs`."""
+    corpus_sh = _exploded_shingles(
+        corpus, id_col, text_col, n, hashed=True
+    ).cache()
+    batch_sh = _exploded_shingles(
+        batch, id_col, text_col, n, hashed=True
+    ).cache()
+    if max_shingle_df is not None:
+        # df over corpus ∪ batch (the post-ingest corpus), ONE drop
+        # list applied to both legs so the capped sets agree
+        freq = (
+            corpus_sh.unionByName(batch_sh)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        drop = freq.filter(F.col("df") > max_shingle_df).select("shingle")
+        corpus_sh = corpus_sh.join(F.broadcast(drop), "shingle", "left_anti")
+        batch_sh = batch_sh.join(F.broadcast(drop), "shingle", "left_anti")
+    sizes = (
+        corpus_sh.unionByName(batch_sh)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    return _pair_scores_from_candidates(
+        corpus_sh, batch_sh, sizes, threshold
+    )
+
+
+def _pair_scores_from_candidates(
+    corpus_sh: DataFrame,
+    batch_sh: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Candidate generation + exact scoring for the incremental pair
+    probe: corpus×batch from a broadcast probe of the corpus stream,
+    batch×batch from the broadcast self-join, then common counts and
+    the Jaccard expression over integer set sizes (one double division
+    — exact cross-engine)."""
+    cross = (
+        corpus_sh.alias("a")
+        .join(
+            F.broadcast(batch_sh).alias("b"),
+            F.col("a.shingle") == F.col("b.shingle"),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+    )
+    within = (
+        batch_sh.alias("a")
+        .join(
+            F.broadcast(batch_sh).alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+    )
+    common = (
+        cross.unionByName(within)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common.join(
+            sizes.select(
+                F.col("doc").alias("doc_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc").alias("doc_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "common", "size_a", "size_b", "jaccard"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -926,6 +926,51 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_pairs_exact",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        WHERE a.doc % 4 = 0 OR b.doc % 4 = 0
+        GROUP BY a.doc, b.doc
+    )
+    SELECT c.doc_a, c.doc_b, c.common,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(c.common AS DOUBLE)
+               / (sa.set_size + sb.set_size - c.common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc
+    JOIN sizes sb ON c.doc_b = sb.doc
+    WHERE CAST(c.common AS DOUBLE)
+          / (sa.set_size + sb.set_size - c.common) >= 0.5
+    """,
+)
+def dedup_incremental_pairs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-exact ground-truth twin of dedup_lsh_incremental: the SAME
+    arriving batch (doc_id % 4 = 0) probed against the SAME corpus,
+    but scored by TRUE n-gram Jaccard instead of the banded-MinHash
+    estimate — so the approximate tier's no-SQL-oracle row is paired
+    with a bit-exact row over the identical pair universe
+    (batch×corpus ∪ batch×batch, threshold 0.5).
+
+    Incremental shape (operators/dedup.py:incremental_jaccard_pairs):
+    the batch's shingle set broadcasts into a map-side probe of the
+    corpus shingle stream — per-ingest shuffle O(candidates), corpus
+    never shuffled; the oracle states the same result declaratively as
+    the full-corpus pair join restricted to batch-touching pairs."""
+    st = _star(spark, sf_dir)
+    batch = st.documents.filter(F.col("doc_id") % 4 == 0)
+    corpus = st.documents.filter(F.col("doc_id") % 4 != 0)
+    return dedup.incremental_jaccard_pairs(
+        corpus, batch, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query(
     "dedup_cluster_resolve",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},

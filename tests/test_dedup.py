@@ -444,3 +444,37 @@ def test_incremental_lsh_two_ingests_converge(spark, docs):
     ) - {(1, 2)}
     assert got == want
     assert pairs(p1) & pairs(p2) == set()
+
+
+def test_incremental_jaccard_pairs_equals_full_restriction(spark):
+    """The exact incremental probe (the hash-checked twin of the LSH
+    tier) must find EXACTLY the full-corpus ngram_jaccard_pairs that
+    touch the batch — same shingles, same cap, same scores. Also locks
+    the scale shape: the batch shingles broadcast, the corpus stream
+    is never shuffled for candidate generation."""
+    from sales_etl_spark.operators.dedup import incremental_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter("doc_id % 4 <> 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    kw = dict(n=3, threshold=0.3)
+
+    inc = incremental_jaccard_pairs(corpus, batch, "doc_id", "text", **kw)
+    got = {
+        (r.doc_a, r.doc_b, r.common, r.size_a, r.size_b, r.jaccard)
+        for r in inc.collect()
+    }
+
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", **kw)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.common, r.size_a, r.size_b, r.jaccard)
+        for r in full.collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    assert got == want and len(got) > 0
+
+    plan = inc._sc._jvm.PythonSQLUtils.explainString(
+        inc._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
