@@ -75,6 +75,51 @@ def write_parquet(
     writer.parquet(path)
 
 
+def wait_for_db(
+    spark,
+    url: str,
+    max_retries: int = 10,
+    delay: float = 2.0,
+    driver: str | None = None,
+    _connect=None,
+) -> int:
+    """Bounded database-readiness probe (reference main.py:42-58
+    ``wait_for_db``: 10 attempts × 2 s against a cold PostgreSQL).
+    Opens and closes one JDBC connection per attempt, sleeping
+    ``delay`` seconds between failures; returns the 1-based attempt
+    that succeeded or raises ``RuntimeError`` after ``max_retries``
+    with the last driver error chained.
+
+    Real deployments hit cold databases constantly — every sink entry
+    point calls this before its first real connection so a container
+    that is still booting costs a few retries, not a failed run.
+    ``_connect`` injects the connection attempt for tests (a
+    refusing-then-accepting fake); production always probes through
+    ``java.sql.DriverManager``."""
+    import time
+
+    if _connect is None:
+        jvm = spark._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+
+        def _connect() -> None:
+            jvm.java.sql.DriverManager.getConnection(url).close()
+
+    last: Exception | None = None
+    for attempt in range(1, max_retries + 1):
+        try:
+            _connect()
+            return attempt
+        except Exception as exc:  # Py4JJavaError / fake test error
+            last = exc
+            if attempt < max_retries:
+                time.sleep(delay)
+    raise RuntimeError(
+        f"database at {url} not ready after {max_retries} attempts"
+    ) from last
+
+
 def jdbc_write(
     df: DataFrame,
     url: str,
@@ -84,11 +129,23 @@ def jdbc_write(
     batchsize: int = 10_000,
     num_partitions: int | None = None,
     properties: Mapping[str, str] | None = None,
+    connect_retries: int = 10,
+    retry_delay: float = 2.0,
 ) -> None:
     """JDBC sink (reference etl/load.py:58-78 batch insert; 40-55
     truncate). ``mode='overwrite', truncate=True`` is TRUNCATE+reload
     without dropping DDL; ``batchsize`` is the executemany batch;
-    ``num_partitions`` caps concurrent connections."""
+    ``num_partitions`` caps concurrent connections. The readiness
+    probe (``wait_for_db``) runs first so per-partition writers never
+    race a still-booting database; ``connect_retries=1`` disables the
+    backoff (fail fast)."""
+    wait_for_db(
+        df.sparkSession,
+        url,
+        max_retries=connect_retries,
+        delay=retry_delay,
+        driver=(properties or {}).get("driver"),
+    )
     if num_partitions:
         df = df.coalesce(num_partitions)
     writer = (
@@ -216,6 +273,8 @@ def jdbc_execute_upsert(
     batch_size: int = 1_000,
     driver: str | None = None,
     guard_versions: bool = False,
+    connect_retries: int = 10,
+    retry_delay: float = 2.0,
 ) -> int:
     """Row-level upsert through a real JDBC ``PreparedStatement`` batch
     (the reference's psycopg2 ``execute`` loop, etl/load.py:81-109, on
@@ -244,8 +303,13 @@ def jdbc_execute_upsert(
     cols_sql = ", ".join(columns)
     qs = ", ".join("?" for _ in columns)
     jvm = df.sparkSession._jvm
-    if driver:
-        jvm.java.lang.Class.forName(driver)
+    wait_for_db(
+        df.sparkSession,
+        url,
+        max_retries=connect_retries,
+        delay=retry_delay,
+        driver=driver,
+    )
     conn = jvm.java.sql.DriverManager.getConnection(url)
     n = 0
     try:

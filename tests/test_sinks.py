@@ -601,3 +601,62 @@ def test_guarded_upsert_sql_strings():
         "WHEN MATCHED AND ((s.a > t.a) OR (s.a = t.a AND s.b > t.b)) "
         "THEN UPDATE" in mg
     ), mg
+
+
+def test_wait_for_db_retries_until_ready(spark, monkeypatch):
+    """Readiness probe (reference main.py:42-58): a database that
+    refuses the first attempts is retried with backoff and the
+    succeeding attempt number is returned; sleeps happen between
+    failures only."""
+    from sales_etl_spark.load import wait_for_db
+
+    slept: list[float] = []
+    monkeypatch.setattr("time.sleep", lambda s: slept.append(s))
+
+    calls = {"n": 0}
+
+    def flaky_connect():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("db still booting")
+
+    attempt = wait_for_db(
+        spark, "jdbc:fake:db", max_retries=5, delay=0.5,
+        _connect=flaky_connect,
+    )
+    assert attempt == 3
+    assert slept == [0.5, 0.5]  # no sleep after the success
+
+
+def test_wait_for_db_exhaustion_raises_with_cause(spark, monkeypatch):
+    """After max_retries failures the probe raises RuntimeError with
+    the last driver error chained (never an infinite wait)."""
+    import pytest as _pytest
+
+    from sales_etl_spark.load import wait_for_db
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+
+    def refuse():
+        raise ConnectionError("connection refused")
+
+    with _pytest.raises(RuntimeError) as exc:
+        wait_for_db(
+            spark, "jdbc:fake:db", max_retries=4, delay=0.1,
+            _connect=refuse,
+        )
+    assert "after 4 attempts" in str(exc.value)
+    assert isinstance(exc.value.__cause__, ConnectionError)
+
+
+def test_wait_for_db_immediate_success_never_sleeps(spark, monkeypatch):
+    """A ready database costs exactly one probe connection."""
+    from sales_etl_spark.load import wait_for_db
+
+    monkeypatch.setattr(
+        "time.sleep",
+        lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+    )
+    assert wait_for_db(
+        spark, "jdbc:fake:db", _connect=lambda: None
+    ) == 1
