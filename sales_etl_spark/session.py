@@ -75,6 +75,67 @@ def pin_semantics(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Known locations of a pure-Python google.protobuf when the package
+#: is not pip-installed (trimmed containers): an explicit override
+#: first, then copies bundled with commonly-present system tooling.
+_PROTOBUF_FALLBACKS = (
+    os.environ.get("SPARK_ETL_PROTOBUF_PATH"),
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable if at all possible.
+
+    ``transformWithStateInPandas``'s Python runtime (driver AND the
+    late-spawned Python workers) needs protobuf descriptors; some
+    trimmed environments ship PySpark without it. Try the plain
+    import; otherwise probe ``_PROTOBUF_FALLBACKS`` and, on a hit,
+    extend ``sys.path`` for this process and export ``PYTHONPATH`` so
+    Python workers forked after the next session build inherit it.
+    Returns availability — callers gate, never crash (the
+    semantics-identical ``applyInPandasWithState`` funnel runs
+    everywhere regardless)."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for p in _PROTOBUF_FALLBACKS:
+        if not p or not Path(p, "google", "protobuf", "__init__.py").exists():
+            continue
+        if p not in sys.path:
+            sys.path.insert(0, p)
+        existing = os.environ.get("PYTHONPATH", "")
+        if p not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                p + os.pathsep + existing if existing else p
+            )
+        importlib.invalidate_caches()
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            continue
+        # Fallback copies can trail the version PySpark's generated
+        # descriptors were built with by a minor release (e.g. 6.32
+        # runtime vs 6.33 gencode), which the runtime rejects by
+        # POLICY, not wire incompatibility. Use protobuf's own
+        # documented escape hatch — scoped here to the
+        # vendored-fallback path only; a properly installed protobuf
+        # never reaches this branch. Exported to os.environ so the
+        # JVM-spawned streaming Python workers inherit it too.
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        return True
+    return False
+
+
 def get_spark(
     app_name: str = "sales-etl-spark",
     master: str | None = None,
@@ -87,6 +148,11 @@ def get_spark(
     parallelism of the master in local mode; on a real cluster leave it
     unset and let AQE coalesce from a high initial number.
     """
+    # Export the protobuf fallback onto PYTHONPATH BEFORE the JVM
+    # gateway starts: Python workers inherit the JVM's environment, so
+    # doing this after getOrCreate would fix the driver but leave
+    # transformWithStateInPandas workers without descriptors.
+    ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

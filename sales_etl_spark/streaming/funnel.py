@@ -132,9 +132,14 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     the stateful funnel; emits the user's updated funnel row each
     micro-batch in which a funnel-step event for them arrived.
 
-    Requires the ``transformWithStateInPandas`` runtime (protobuf on
-    the Python side — absent in some trimmed environments; see
-    :func:`transform_with_state_available`). The semantics-identical
+    Requires the ``transformWithStateInPandas`` runtime: protobuf on
+    the Python side (absent in some trimmed environments — see
+    :func:`transform_with_state_available`, which can satisfy it from
+    a vendored copy) AND the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — each state variable
+    lives in its own column family, which the default HDFS-backed
+    store refuses. The semantics-identical
     :func:`funnel_stream_legacy` runs everywhere on
     ``applyInPandasWithState``."""
     return (
@@ -151,7 +156,14 @@ def funnel_stream(events: DataFrame) -> DataFrame:
 
 def transform_with_state_available() -> bool:
     """The transformWithStateInPandas Python runtime needs
-    google.protobuf descriptors; gate callers (and tests) on it."""
+    google.protobuf descriptors; gate callers (and tests) on it.
+    ``session.ensure_protobuf`` first tries to satisfy the import from
+    known vendored copies (and exports PYTHONPATH for workers), so the
+    gate only closes when no protobuf exists anywhere on the box."""
+    from sales_etl_spark.session import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 

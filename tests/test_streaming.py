@@ -615,7 +615,24 @@ def test_stateful_funnel_tws_converges_to_batch(spark, events_dir):
 
     if not transform_with_state_available():
         pytest.skip("transformWithStateInPandas needs google.protobuf")
-    _run_stateful_funnel(spark, events_dir, funnel_stream, "funnel_tws")
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that; the default
+    # HDFS-backed store refuses at query start. Scoped to this query
+    # (the conf is read per-start), restored for the rest of the suite.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _run_stateful_funnel(spark, events_dir, funnel_stream, "funnel_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_stream_kmeans_scoring_equals_batch(spark, tmp_path):
