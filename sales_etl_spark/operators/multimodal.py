@@ -5,11 +5,13 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 typed struct, and decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` — Spark moves bytes, Python touches each batch once.
 
-The decode kernels themselves are STUBBED here (no image/audio libs in
-this environment): ``decode_stub=True`` produces deterministic fake
+Decode tiers: ``decode_stub=True`` produces deterministic fake
 features so the plumbing — schema, batching, partition flow — is real
-and testable; ``decode_stub=False`` raises NotImplementedError at the
-exact point a real libjpeg/ffmpeg call would go.
+and testable everywhere; ``decode_stub=False`` probes the optional
+decoders at runtime (:func:`decode_capability`, logged once) and runs
+REAL pixel decode through PIL when importable, raising
+NotImplementedError only for the tiers whose library is genuinely
+absent (video/audio need libav).
 """
 
 from __future__ import annotations
@@ -96,13 +98,64 @@ def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
 
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: derive fake
-    dimensions/frame-count from the content hash. REPLACE with
-    PIL/libav calls when the libs exist."""
+    dimensions/frame-count from the content hash. The real-decode
+    path (:func:`_pil_decode`) takes over for images when PIL is
+    importable; video frame decode additionally needs libav."""
     h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     n_frames = 1 if media_type == "image" else 1 + h[2] % 64
     return width, height, n_frames
+
+
+def decode_capability() -> dict[str, bool]:
+    """Runtime probe of the optional media-decode dependencies, logged
+    once per process so a run's feature report states which decode
+    tier actually executed. ``pil`` covers still-image pixel decode;
+    ``libav`` covers video/audio frame decode (PyAV binding)."""
+    global _CAPABILITY_LOGGED
+    caps = {}
+    try:
+        from PIL import Image  # noqa: F401
+
+        caps["pil"] = True
+    except ImportError:
+        caps["pil"] = False
+    try:
+        import av  # noqa: F401
+
+        caps["libav"] = True
+    except ImportError:
+        caps["libav"] = False
+    if not _CAPABILITY_LOGGED:
+        import logging
+
+        logging.getLogger("sales_etl_spark.multimodal").info(
+            "media decode capability: pil=%(pil)s libav=%(libav)s "
+            "(missing tiers fall back to the deterministic stub / "
+            "raise when decode_stub=False)",
+            caps,
+        )
+        _CAPABILITY_LOGGED = True
+    return caps
+
+
+_CAPABILITY_LOGGED = False
+
+
+def _pil_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """REAL image decode through PIL: pixels are materialized (``load``)
+    so a truncated/corrupt payload raises here, not downstream; frame
+    count comes from the container (animated GIF/TIFF). Only valid when
+    :func:`decode_capability` reports ``pil``; images only — video
+    needs libav."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return im.width, im.height, int(getattr(im, "n_frames", 1))
 
 
 def featurize_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -115,22 +168,36 @@ def featurize_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     when payloads are large."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        caps = None if decode_stub else decode_capability()
         for pdf in it:
-            if not decode_stub:
+            if caps is not None and not caps["pil"]:
                 raise NotImplementedError(
-                    "real media decode requires PIL/libav; install and "
-                    "replace _fake_decode"
+                    "real media decode requires PIL (images) / libav "
+                    "(video): neither is importable — run with "
+                    "decode_stub=True for the deterministic stub"
                 )
             rows = []
             for media_id, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 data = bytes(payload)
-                w, h, nf = _fake_decode(data, mtype)
-                if mtype == "image":
-                    real = parse_image_dimensions(data)
-                    if real is not None:
-                        w, h = real
+                if caps is not None:
+                    # real tier: PIL pixel decode for images; frame
+                    # decode for audio/video still needs libav
+                    if mtype == "image":
+                        w, h, nf = _pil_decode(data, mtype)
+                    else:
+                        raise NotImplementedError(
+                            "real audio/video decode requires libav "
+                            "(PyAV); only the image tier has a real "
+                            "decoder on this box"
+                        )
+                else:
+                    w, h, nf = _fake_decode(data, mtype)
+                    if mtype == "image":
+                        real = parse_image_dimensions(data)
+                        if real is not None:
+                            w, h = real
                 rows.append(
                     (
                         media_id,

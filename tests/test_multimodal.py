@@ -64,8 +64,45 @@ def test_sample_frames_stride_and_video_only(spark, media):
 
 
 def test_decode_stub_false_raises_at_kernel(spark, media):
+    """Without the optional decoders, decode_stub=False must fail at
+    the exact kernel site with the honest guard (text payloads typed
+    'audio'/'video' hit the libav tier even when PIL exists)."""
+    av = media.filter("media_type <> 'image'")
     with pytest.raises(PythonException, match="NotImplementedError"):
-        featurize_media(media, decode_stub=False).collect()
+        featurize_media(av, decode_stub=False).collect()
+
+
+def test_decode_real_pil_tier_when_available(spark):
+    """When PIL is importable the decode_stub=False image tier decodes
+    REAL pixels (dimensions from the decoded image, corrupt payloads
+    rejected); skipped where the sandbox has no PIL — the stub tier
+    and header parsing stay covered by the other tests either way."""
+    from sales_etl_spark.operators.multimodal import decode_capability
+
+    caps = decode_capability()
+    assert set(caps) == {"pil", "libav"}
+    if not caps["pil"]:
+        pytest.skip("PIL not importable on this box")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (31, 17)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, media_type string, payload binary",
+    )
+    row = featurize_media(media, decode_stub=False).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (31, 17, 1)
+
+    corrupt = spark.createDataFrame(
+        [(2, "image", bytearray(png[:20]))],
+        "media_id long, media_type string, payload binary",
+    )
+    with pytest.raises(PythonException):
+        featurize_media(corrupt, decode_stub=False).collect()
 
 
 def test_demean_embeddings_matches_native_two_pass(spark):
