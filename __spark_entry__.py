@@ -24,114 +24,113 @@ from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the
-# dict returned by ``queries()``. Rotation policy: a NEW or CHANGED
-# query's hard driver signal outranks an untouched one's rotation
-# turn. The window therefore holds (a) the r01/r02-cohort keys whose
-# last driver row predates r03 and whose machinery round 4 touched
-# (upsert tiebreak, salted-join broadcast fix, the avg-check/topk
-# marts under the perf bar), (b) every round-4 addition, and (c) the
-# continuation-window additions (trade-tier flagships, exact
-# corr/skew/kurtosis moments, gapfill/LOCF/TWAP, semantic dedup +
-# containment, temperature/epoch mixing, quality deciles, SCD2
-# point-in-time, session stats, VARIANT, lake DML, Q21).
-#
-# Every key displaced to the rest-order is (1) unchanged since its
-# last driver-green row, (2) re-verified bit-exact locally at up to
-# three scales this session, and (3) family-covered by an in-window
-# sibling that exercises the same machinery — the specific
-# displacement reasons are recorded inline below where they happened.
-# Full local evidence: tools/check_oracle.py full sweeps at sf0.001
-# AND sf0.1 (0 failures), plus the cross-parallelism scale sweep
-# (local[2]/[4]/[16] hash-identical, pytest -m scale_sweep).
+# dict returned by ``queries()``. Round-5 rotation (the round-4
+# verdict's top ask): every key that has NEVER had a driver
+# CORRECTNESS row leads the order. 98 such keys exist against a
+# 50-slot window, so the window holds, in order: (a) this round's
+# changed/new code (the ntile rewrite and its new exact-pairs twin —
+# hard signal for fresh code outranks rotation turns), then (b) the
+# highest-risk never-checked families the verdict named — the 22
+# TPC-H flagships, the lake-format DML surface, the scan-pruning
+# family (DPP / bucketed / z-order / partition / schema-evolution /
+# binary), the window family, and the mart/graph/dedup machinery
+# closers. The 48 remaining never-checked keys follow IMMEDIATELY
+# after slot 50 (positions 51-98) so next round's rotation is
+# exactly "promote the tail" and the two windows jointly cover all
+# 98. Every displaced key is bit-exact under tools/check_oracle.py
+# at sf0.001 AND sf0.01 this session, and the keys this window
+# displaces (the r04 cohort) all hold green driver rows from
+# CORRECTNESS_r04.
 _SWEEP_FIRST = [
-    # -- round-4 continuation-2 additions (newest code, no driver row
-    # yet) ----------------------------------------------------------
-    "scan_bloom_skip",
-    "emb_silhouette",
-    "quality_k_anonymity",
-    "quality_l_diversity",
-    "dedup_lsh_incremental",
-    "agg_holt_forecast",
-    "emb_truncate_fidelity",
-    "mart_backfill_partitions",
-    "quality_uniqueness_audit",
-    "ann_hard_negatives",
-    "agg_holt_backtest",
-    "dedup_cluster_weights",
-    "agg_seasonal_decompose",
-    "events_bot_score",
-    "sample_kcenter_coreset",
-    "emb_pca_power",
-    # -- reconciliation & monitoring tier (newest code, no driver row
-    # yet) ----------------------------------------------------------
-    "mart_snapshot_diff",
-    "quality_psi_drift",
-    "quality_chi2_drift",
-    "text_readability",
-    "events_quantile_rollup",
-    "events_click_attribution",
-    "events_attribution_last_touch",
-    "quality_mutual_info",
-    "quality_key_skew",
-    "agg_weekday_seasonality",
-    "agg_rfm_segments",
-    "agg_share_of_parent",
-    "text_lang_consistency",
-    "scan_xml",
-    "multimodal_audio",
-    "events_inter_arrival",
-    "quality_column_profile",
-    "scan_csv_quarantine",
-    "events_ab_cuped",
-    "mart_pipeline_e2e",
-    "events_mad_anomaly",
-    "events_user_streaks",
-    "agg_abc_classification",
-    "events_cohort_ltv",
-    "agg_new_vs_returning",
-    "window_ma_cross",
-    "quality_freshness_sla",
-    "agg_supplier_hhi",
-    "agg_ship_lag_dist",
-    "emb_dist_outliers",
-    "window_rank_movers",
-    "text_pmi_collocations",
-    "events_time_to_purchase",
-    "agg_order_aging",
-    "mart_customer_360",
-    # -- supply tier (TPC-H-22 completion, newest code, no driver row
-    # yet) ----------------------------------------------------------
+    # -- changed/new this round (no driver row for the new shape) ----
+    "window_ntile_quartiles",
+    "dedup_incremental_pairs_exact",
+    # -- TPC-H flagship tier (never driver-checked) ------------------
     "flagship_min_cost_supplier",
     "flagship_product_profit",
     "flagship_important_stock",
     "flagship_shipmode_priority",
     "flagship_supplier_variety",
     "flagship_dominant_supplier",
-    # (emb_pca_power moved to the lead cohort: its eigensolve went
-    # local this session — changed code outranks rotation turns)
-    # -- resolution/ordering/ledger tier (newest code, no driver row
-    # yet — leads the window so the hard signal lands first) ---------
-    "dedup_fuzzy_names",
-    "window_global_rownum",
-    "agg_gini_revenue",
-    "window_capped_running_sum",
+    "flagship_nation_trade",
+    "flagship_market_share",
+    "flagship_cust_order_dist",
+    "flagship_top_supplier",
+    "flagship_brand_revenue",
+    "flagship_idle_balances",
+    "flagship_local_volume",
+    "flagship_small_quantity",
+    "flagship_returned_items",
+    "flagship_promo_revenue",
+    "flagship_late_orders",
+    "flagship_above_avg_balance",
     "flagship_big_orders",
     "flagship_forecast_revenue",
+    "flagship_revenue_bridge",
+    "flagship_waiting_supplier",
+    # -- lake DML + scan-pruning family ------------------------------
+    "scan_lake_dml",
+    "scan_lake_table",
+    "scan_dpp_prune",
+    "scan_bucketed_join",
+    "scan_zorder_prune",
+    "scan_partition_prune",
+    "scan_binary_files",
+    "scan_schema_evolution",
+    # -- window family (incl. the one non-decomposable recurrence) ---
+    "window_topn_per_group",
+    "window_global_rownum",
+    "window_capped_running_sum",
+    "window_concurrent_orders",
+    "window_drawdown",
+    # -- mart / graph / dedup machinery closers ----------------------
+    "mart_customer_360",
+    "mart_incremental_refresh",
+    "mart_incremental_join_refresh",
+    "graph_pagerank_trade",
+    "graph_triangle_cluster",
+    "dedup_semantic",
+    "dedup_containment",
+    "dedup_paragraphs",
+    "dedup_tf_cosine",
+    "dedup_fuzzy_names",
+    "corpus_pipeline_e2e",
+    "events_variant_agg",
+    "join_scd2_pointintime",
+    # ---- end of the 50-slot window; positions 51-98 queue the rest
+    # of the never-driver-checked keys for the r06 window ------------
+    "dim_scd2_history",
+    "quality_expectations",
+    "quality_expectations_long",
+    "mix_pack_sequences",
+    "decontam_shuffled",
+    "join_bloom_pruned",
+    "corpus_overlap_matrix",
+    "sample_weighted_k",
+    "text_hash_features",
+    "events_rate_anomaly",
+    "events_cumulative_users",
+    "emb_kmeans_assign",
+    "emb_kmeans_lloyd",
+    "events_ewma_rate",
+    "agg_histogram",
+    "emb_standardize",
+    "events_rolling_active_users",
     "agg_copurchase_topk",
     "agg_yoy_growth",
     "agg_winsorized_stats",
-    "flagship_above_avg_balance",
     "quality_orphan_audit",
     "events_transition_matrix",
-    "graph_pagerank_trade",
-    "mart_incremental_join_refresh",
-    "window_concurrent_orders",
-    "dedup_tf_cosine",
-    # -- round-4 final tier (plans/structure.py — newest of all, so
-    # it joins the lead cohort; the twenty-three slots come from the tail of
-    # the window per the displacement note at the end of this list) --
-    "dedup_paragraphs",
-    "graph_triangle_cluster",
+    "agg_corr_qty_price",
+    "events_gapfill",
+    "mix_temperature_resample",
+    "events_locf",
+    "events_twap",
+    "sample_quality_deciles",
+    "events_session_stats",
+    "mix_epoch_schedule",
+    "agg_skew_kurtosis",
+    "agg_gini_revenue",
     "events_type_entropy",
     "text_zipf_slope",
     "text_bm25_topk",
@@ -142,106 +141,12 @@ _SWEEP_FIRST = [
     "quality_benford_digits",
     "agg_argmin_supplier",
     "events_path_topk",
-    "scan_dpp_prune",
-    "flagship_revenue_bridge",
     "agg_pareto_cut",
     "agg_weighted_median",
-    "window_drawdown",
     "events_hll_rollup",
-    "scan_schema_evolution",
     "ann_recall_eval",
     "agg_churn_rate",
     "dedup_recall_eval",
-    # -- no driver row since r02 (re-verified locally each round) ----
-    "agg_avg_check_by_region",
-    "topk_product_ranking",
-    "upsert_last_wins",
-    "sink_roundtrip",
-    "join_salted_skew",
-    # -- new in round 4 ----------------------------------------------
-    "scan_partition_prune",
-    "decontam_shuffled",
-    "join_bloom_pruned",
-    "mix_pack_sequences",
-    "corpus_overlap_matrix",
-    "flagship_local_volume",
-    "events_rate_anomaly",
-    "events_cumulative_users",
-    "flagship_small_quantity",
-    "scan_zorder_prune",
-    "corpus_pipeline_e2e",
-    "text_lm_score",
-    "text_tfidf_keywords",
-    "flagship_returned_items",
-    "flagship_promo_revenue",
-    "flagship_late_orders",
-    "emb_kmeans_assign",
-    "emb_kmeans_lloyd",
-    "scan_bucketed_join",
-    "events_ewma_rate",
-    "mart_incremental_refresh",
-    "events_rolling_active_users",
-    "emb_standardize",
-    "scan_lake_dml",
-    "window_topn_per_group",
-    "scan_binary_files",
-    # -- continuation-window additions (newest hard-signal cohort) ---
-    "flagship_nation_trade",
-    "flagship_market_share",
-    "flagship_cust_order_dist",
-    "flagship_top_supplier",
-    "flagship_brand_revenue",
-    "flagship_idle_balances",
-    "agg_corr_qty_price",
-    "dedup_semantic",
-    "mix_temperature_resample",
-    "events_locf",
-    # (quality_expectations_long yields its slot to dedup_containment:
-    # the long form is a native-unpivot reshape of the in-window
-    # quality_expectations report — same aggregation machinery;
-    # dim_scd2_history yields to join_scd2_pointintime, whose oracle
-    # embeds the ENTIRE SCD2 CTE — the history is re-verified inside
-    # its consumer every sweep)
-    "dedup_containment",
-    "join_scd2_pointintime",
-    # (events_gapfill yields its slot to events_locf, whose oracle
-    # embeds the entire gapfill pipeline plus the carry-forward;
-    # scan_csv — unchanged three rounds, r1/r2-green, locally
-    # re-verified — yields to the two newest keys)
-    "events_twap",
-    "sample_quality_deciles",
-    # (quality_expectations — simple one-pass conditional counts,
-    # unit-tested, r4-locally-green — and window_ntile_quartiles —
-    # rank-selection machinery shared with the r03-green
-    # percentiles/median family — yield their slots to the two newest)
-    "events_session_stats",
-    "mix_epoch_schedule",
-    # (text_hash_features — a map-only integer-hash fold, locally
-    # green at three scales — yields to the VARIANT demonstration,
-    # which has no driver row yet; scan_lake_table yields to
-    # scan_lake_dml, which exercises commit+compact PLUS the
-    # deletion-vector and MERGE paths on the same scratch machinery;
-    # sample_weighted_k — proportionality/invariance property-tested —
-    # yields to the Q21-shaped closer)
-    "events_variant_agg",
-    "flagship_waiting_supplier",
-    # (agg_histogram — fixed-width integer bucketing, locally green —
-    # yields to the higher-moments closer, which carries the
-    # distribution-profile flag in-window now)
-    "agg_skew_kurtosis",
-    # The lead tier (now forty-six keys: the six-query supply tier
-    # that completes the TPC-H-22 family, plus emb_pca_power's
-    # re-entry after its Gram rewrite — newest code of all, zero
-    # driver rows for the tier) pushes the tail of this list
-    # (quality_orphan_audit onward, positions 51+) past the 50-slot
-    # window this round. More round-4 additions exist than window
-    # slots, so SOME never-driver-checked keys must wait a round
-    # regardless of ordering; the lead tier is the NEWEST code (least
-    # soak time), which is why it outranks the continuation keys that
-    # have had two extra local full-sweep cycles. Everything past slot
-    # 50 is bit-exact under tools/check_oracle.py at sf0.001 AND
-    # sf0.01 this session, and next round's lead tier should promote
-    # exactly those tail keys.
 ]
 
 
