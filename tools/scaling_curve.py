@@ -1,0 +1,174 @@
+"""Cross-SF scaling curves for the bench-dominant queries.
+
+Times each target query at sf0.01, sf0.1 and a synthesized sf0.2
+(sf0.1 doubled with shifted keys — see ``build_sf02``) in ONE process
+with bench.py's calibration guard, then prints per-query seconds and
+the step ratios. What the ratios prove:
+
+- a ratio near the DATA ratio (10x for 0.01→0.1, 2x for 0.1→0.2)
+  means the query is data-bound — the plan scales linearly;
+- a ratio well UNDER the data ratio means the time is dominated by
+  the multi-stage scheduling floor, i.e. the residual vs a
+  single-process comparator is a fixed cost that VANISHES at scale,
+  not a slope that grows with it (the agg_avg_check_by_region
+  question from the round-4 verdict);
+- a ratio well OVER the data ratio is a scale bug (superlinear
+  blowup) — the thing the dedup/graph guards exist to prevent.
+
+The sf0.2 twin doubles every scaling table with key-shifted copies
+(join consistency preserved); document text is token-REVERSED in the
+copy and embedding vectors sign-flipped so the dedup/similarity tiers
+don't degenerate into everything-pairs-with-its-clone. Fixed dims
+(region, nation) are copied as-is, like TPC-H scaling does.
+
+Usage:
+    python tools/scaling_curve.py [query ...]   # default: curve set
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+SF02 = "/tmp/spark_graft_sf0.2synth"
+
+#: Data-volume ratio of each step in the curve.
+STEPS = [(SF001, SF01, 10.0), (SF01, SF02, 2.0)]
+
+#: (table, [key columns to shift in the copy]) — None = fixed dim,
+#: copied once, NOT doubled.
+TABLES: dict[str, list[str] | None] = {
+    "region": None,
+    "nation": None,
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+KEY_OFFSET = 100_000_000
+
+DEFAULT_QUERIES = [
+    # the three pandas-compared marts (the avg_check residual question)
+    "agg_sales_summary",
+    "agg_avg_check_by_region",
+    "topk_product_ranking",
+    # the dedup/graph tier (the most expensive bench queries, whose
+    # docstring guards claim the curves stay ~linear)
+    "graph_triangle_cluster",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "corpus_overlap_matrix",
+    "dedup_paragraphs",
+]
+
+RUNS = 3
+
+
+def build_sf02(spark) -> None:
+    """Materialize the synthetic sf0.2 twin (idempotent via sentinel)."""
+    from pyspark.sql import functions as F
+
+    done = Path(SF02) / "_build_complete"
+    if done.exists():
+        return
+    shutil.rmtree(SF02, ignore_errors=True)
+    Path(SF02).mkdir(parents=True)
+    for table, keys in TABLES.items():
+        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        if keys is None:
+            out = df
+        else:
+            copy = df
+            for k in keys:
+                copy = copy.withColumn(k, F.col(k) + F.lit(KEY_OFFSET))
+            if table == "documents":
+                copy = copy.withColumn(
+                    "text",
+                    F.array_join(
+                        F.reverse(F.split(F.col("text"), " ")), " "
+                    ),
+                )
+            if table == "embeddings":
+                vec_col = next(
+                    f.name for f in df.schema.fields
+                    if f.dataType.simpleString().startswith("array")
+                )
+                copy = copy.withColumn(
+                    vec_col, F.transform(F.col(vec_col), lambda x: -x)
+                )
+            out = df.unionByName(copy)
+        # single file per table, like the driver's testdata layout
+        out.coalesce(1).write.mode("overwrite").parquet(
+            f"{SF02}/{table}.parquet"
+        )
+    done.touch()
+
+
+def main() -> None:
+    from bench import calibrate
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.session import get_spark
+
+    queries = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(
+        "sales-etl-spark-scaling", master="local[32]",
+        shuffle_partitions=8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf02(spark)
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calibration = calibrate(spark)
+
+    curve: dict[str, dict[str, float]] = {}
+    for sf_dir in (SF001, SF01, SF02):
+        for t in TABLES:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        for name in queries:
+            builder = QUERY_REGISTRY[name].builder
+
+            def run() -> None:
+                builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            run()  # untimed warm-up (codegen JIT)
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                run()
+                times.append(time.perf_counter() - t0)
+            curve.setdefault(name, {})[sf_dir] = round(min(times), 3)
+            spark.catalog.clearCache()
+
+    report = {}
+    for name, by_sf in curve.items():
+        ratios = {}
+        for lo, hi, data_ratio in STEPS:
+            r = round(by_sf[hi] / by_sf[lo], 2) if by_sf[lo] else None
+            ratios[f"x{data_ratio:g}_data"] = r
+        report[name] = {
+            "sec": {Path(k).name: v for k, v in by_sf.items()},
+            "time_ratio_at_10x_data": ratios["x10_data"],
+            "time_ratio_at_2x_data": ratios["x2_data"],
+        }
+    print(json.dumps({"calibration": calibration, "curve": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
