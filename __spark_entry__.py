@@ -45,6 +45,8 @@ _SWEEP_FIRST = [
     # -- changed/new this round (no driver row for the new shape) ----
     "window_ntile_quartiles",
     "dedup_incremental_pairs_exact",
+    "sample_dsir_weights",
+    "search_ndcg_eval",
     # -- TPC-H flagship tier (never driver-checked) ------------------
     "flagship_min_cost_supplier",
     "flagship_product_profit",
@@ -95,10 +97,14 @@ _SWEEP_FIRST = [
     "dedup_tf_cosine",
     "dedup_fuzzy_names",
     "corpus_pipeline_e2e",
+    # ---- end of the 50-slot window. The two brand-new round-5
+    # queries (sample_dsir_weights, search_ndcg_eval) joined the lead
+    # cohort after this list was first cut, displacing
+    # events_variant_agg and join_scd2_pointintime to lead the tail —
+    # they head the r06 window. Positions 51-100 queue the rest of
+    # the never-driver-checked keys. ---------------------------------
     "events_variant_agg",
     "join_scd2_pointintime",
-    # ---- end of the 50-slot window; positions 51-98 queue the rest
-    # of the never-driver-checked keys for the r06 window ------------
     "dim_scd2_history",
     "quality_expectations",
     "quality_expectations_long",

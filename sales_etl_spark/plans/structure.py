@@ -2177,3 +2177,175 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality evaluation: nDCG@k of the BM25 ranking (round 5)
+# ---------------------------------------------------------------------------
+
+#: Cutoffs for the retrieval-eval report.
+_NDCG_KS = (5, 10, 20)
+
+
+@query(
+    "search_ndcg_eval",
+    oracle=f"""
+    WITH {{bm25}},
+    ranked AS (
+        SELECT doc_id, bm25_micro,
+               row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rnk
+        FROM bm25
+    ),
+    rel AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT term) AS INTEGER) AS rel
+        FROM toks WHERE {{qpred}} GROUP BY doc_id
+    ),
+    gains AS (
+        SELECT r.rnk,
+               CAST(floor(CAST((1::BIGINT << rel.rel) - 1 AS DOUBLE)
+                          / log2(CAST(r.rnk + 1 AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS g_micro
+        FROM ranked r JOIN rel USING (doc_id) WHERE r.rnk <= 20
+    ),
+    relcnt AS (
+        SELECT SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS n3,
+               SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1,
+               CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM rel
+    ),
+    ideal AS (
+        SELECT i,
+               CAST(floor(CAST((1::BIGINT << (
+                            CASE WHEN i <= n3 THEN 3
+                                 WHEN i <= n3 + n2 THEN 2
+                                 WHEN i <= n3 + n2 + n1 THEN 1
+                                 ELSE 0 END)) - 1 AS DOUBLE)
+                          / log2(CAST(i + 1 AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS g_micro
+        FROM range(1, 21) t(i), relcnt
+    ),
+    ks AS (SELECT unnest([5, 10, 20]) AS k),
+    dcg AS (SELECT k, CAST(SUM(g_micro) AS BIGINT) AS dcg_micro
+            FROM ks JOIN gains ON rnk <= k GROUP BY k),
+    idcg AS (SELECT k, CAST(SUM(g_micro) AS BIGINT) AS idcg_micro
+             FROM ks JOIN ideal ON i <= k GROUP BY k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           relcnt.n_rel,
+           CAST(dcg_micro AS DOUBLE) / 1000000.0 AS dcg,
+           CAST(idcg_micro AS DOUBLE) / 1000000.0 AS idcg,
+           CAST(dcg_micro AS DOUBLE) / idcg_micro AS ndcg
+    FROM ks JOIN dcg USING (k) JOIN idcg USING (k), relcnt
+    """.replace(
+        "{bm25}",
+        _BM25_SQL.format(qpred="term IN ('spark', 'join', 'window')"),
+    ).replace("{qpred}", "term IN ('spark', 'join', 'window')"),
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report: nDCG@{{5,10,20}} of the BM25 ranking
+    against GRADED deterministic relevance (rel = number of distinct
+    query terms a document contains, 0-3) — the standard offline eval
+    for a ranking change, on the same fixed query text_bm25_topk
+    ranks. DCG uses the classic (2^rel − 1)/log2(rank+1) gains; IDCG
+    re-ranks the corpus's full relevance multiset ideally.
+
+    Spark-first plan: the ranking leg reuses the shared BM25 pipeline
+    and the bucket-offset global rank (NO single-partition window over
+    the scored corpus); gains are micro-floored per rank and summed as
+    exact longs. The IDEAL leg never sorts anything: the relevance
+    multiset collapses to 3 grade counts (one bounded aggregation) and
+    the grade at ideal rank i falls out of cumulative-count CASE
+    arithmetic on a literal 20-row rank frame. Every frame past the
+    two corpus scans is ≤20 rows; nDCG is one division of two exact
+    longs."""
+    st = _star(spark, sf_dir)
+    scores = _bm25_scores(spark, sf_dir, _BM25_QUERY)
+    ranked = global_row_number(
+        scores,
+        order_by=[F.desc("bm25_micro"), F.asc("doc_id")],
+        bucket=-(F.col("bm25_micro") / F.lit(100_000)).cast("long"),
+        out="rnk",
+    ).filter(F.col("rnk") <= 20)
+    rel = (
+        st.documents.select(
+            "doc_id",
+            F.explode(TX.tokens(TX.normalize_text("text"))).alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("int").alias("rel"))
+        .cache()  # two consumers: top-20 gains + the grade counts
+    )
+    g_micro = F.floor(
+        F.expr("CAST(shiftleft(1L, rel) - 1 AS DOUBLE)")
+        / F.log2(F.col("rnk").cast("double") + F.lit(1.0))
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    gains = ranked.join(rel, "doc_id").select(
+        "rnk", g_micro.alias("g_micro")
+    )
+    relcnt = rel.agg(
+        F.sum(F.when(F.col("rel") == 3, 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0)).alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
+    )
+    ideal_rel_sql = (
+        "CASE WHEN i <= n3 THEN 3 WHEN i <= n3 + n2 THEN 2 "
+        "WHEN i <= n3 + n2 + n1 THEN 1 ELSE 0 END"
+    )
+    ideal = (
+        spark.range(1, 21)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(relcnt))
+        .select(
+            "i",
+            "n_rel",
+            F.floor(
+                F.expr(
+                    f"CAST(shiftleft(1L, {ideal_rel_sql}) - 1 AS DOUBLE)"
+                )
+                / F.log2(F.col("i").cast("double") + F.lit(1.0))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("g_micro"),
+        )
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _NDCG_KS]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("int").alias("k")
+    )
+    dcg = (
+        F.broadcast(ks)
+        .join(gains, F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("g_micro").alias("dcg_micro"))
+    )
+    idcg = (
+        F.broadcast(ks)
+        .join(ideal, F.col("i") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("g_micro").alias("idcg_micro"),
+            F.first("n_rel").alias("n_rel"),
+        )
+    )
+    return (
+        dcg.join(idcg, "k")
+        .select(
+            "k",
+            "n_rel",
+            (F.col("dcg_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "dcg"
+            ),
+            (F.col("idcg_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "idcg"
+            ),
+            (F.col("dcg_micro").cast("double") / F.col("idcg_micro")).alias(
+                "ndcg"
+            ),
+        )
+    )

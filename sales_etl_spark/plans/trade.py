@@ -1680,3 +1680,162 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("excess_kurtosis_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (round 5)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature dimension for the DSIR bucket n-gram model. 256 is
+#: the published sweet spot for unigram bucket models: big enough to
+#: separate domains, small enough that both marginal frames broadcast.
+_DSIR_DIM = 256
+_DSIR_FEAT_SEED = "dsir-feat-v1"
+_DSIR_TGT_SEED = "dsir-tgt-v1"
+#: Deterministic stand-in for "a sample of the target domain": ~10% of
+#: docs by hash draw (a real pipeline swaps this predicate for a scan
+#: of the actual target corpus; everything downstream is unchanged).
+_DSIR_TGT_RATE = 0.10
+_DSIR_TOPK = 200
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+        FROM documents
+    ),
+    lbl AS (
+        SELECT doc_id,
+               substr(md5('{_DSIR_TGT_SEED}:' || CAST(doc_id AS VARCHAR)),
+                      1, 8) < '{{thr}}' AS is_tgt
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('{_DSIR_FEAT_SEED}:' || t), 1, 8)
+                    AS BIGINT) % {_DSIR_DIM} AS b
+        FROM toks
+    ),
+    docfeat AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bt GROUP BY doc_id, b
+    ),
+    marg AS (
+        SELECT d.b,
+               SUM(CASE WHEN l.is_tgt THEN d.c ELSE 0 END) AS ct,
+               SUM(CASE WHEN NOT l.is_tgt THEN d.c ELSE 0 END) AS cs
+        FROM docfeat d JOIN lbl l USING (doc_id) GROUP BY d.b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM marg),
+    lr AS (
+        SELECT b,
+               CAST(floor(ln(CAST((ct + 1) * (ns + {_DSIR_DIM}) AS DOUBLE)
+                             / CAST((cs + 1) * (nt + {_DSIR_DIM}) AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS lr_micro
+        FROM marg, tot
+    ),
+    w AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.c * lr.lr_micro) AS BIGINT) AS logw_micro,
+               CAST(SUM(d.c) AS BIGINT) AS n_tokens
+        FROM docfeat d
+        JOIN lr USING (b)
+        JOIN lbl l USING (doc_id)
+        WHERE NOT l.is_tgt
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens, logw_micro,
+           CAST(logw_micro AS DOUBLE) / 1e6 AS logw
+    FROM w
+    ORDER BY logw_micro DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """.replace("{thr}", threshold_hex(_DSIR_TGT_RATE)),
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (importance resampling over hashed n-gram
+    features): estimate a bucket-unigram model of the TARGET domain
+    (a deterministic ~10% hash draw stands in for "a sample of the
+    data you wish you had more of") and of the raw SOURCE pool, weight
+    every source doc by its log likelihood ratio
+    Σ_b c_b·ln(p_tgt(b)/p_src(b)) (add-1 smoothing), and emit the
+    top-k — the published recipe for skewing a web-scale corpus
+    toward a target domain without a trained classifier.
+
+    Spark-first plan: ONE token-stream exchange builds the per-(doc,
+    bucket) counts, cached for its two consumers; both bucket
+    marginals reduce from it in a single conditional aggregation to a
+    256-row frame, whose smoothed log-ratios (micro-floored to exact
+    longs — the ln(pT/pS) term is one ln of one division of two
+    exactly-double integers, the minimal-float form) broadcast back
+    into a per-doc integer dot product; top-k compiles to
+    TakeOrderedAndProject with the doc_id tiebreak. No global sort,
+    no corpus-sized window; the integer products stay < 2^53 up to
+    ~10^6-token marginals per bucket — beyond that, stage the ratio
+    as ln(ct+1)−ln(cs+1)+ln(ns+B)−ln(nt+B) micro-terms instead."""
+    st = _star(spark, sf_dir)
+    is_tgt = hash_uniform_hex(
+        F.col("doc_id"), _DSIR_TGT_SEED
+    ) < F.lit(threshold_hex(_DSIR_TGT_RATE))
+    toks = TX.tokens(F.lower(F.col("text")))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_DSIR_FEAT_SEED + ":"), F.col("t"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % _DSIR_DIM
+    )
+    docfeat = (
+        st.documents.select(
+            "doc_id", is_tgt.alias("is_tgt"), F.explode(toks).alias("t")
+        )
+        .select("doc_id", "is_tgt", bucket.alias("b"))
+        .groupBy("doc_id", "is_tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()  # two consumers: bucket marginals + per-doc weights
+    )
+    marg = docfeat.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0)))
+        .alias("ct"),
+        F.sum(F.when(~F.col("is_tgt"), F.col("c")).otherwise(F.lit(0)))
+        .alias("cs"),
+    )
+    tot = marg.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
+    )
+    lr = marg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("ns") + _DSIR_DIM))
+                .cast("double")
+                / ((F.col("cs") + 1) * (F.col("nt") + _DSIR_DIM))
+                .cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("lr_micro"),
+    )
+    w = (
+        docfeat.filter(~F.col("is_tgt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lr_micro")).alias("logw_micro"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        w.select(
+            "doc_id",
+            "n_tokens",
+            "logw_micro",
+            (F.col("logw_micro").cast("double") / F.lit(1e6)).alias("logw"),
+        )
+        .orderBy(F.desc("logw_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )

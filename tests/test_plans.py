@@ -405,6 +405,13 @@ _SCALAR_BNLJ_OK = {
     # 1-row customer-count scalar broadcast into the bucket-offset
     # ranked frame for the closed-form SQL-standard ntile assignment
     "window_ntile_quartiles",
+    # 1-row (nt, ns) token-total frame broadcast into the 256-row
+    # bucket marginals for the smoothed DSIR log-ratios
+    "sample_dsir_weights",
+    # 1-row grade-count frame into the literal 20-row ideal-rank
+    # frame, plus the 3-row k-cutoff frame's non-equi (rank <= k)
+    # broadcast joins — every side literal-sized
+    "search_ndcg_eval",
     # 1-row (n, Sx, Sy, Sxx, Sxy) moments frame broadcast into the
     # user-grain CUPED adjustment
     "events_ab_cuped",
