@@ -47,6 +47,7 @@ _SWEEP_FIRST = [
     "dedup_incremental_pairs_exact",
     "sample_dsir_weights",
     "search_ndcg_eval",
+    "dedup_substring_span",
     # -- TPC-H flagship tier (never driver-checked) ------------------
     "flagship_min_cost_supplier",
     "flagship_product_profit",
@@ -96,13 +97,14 @@ _SWEEP_FIRST = [
     "dedup_paragraphs",
     "dedup_tf_cosine",
     "dedup_fuzzy_names",
-    "corpus_pipeline_e2e",
-    # ---- end of the 50-slot window. The two brand-new round-5
-    # queries (sample_dsir_weights, search_ndcg_eval) joined the lead
-    # cohort after this list was first cut, displacing
+    # ---- end of the 50-slot window (dedup_fuzzy_names is slot 50).
+    # The three brand-new round-5 queries (sample_dsir_weights,
+    # search_ndcg_eval, dedup_substring_span) joined the lead cohort
+    # after this list was first cut, displacing corpus_pipeline_e2e,
     # events_variant_agg and join_scd2_pointintime to lead the tail —
-    # they head the r06 window. Positions 51-100 queue the rest of
+    # they head the r06 window. Positions 51-101 queue the rest of
     # the never-driver-checked keys. ---------------------------------
+    "corpus_pipeline_e2e",
     "events_variant_agg",
     "join_scd2_pointintime",
     "dim_scd2_history",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from sales_etl_spark.functions.text import (
     WORD_RE,
     fingerprint,
+    normalize_text,
     shingles_from_tokens,
     tokens,
 )
@@ -575,6 +576,80 @@ def _pair_scores_from_candidates(
     )
     return scored.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "common", "size_a", "size_b", "jaccard"
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    min_shared: int = 8,
+    max_gram_df: int | None = 32,
+) -> DataFrame:
+    """EXACT substring-span dedup: pairs of docs sharing long literal
+    character runs — the char-level tier the published training-data
+    dedup recipe pairs with document-level MinHash (a W-char run
+    shared at ANY offset guarantees a shared W-gram, no alignment or
+    sampling assumptions). Complements the token shingle tiers: it
+    catches quote/boilerplate/code blocks embedded mid-document that
+    word n-gram Jaccard dilutes away.
+
+    Semantics: normalized text (lowercase, whitespace collapsed) is
+    expanded to its md5'd char ``window``-grams at EVERY position
+    (docs shorter than ``window`` cannot share a run and contribute
+    nothing); a pair is emitted when ≥ ``min_shared`` distinct gram
+    values coincide — a single contiguous shared run of length L
+    contributes L − window + 1 distinct grams, so the default flags
+    runs of ~``window + min_shared − 1`` = 71+ chars, and ``est_span``
+    reports that footprint. ``max_gram_df`` drops boilerplate-grade
+    hot grams (same skew guard, same capped-set contract as the
+    shingle tiers).
+
+    Scale shape: gram stream is linear in corpus characters (one gram
+    per char position, fixed 32-char md5 keys); per-doc
+    ``array_distinct`` keeps the dedup map-side; the inverted-index
+    self-join is pair-quadratic only within capped gram buckets. The
+    normalize + gram fold is staged into its own projections so the
+    interpreted HOF evaluates once per row."""
+    norm = df.select(
+        F.col(id_col).alias("doc"),
+        normalize_text(text_col).alias("__norm"),
+    ).filter(F.length("__norm") >= window)
+    grams = norm.select(
+        "doc",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("__norm") - F.lit(window - 1)
+                ),
+                lambda i: F.md5(F.col("__norm").substr(i, F.lit(window))),
+            )
+        ).alias("__grams"),
+    )
+    g = grams.select(
+        "doc", F.explode("__grams").alias("shingle")
+    ).cache()
+    if max_gram_df is not None:
+        g = dedup_by_df_cap(g, max_gram_df)
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared") + F.lit(window - 1)).alias("est_span"),
+        )
     )
 
 

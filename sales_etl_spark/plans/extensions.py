@@ -971,6 +971,45 @@ def dedup_incremental_pairs_exact(
 
 
 @query(
+    "dedup_substring_span",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, length(nt) - 63),
+            i -> md5(substr(nt, i, 64)))) AS gs
+        FROM norm WHERE length(nt) >= 64
+    ),
+    g AS (SELECT doc_id, unnest(gs) AS h FROM grams),
+    keep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) <= 32),
+    cg AS (SELECT g.* FROM g JOIN keep USING (h)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM cg a JOIN cg b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared + 63 AS BIGINT) AS est_span
+    FROM pairs WHERE n_shared >= 8
+    """,
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup over the documents table: pairs
+    sharing ≥ 8 distinct 64-char gram values of normalized text — the
+    char-level literal-run tier (embedded quotes, boilerplate, code
+    blocks at arbitrary offsets) that word-shingle Jaccard dilutes
+    away and MinHash sampling can miss. Plan and guards in
+    operators/dedup.py:substring_span_pairs (every-position md5
+    grams, map-side array_distinct, df-capped inverted index)."""
+    st = _star(spark, sf_dir)
+    return dedup.substring_span_pairs(
+        st.documents, "doc_id", "text",
+        window=64, min_shared=8, max_gram_df=32,
+    )
+
+
+@query(
     "dedup_cluster_resolve",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},

@@ -478,3 +478,39 @@ def test_incremental_jaccard_pairs_equals_full_restriction(spark):
         inc._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_span_catches_embedded_literal_runs(spark):
+    """A 100+-char block quoted VERBATIM inside an otherwise unrelated
+    document must pair doc-with-quote ↔ source (at any offset), while
+    token-disjoint docs never pair; est_span reports the contiguous
+    footprint n_shared + window − 1."""
+    from sales_etl_spark.operators.dedup import substring_span_pairs
+
+    block = (
+        "the quarterly revenue recognition policy requires that all "
+        "multi element arrangements allocate consideration at the "
+        "inception of the contract"
+    )  # 140 chars normalized
+    filler_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    filler_b = "one two three four five six seven eight nine ten " * 6
+    rows = [
+        (1, f"{filler_a} {block}"),          # quote at the tail
+        (2, f"{block} {filler_b}"),          # same quote at the head
+        (3, filler_a),                        # shares filler with 1 only
+        (4, "totally different words entirely unrelated content " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.est_span)
+        for r in substring_span_pairs(
+            df, "doc_id", "text", window=64, min_shared=8,
+            max_gram_df=None,
+        ).collect()
+    }
+    assert (1, 2) in got
+    n_shared, est_span = got[(1, 2)]
+    # the shared 140-char run contributes ~140-64+1 distinct grams
+    assert n_shared >= 70 and est_span == n_shared + 63
+    assert (1, 3) in got  # repeated filler is itself a literal run
+    assert not any(4 in p for p in got)
