@@ -48,6 +48,7 @@ _SWEEP_FIRST = [
     "sample_dsir_weights",
     "search_ndcg_eval",
     "dedup_substring_span",
+    "text_chunk_overlap",
     # -- TPC-H flagship tier (never driver-checked) ------------------
     "flagship_min_cost_supplier",
     "flagship_product_profit",
@@ -96,14 +97,15 @@ _SWEEP_FIRST = [
     "dedup_containment",
     "dedup_paragraphs",
     "dedup_tf_cosine",
-    "dedup_fuzzy_names",
-    # ---- end of the 50-slot window (dedup_fuzzy_names is slot 50).
-    # The three brand-new round-5 queries (sample_dsir_weights,
-    # search_ndcg_eval, dedup_substring_span) joined the lead cohort
-    # after this list was first cut, displacing corpus_pipeline_e2e,
+    # ---- end of the 50-slot window (dedup_tf_cosine is slot 50).
+    # The four brand-new round-5 queries (sample_dsir_weights,
+    # search_ndcg_eval, dedup_substring_span, text_chunk_overlap)
+    # joined the lead cohort after this list was first cut,
+    # displacing dedup_fuzzy_names, corpus_pipeline_e2e,
     # events_variant_agg and join_scd2_pointintime to lead the tail —
-    # they head the r06 window. Positions 51-101 queue the rest of
+    # they head the r06 window. Positions 51-102 queue the rest of
     # the never-driver-checked keys. ---------------------------------
+    "dedup_fuzzy_names",
     "corpus_pipeline_e2e",
     "events_variant_agg",
     "join_scd2_pointintime",

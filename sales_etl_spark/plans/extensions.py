@@ -3166,3 +3166,93 @@ def emb_truncate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_fidelity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG prep: overlapping token chunking (round 5)
+# ---------------------------------------------------------------------------
+
+#: Chunk geometry: 64-token windows every 48 tokens (16-token overlap)
+#: — the retrieval-prep shape (chunk → embed → index). Deterministic
+#: coverage contract: starts at 1 + k·stride for k = 0..⌈(len−C)/S⌉,
+#: the final window truncating at the doc end, so every token lands in
+#: ≥1 chunk and interior tokens in exactly ⌈C/S⌉.
+_CHUNK_C = 64
+_CHUNK_S = 48
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0,
+                   (greatest(n - {_CHUNK_C}, 0) + {_CHUNK_S - 1})
+                       // {_CHUNK_S}
+               )) AS k
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_idx,
+           CAST(1 + k * {_CHUNK_S} AS INTEGER) AS start_tok,
+           CAST(len(toks[1 + k * {_CHUNK_S} :
+                         k * {_CHUNK_S} + {_CHUNK_C}]) AS INTEGER)
+               AS n_tokens,
+           md5(array_to_string(
+               toks[1 + k * {_CHUNK_S} : k * {_CHUNK_S} + {_CHUNK_C}],
+               ' ')) AS chunk_hash
+    FROM idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking — the RAG ingestion front-end
+    (chunk → embed → index): every document expands to 64-token
+    windows at a 48-token stride (16-token overlap so no answer span
+    straddles a boundary unseen), the tail window truncating at the
+    doc end. Emits (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_hash) — the hash stands in for the chunk payload so the
+    mart stays narrow; a real pipeline feeds the slice to the
+    embedder.
+
+    Spark-first plan: MAP-ONLY — tokens materialize once per doc in
+    their own projection (interpreted-HOF staging), the chunk-start
+    index list is pure integer arithmetic on the token count, and one
+    explode emits the windows; zero exchanges at any corpus size (the
+    embarrassingly-parallel shape chunking should be)."""
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = st.documents.select(
+        "doc_id", toks.alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n_extra = F.expr(
+        f"(greatest(size(__toks) - {_CHUNK_C}, 0) + {_CHUNK_S - 1}) "
+        f"div {_CHUNK_S}"
+    )
+    chunks = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.lit(1) + F.col("k") * _CHUNK_S).cast("int").alias("start_tok"),
+        F.slice(
+            F.col("__toks"),
+            (F.lit(1) + F.col("k") * _CHUNK_S).cast("int"),
+            _CHUNK_C,
+        ).alias("__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("__chunk").cast("int").alias("n_tokens"),
+        F.md5(F.array_join("__chunk", " ")).alias("chunk_hash"),
+    )
