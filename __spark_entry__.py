@@ -26,7 +26,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the
 # dict returned by ``queries()``. Round-5 rotation (the round-4
 # verdict's top ask): every key that has NEVER had a driver
-# CORRECTNESS row leads the order. 98 such keys exist against a
+# CORRECTNESS row leads the order. 102 such keys exist (incl. the
+# four new round-5 queries) against a
 # 50-slot window, so the window holds, in order: (a) this round's
 # changed/new code (the ntile rewrite and its new exact-pairs twin —
 # hard signal for fresh code outranks rotation turns), then (b) the
@@ -34,10 +35,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # TPC-H flagships, the lake-format DML surface, the scan-pruning
 # family (DPP / bucketed / z-order / partition / schema-evolution /
 # binary), the window family, and the mart/graph/dedup machinery
-# closers. The 48 remaining never-checked keys follow IMMEDIATELY
-# after slot 50 (positions 51-98) so next round's rotation is
+# closers. The 52 remaining never-checked keys follow IMMEDIATELY
+# after slot 50 (positions 51-102) so next round's rotation is
 # exactly "promote the tail" and the two windows jointly cover all
-# 98. Every displaced key is bit-exact under tools/check_oracle.py
+# 102. Every displaced key is bit-exact under tools/check_oracle.py
 # at sf0.001 AND sf0.01 this session, and the keys this window
 # displaces (the r04 cohort) all hold green driver rows from
 # CORRECTNESS_r04.
