@@ -97,6 +97,15 @@ HEADLINE = [
     # scan never shuffled)
     "emb_silhouette",
     "dedup_lsh_incremental",
+    # round-5: the char-gram literal-run pair join (heaviest new
+    # shape — a gram per character position), the exact incremental
+    # Jaccard probe (broadcast batch shingles), the DSIR token-stream
+    # exchange + broadcast marginals, and the two map-only closers
+    "dedup_substring_span",
+    "dedup_incremental_pairs_exact",
+    "sample_dsir_weights",
+    "search_ndcg_eval",
+    "text_chunk_overlap",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -607,11 +607,15 @@ def substring_span_pairs(
     shingle tiers).
 
     Scale shape: gram stream is linear in corpus characters (one gram
-    per char position, fixed 32-char md5 keys); per-doc
-    ``array_distinct`` keeps the dedup map-side; the inverted-index
-    self-join is pair-quadratic only within capped gram buckets. The
-    normalize + gram fold is staged into its own projections so the
-    interpreted HOF evaluates once per row."""
+    per char position); gram VALUES are 64-bit xxhash64 keys — the
+    output carries only pair counts over distinct gram sets, so any
+    collision-free hash family gives identical results and 8-byte
+    keys cross every shuffle instead of gram strings (the oracle uses
+    md5 for the same set algebra — the `hashed=True` shingle
+    contract). Per-doc ``array_distinct`` keeps the dedup map-side;
+    the inverted-index self-join is pair-quadratic only within capped
+    gram buckets. The normalize + gram fold is staged into its own
+    projections so the interpreted HOF evaluates once per row."""
     norm = df.select(
         F.col(id_col).alias("doc"),
         normalize_text(text_col).alias("__norm"),
@@ -623,7 +627,9 @@ def substring_span_pairs(
                 F.sequence(
                     F.lit(1), F.length("__norm") - F.lit(window - 1)
                 ),
-                lambda i: F.md5(F.col("__norm").substr(i, F.lit(window))),
+                lambda i: F.xxhash64(
+                    F.col("__norm").substr(i, F.lit(window))
+                ),
             )
         ).alias("__grams"),
     )
