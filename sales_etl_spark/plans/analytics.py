@@ -2058,7 +2058,16 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running min-distance column folds into the next round's
     projection. Bit-exact across engines: per-term pico quantization
     before the fold, integer comparisons throughout, one sqrt at the
-    output boundary."""
+    output boundary.
+
+    Practical k ceiling: the traversal is inherently sequential —
+    k−1 driver rounds of 2 jobs each (O(k) scheduler launches, ~0.1 s
+    per round at any data size) and a k×dim literal in the final
+    plan. Both are fine for coreset-sized k (≤ a few hundred: ~30 s
+    of pure scheduling at k=300); for k beyond ~10³ use the k-means++
+    style over-sampling variant (sample O(k) candidates per pass in a
+    few passes, then greedy-select within the candidate set) — the
+    per-round-job shape, not memory, is the binding limit."""
     st = _star(spark, sf_dir)
     e = st.embeddings.select(
         "vec_id",

@@ -1048,3 +1048,91 @@ def test_stream_lsh_dedup_converges_to_batch_result(spark, tmp_path):
         lake.read_table(spark, index_path).select("doc").distinct().count()
         == docs.count()
     )
+
+
+def test_session_close_stream_equals_batch_sessionization(
+    spark, events_dir, tmp_path
+):
+    """Timer-closed sessionization ≡ the batch 30-min-gap mart: stream
+    the real events table file-by-file (arbitrary order, 45-day
+    watermark so nothing is late), flush with far-future sentinel
+    events so the watermark closes every real session, and compare
+    the emitted rows against events_session_stats row-for-row —
+    session numbering, counts, exact microsecond durations, and
+    decimal-exact value totals all match, and every session is
+    emitted exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.streaming.funnel import (
+        transform_with_state_available,
+    )
+    from sales_etl_spark.streaming.sessions import session_close_stream
+    from sales_etl_spark.streaming.windows import read_events_stream
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+
+    stream_dir = str(tmp_path / "sess_stream")
+    shutil.copytree(events_dir, stream_dir)
+    # three sentinel files, 50 days apart beyond the data: each flush
+    # batch advances the watermark computed from the previous one, so
+    # by the last batch every real session's close timer has fired
+    hi = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    for i in (1, 2, 3):
+        spark.createDataFrame(
+            [(-(100 + i), hi, -1, "flush", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {50 * i} DAYS")
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            session_close_stream(
+                read_events_stream(spark, stream_dir),
+                watermark_delay="45 days",
+            )
+            .writeStream.format("memory")
+            .queryName("sessions_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql(
+            "SELECT * FROM sessions_tws WHERE user_id >= 0"
+        ).collect()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events, r.duration_us, r.total_value
+        )
+        for r in rows
+    }
+    assert len(got) == len(rows), "a session emitted more than once"
+    batch = {
+        (r.user_id, r.session_seq): (
+            r.n_events, r.duration_us, r.total_value
+        )
+        for r in QUERY_REGISTRY["events_session_stats"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert got == batch and len(got) >= 50
