@@ -478,3 +478,169 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 5): the memory-bound ANN tier
+# ---------------------------------------------------------------------------
+
+
+def _pq_slice(vec_col: str, m: int, sub_d: int):
+    """The m-th length-``sub_d`` subvector (1-based slice)."""
+    return F.slice(F.col(vec_col), m * sub_d + 1, sub_d)
+
+
+def _pq_best(subvec, codebook: list[tuple[int, list[float]]], q_sub):
+    """Literal-codebook argmin struct for one subspace: each row
+    scores every code by round(sq_l2, 6) and ``array_min`` picks
+    (distance, code) lexicographically — the kmeans-assign move.
+    The struct CARRIES the code's ADC term (distance from the QUERY
+    subvector to the code word, a literal-vs-literal expression both
+    engines evaluate with the identical IEEE fold), so the encode and
+    the lookup are one array_min."""
+    from sales_etl_spark.functions.vectors import sq_l2
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.round(
+                    sq_l2(subvec, F.array(*[F.lit(v) for v in cv])), 6
+                ).alias("d"),
+                F.lit(code).cast("long").alias("code"),
+                F.round(
+                    sq_l2(
+                        F.array(*[F.lit(v) for v in q_sub]),
+                        F.array(*[F.lit(v) for v in cv]),
+                    ),
+                    6,
+                ).alias("adc"),
+            )
+            for code, cv in codebook
+        ]
+    )
+    return F.array_min(arr)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: the memory-bound tier of the ladder
+    (exact cosine → LSH → IVF → int8 → PQ). Vectors compress to
+    ``m_subs`` one-byte codes (a per-subspace codebook of ``k_codes``
+    words, trained with one deterministic Lloyd round from the
+    vec_id<k seeds) and query distance is estimated by ASYMMETRIC
+    DISTANCE COMPUTATION — the sum over subspaces of the
+    query-to-codeword distances, read from a lookup table instead of
+    touching the original vector. Returns the top-``k`` corpus ids by
+    estimated distance (exact integer micro-unit sum, deterministic
+    tiebreak).
+
+    Spark-first shape — the Lloyd/PCA bounded-driver-state pattern:
+    codebook training is ONE map-only assign pass (literal seed
+    codebooks, in-row argmin for all ``m_subs`` subspaces in one
+    projection) into ONE partial-aggregated exchange of
+    m·k·sub_d ≤ 1024 nano-unit rows (the only thing collected);
+    encode+score is then MAP-ONLY (updated codebooks and the ADC
+    terms re-enter as literals — each row's estimate never touches
+    the query vector), and top-k compiles to TakeOrderedAndProject.
+    At 100 TB: training cost is one scan + one bounded exchange,
+    scoring runs at scan speed over 8-byte codes — the reason PQ is
+    the production tier when vectors no longer fit in RAM.
+
+    Cross-engine exactness (the emb_kmeans_lloyd recipe): assignment
+    distances round to 1e-6 with code-id tiebreaks; centroid updates
+    quantize elements to integer nano-units and means to micro-unit
+    doubles; ADC terms round to 1e-6 and sum as exact micro longs."""
+    seeds_rows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < k_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    dim = len(seeds_rows[0][1])
+    sub_d = dim // m_subs
+    seeds = [
+        [(code, v[m * sub_d : (m + 1) * sub_d]) for code, v in seeds_rows]
+        for m in range(m_subs)
+    ]
+    q_row = (
+        corpus.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    )
+    q = [float(x) for x in q_row[0][0]]
+    q_subs = [q[m * sub_d : (m + 1) * sub_d] for m in range(m_subs)]
+
+    # -- train: one assign pass + one bounded exchange ---------------
+    code_cols = [
+        _pq_best(_pq_slice(vec_col, m, sub_d), seeds[m], q_subs[m])[
+            "code"
+        ].alias(f"__c{m}")
+        for m in range(m_subs)
+    ]
+    assigned = corpus.select(vec_col, *code_cols)
+    micro = (
+        assigned.select(
+            F.array(*[f"__c{m}" for m in range(m_subs)]).alias("__codes"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        .select(
+            (F.col("pos") / sub_d).cast("int").alias("m"),
+            F.element_at(
+                F.col("__codes"), (F.col("pos") / sub_d).cast("int") + 1
+            ).alias("code"),
+            (F.col("pos") % sub_d + 1).alias("dim"),
+            F.floor(
+                F.col("val").cast("double") * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+        .groupBy("m", "code", "dim")
+        .agg(
+            F.floor(
+                F.sum("q").cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.count(F.lit(1))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("mq")
+        )
+        .collect()  # ≤ m·k·sub_d rows — the PQ codebook driver state
+    )
+    book: dict[int, dict[int, dict[int, int]]] = {}
+    for r in micro:
+        book.setdefault(r.m, {}).setdefault(r.code, {})[r.dim] = r.mq
+    trained = [
+        [
+            (code, [dims[d] / 1e6 for d in sorted(dims)])
+            for code, dims in sorted(book.get(m, {}).items())
+        ]
+        for m in range(m_subs)
+    ]
+
+    # -- encode + ADC score: map-only ---------------------------------
+    est = sum(
+        F.floor(
+            _pq_best(_pq_slice(vec_col, m, sub_d), trained[m], q_subs[m])[
+                "adc"
+            ]
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        for m in range(m_subs)
+    )
+    return (
+        corpus.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), est.alias("__est_micro"))
+        .select(
+            id_col,
+            (F.col("__est_micro").cast("double") / F.lit(1_000_000.0))
+            .alias("dist_est"),
+        )
+        .orderBy("dist_est", id_col)
+        .limit(k)
+    )

@@ -3256,3 +3256,107 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__chunk").cast("int").alias("n_tokens"),
         F.md5(F.array_join("__chunk", " ")).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (round 5)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        #: subspaces
+_PQ_K = 16       #: codes per subspace (seeded from vec_id < 16)
+_PQ_QID = 0      #: the fixed demo query vector
+_PQ_SUB_D = 8    #: dim 64 / 8 subspaces
+_PQ_SQDIST = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, t.m,
+               embedding[t.m * {_PQ_SUB_D} + 1 :
+                         t.m * {_PQ_SUB_D} + {_PQ_SUB_D}] AS sv
+        FROM embeddings, unnest(generate_series(0, {_PQ_M - 1})) AS t(m)
+    ),
+    seeds AS (
+        SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    s0 AS (
+        SELECT s.vec_id, s.m, d.code,
+               round({_PQ_SQDIST.format(a='s.sv', b='d.cv')}, 6) AS dd
+        FROM sub s JOIN seeds d ON d.m = s.m
+    ),
+    a0 AS (
+        SELECT vec_id, m, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dd, code) AS rn
+            FROM s0
+        ) WHERE rn = 1
+    ),
+    q1 AS (
+        SELECT a0.m, a0.code, t.i AS dim,
+               SUM(CAST(floor(CAST(s.sv[t.i] AS DOUBLE)
+                              * 1000000000 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM a0
+        JOIN sub s ON s.vec_id = a0.vec_id AND s.m = a0.m,
+             unnest(generate_series(1, {_PQ_SUB_D})) AS t(i)
+        GROUP BY a0.m, a0.code, t.i
+    ),
+    c1 AS (
+        SELECT m, code,
+               list(CAST(CAST(floor(CAST(sq AS DOUBLE) / 1000000000 / n
+                                    * 1000000 + 0.5) AS BIGINT)
+                         AS DOUBLE) / 1000000.0
+                    ORDER BY dim) AS cv
+        FROM q1 GROUP BY m, code
+    ),
+    qv AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = {_PQ_QID}),
+    e0 AS (
+        SELECT s.vec_id, s.m, c.code,
+               round({_PQ_SQDIST.format(a='s.sv', b='c.cv')}, 6) AS dd,
+               round({_PQ_SQDIST.format(a='qv.qsv', b='c.cv')}, 6) AS adc
+        FROM sub s
+        JOIN c1 c ON c.m = s.m
+        JOIN qv ON qv.m = s.m
+        WHERE s.vec_id <> {_PQ_QID}
+    ),
+    e1 AS (
+        SELECT vec_id, m, adc FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dd, code) AS rn
+            FROM e0
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(floor(adc * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS est_micro
+        FROM e1 GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(est_micro AS DOUBLE) / 1000000.0 AS dist_est
+    FROM scored ORDER BY dist_est, vec_id LIMIT 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for the fixed demo query —
+    the memory-bound tier completing the ladder (exact cosine → LSH →
+    IVF → int8 → PQ): per-subspace codebooks trained with one
+    deterministic Lloyd round, vectors encoded to m one-byte codes,
+    distance estimated by asymmetric-distance lookup. Plan and
+    exactness recipe in operators/similarity.py:pq_topk (one map-only
+    training pass + one ≤1024-row exchange collected as driver state,
+    then map-only encode+score into TakeOrderedAndProject); the
+    oracle restates codebook training, encoding, and the ADC sum
+    declaratively."""
+    from sales_etl_spark.operators.similarity import pq_topk
+
+    st = _star(spark, sf_dir)
+    return pq_topk(
+        st.embeddings.select("vec_id", "embedding"),
+        query_id=_PQ_QID, k=10, m_subs=_PQ_M, k_codes=_PQ_K,
+    )
