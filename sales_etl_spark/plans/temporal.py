@@ -1096,3 +1096,141 @@ def flagship_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE l2.l_partkey = p.p_partkey
           )
     """)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles (round 5): the PERCENTILE_CONT surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile_cont",
+    oracle="""
+    WITH vals AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    counts AS (
+        SELECT priority, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM vals GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, cents, c,
+               SUM(c) OVER (PARTITION BY priority ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum_c,
+               SUM(c) OVER (PARTITION BY priority) AS n
+        FROM counts
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS qpct),
+    marks AS (
+        SELECT priority, qpct, n,
+               1 + CAST(qpct AS DOUBLE) / 100.0 * (n - 1) AS rn,
+               CAST(floor(1 + CAST(qpct AS DOUBLE) / 100.0 * (n - 1))
+                    AS BIGINT) AS lo,
+               CAST(ceil(1 + CAST(qpct AS DOUBLE) / 100.0 * (n - 1))
+                    AS BIGINT) AS hi
+        FROM (SELECT DISTINCT priority, n FROM cum), qs
+    ),
+    picked AS (
+        SELECT m.priority, m.qpct, m.rn, m.lo,
+               MIN(CASE WHEN c.cum_c >= m.lo THEN c.cents END) AS v_lo,
+               MIN(CASE WHEN c.cum_c >= m.hi THEN c.cents END) AS v_hi
+        FROM marks m JOIN cum c ON c.priority = m.priority
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT priority, CAST(qpct AS INTEGER) AS pct,
+           CAST((CAST(v_lo AS DOUBLE)
+                 + (rn - lo) * (CAST(v_hi AS DOUBLE) - CAST(v_lo AS DOUBLE)))
+                / 100.0 AS DOUBLE) AS value
+    FROM picked
+    """,
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PERCENTILE_CONT (linear interpolation between the
+    two straddling order statistics at rank 1 + q·(n−1)) of order
+    value per priority class, at p50/p90/p99 — the interpolated
+    companion to agg_percentiles' discrete order statistics (a
+    different named SQL surface: CONT returns values BETWEEN data
+    points).
+
+    Spark-first shape — no row-grain window anywhere: values collapse
+    to a per-(group, cents) count frame (one partial-aggregated
+    exchange; the frame is bounded by the VALUE DOMAIN per group, not
+    the corpus — the sample_quality_deciles precedent), the
+    cumulative counts run over that bounded frame, the 15 rank marks
+    (5 groups × 3 percentiles) broadcast back, and each straddling
+    order statistic falls out of one conditional MIN. Cross-engine
+    exactness: cents are exact longs, the rank position and the
+    interpolation are the IDENTICAL double sequence in both engines
+    (q literal, n exact — same rn, same floor/ceil, same lerp), and
+    the /100 conversion happens once at the output boundary."""
+    st = _star(spark, sf_dir)
+    vals = st.orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    counts = vals.groupBy("priority", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("priority")
+    cum = counts.select(
+        "priority",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    qs = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(50), F.lit(90), F.lit(99)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("qpct")
+    )
+    rn = F.lit(1.0) + F.col("qpct").cast("double") / F.lit(100.0) * (
+        F.col("n") - F.lit(1)
+    )
+    marks = (
+        cum.select("priority", "n")
+        .distinct()
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "priority",
+            "qpct",
+            rn.alias("rn"),
+            F.floor(rn).cast("long").alias("lo"),
+            F.ceil(rn).cast("long").alias("hi"),
+        )
+    )
+    picked = (
+        F.broadcast(marks)
+        .join(cum, "priority")
+        .groupBy("priority", "qpct", "rn", "lo")
+        .agg(
+            F.min(
+                F.when(F.col("cum_c") >= F.col("lo"), F.col("cents"))
+            ).alias("v_lo"),
+            F.min(
+                F.when(F.col("cum_c") >= F.col("hi"), F.col("cents"))
+            ).alias("v_hi"),
+        )
+    )
+    return picked.select(
+        "priority",
+        F.col("qpct").cast("int").alias("pct"),
+        (
+            (
+                F.col("v_lo").cast("double")
+                + (F.col("rn") - F.col("lo"))
+                * (F.col("v_hi").cast("double") - F.col("v_lo").cast("double"))
+            )
+            / F.lit(100.0)
+        ).alias("value"),
+    )

@@ -412,6 +412,9 @@ _SCALAR_BNLJ_OK = {
     # frame, plus the 3-row k-cutoff frame's non-equi (rank <= k)
     # broadcast joins — every side literal-sized
     "search_ndcg_eval",
+    # the literal 3-row percentile frame crossed into the ≤|groups|-row
+    # (group, n) frame for the 15 rank marks
+    "agg_percentile_cont",
     # 1-row (n, Sx, Sy, Sxx, Sxy) moments frame broadcast into the
     # user-grain CUPED adjustment
     "events_ab_cuped",

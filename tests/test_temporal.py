@@ -365,3 +365,66 @@ def test_scd2_pointintime_same_day_flip_matches_interval_semantics(spark):
         d(2024, 1, 20): "HIGH",
         d(2024, 3, 1): "MED",
     }
+
+
+def test_percentile_cont_matches_the_standard_interpolation(spark):
+    """agg_percentile_cont's lerp must agree with the SQL-standard /
+    numpy 'linear' definition — anchored on planted data against
+    DuckDB's built-in quantile_cont (an INDEPENDENT implementation,
+    not our own formula restated)."""
+    import duckdb
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    vals = [10.00, 20.00, 30.00, 40.00, 50.00, 60.00, 70.00]
+    want = {
+        pct: float(
+            duckdb.sql(
+                f"SELECT quantile_cont(v, {pct / 100}) "
+                f"FROM (SELECT unnest({vals}) AS v)"
+            ).fetchone()[0]
+        )
+        for pct in (50, 90, 99)
+    }
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # real orders rows (full schema passes the scan validation)
+        # with the planted value/priority columns substituted
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        base = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .orderBy("o_orderkey")
+            .limit(len(vals))
+            .withColumn(
+                "__rn", F.row_number().over(W.orderBy("o_orderkey"))
+            )
+        )
+        planted = spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vals)], "__rn int, __v double"
+        )
+        orders = (
+            base.join(planted, "__rn")
+            .withColumn("o_totalprice", F.col("__v"))
+            .withColumn("o_orderpriority", F.lit("1-URGENT"))
+            .drop("__rn", "__v")
+        )
+        orders.write.parquet(f"{d}/orders.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "lineitem", "events", "documents", "embeddings"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            if os.path.exists(src):
+                spark.read.parquet(src).limit(1).write.parquet(
+                    f"{d}/{t}.parquet"
+                )
+        got = {
+            r.pct: r.value
+            for r in QUERY_REGISTRY["agg_percentile_cont"]
+            .builder(spark, d)
+            .collect()
+        }
+    assert got == want, (got, want)
