@@ -106,6 +106,11 @@ HEADLINE = [
     "sample_dsir_weights",
     "search_ndcg_eval",
     "text_chunk_overlap",
+    # round-5 closers: PQ timing includes codebook training (two
+    # bounded driver collects) per run — the whole-operator cost; the
+    # percentile frame is value-domain-grain
+    "ann_pq_topk",
+    "agg_percentile_cont",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).
