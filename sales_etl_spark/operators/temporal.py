@@ -92,8 +92,25 @@ def asof_join(
             ],
             *[F.col(c).alias(f"__l_{c}") for c in left_cols],
         )
+        # numeric time axis for the range frames: timestamps map to
+        # exact integer MICROSECONDS in a double (µs < 2^53 — no
+        # rounding, so distance comparisons are exact; a seconds axis
+        # would round µs/1e6 and could flip backward/forward ties);
+        # numeric axes cast through unchanged, tolerance stays seconds
+        # in both cases.
+        is_ts = left.schema[left_ts].dataType.typeName().startswith(
+            "timestamp"
+        )
+        if is_ts:
+            axis = F.unix_micros(F.col("__t").cast("timestamp")).cast(
+                "double"
+            )
+            tol_scale = 1e6
+        else:
+            axis = F.col("__t").cast("double")
+            tol_scale = 1.0
         unioned = lhs.unionByName(r.select(*lhs.columns)).withColumn(
-            "__tn", F.col("__t").cast("double")
+            "__tn", axis
         )
         wb = (
             Window.partitionBy(*by)
@@ -129,7 +146,7 @@ def asof_join(
         b_ok = tn_ok & F.col("__b").isNotNull()
         f_ok = tn_ok & F.col("__f").isNotNull()
         if tolerance_seconds is not None:
-            tol = F.lit(float(tolerance_seconds))
+            tol = F.lit(float(tolerance_seconds) * tol_scale)
             b_ok = b_ok & (bd <= tol)
             f_ok = f_ok & (fd <= tol)
         use_back = b_ok & (~f_ok | (bd <= fd))

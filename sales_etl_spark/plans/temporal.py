@@ -84,6 +84,85 @@ def join_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT c.event_id, MAX(p.ts) AS bt
+        FROM clicks c LEFT JOIN purchases p
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        GROUP BY c.event_id
+    ),
+    f AS (
+        SELECT c.event_id, MIN(p.ts) AS ft
+        FROM clicks c LEFT JOIN purchases p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        GROUP BY c.event_id
+    ),
+    pick AS (
+        SELECT c.event_id, c.user_id, c.ts,
+               CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+                         date_diff('microsecond', bt, c.ts)
+                             <= date_diff('microsecond', c.ts, ft))
+                    THEN bt ELSE ft END AS mt
+        FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)
+    )
+    SELECT k.event_id, k.user_id, k.ts,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM pick k
+    LEFT JOIN purchases p
+      ON p.user_id = k.user_id AND p.ts = k.mt
+     AND abs(date_diff('microsecond', k.ts, k.mt)) <= 86400000000
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=24h)`` semantics):
+    every click gets the same user's temporally CLOSEST purchase —
+    before or after, backward winning exact ties — nulled when the
+    nearest one is more than 24 h away. Completes the as-of family on
+    the hash-checked surface (backward = join_asof_prior_purchase;
+    forward/nearest were unit/property-tested only).
+
+    Spark-first shape (operators/temporal.py:asof_join): ONE union
+    sweep computes both directional carries as range frames over the
+    numeric time axis and each row picks its closer match in place —
+    one shuffle on user_id + one in-partition sort, no
+    |clicks|×|purchases| pair stream at any scale. The oracle states
+    the same pick declaratively (per-click MAX/MIN candidate times,
+    the backward-tie CASE, and a tolerance-guarded re-join on the
+    unique (user_id, ts) key)."""
+    st = _star(spark, sf_dir)
+    ev = st.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return temporal.asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_event_id", "purchase_value"],
+        direction="nearest",
+        tolerance_seconds=86_400,
+    )
+
+
+@query(
     "window_time_range",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,
