@@ -698,3 +698,119 @@ def test_weighted_median_matches_brute_force(spark, rows):
                 med = v
                 break
         assert got[g] == (med, tot), (g, got[g], med, tot)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: randomized structural invariants
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon",
+                     "zeta", "eta", "theta"]),
+    min_size=0, max_size=200,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_words, min_size=1, max_size=6))
+def test_chunk_overlap_covers_every_token_exactly(spark, docs):
+    """text_chunk_overlap's coverage contract, randomized: every token
+    position of every doc lands in ≥1 chunk; interior positions land
+    in exactly ceil(C/S) = 2 chunks; chunk starts advance by the
+    stride; the last chunk reaches the doc end."""
+    from sales_etl_spark.plans.extensions import _CHUNK_C, _CHUNK_S
+
+    rows = [
+        (i, " ".join(ws), "en", len(" ".join(ws)), "prop")
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, n_chars long, "
+        "source string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            spark.read.parquet(
+                f"/root/testdata/sf0.001/{t}.parquet"
+            ).limit(1).write.parquet(f"{d}/{t}.parquet")
+        df.write.parquet(f"{d}/documents.parquet")
+        from sales_etl_spark.plans import QUERY_REGISTRY
+
+        chunks = (
+            QUERY_REGISTRY["text_chunk_overlap"]
+            .builder(spark, d)
+            .collect()
+        )
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if n == 0:
+            assert not got
+            continue
+        # starts advance by the stride from 1
+        assert [r.start_tok for r in got] == [
+            1 + j * _CHUNK_S for j in range(len(got))
+        ]
+        # full coverage: last chunk reaches the end, no position missed
+        last = got[-1]
+        assert last.start_tok + last.n_tokens - 1 == n
+        cover = [0] * (n + 1)
+        for r in got:
+            for p in range(r.start_tok, r.start_tok + r.n_tokens):
+                cover[p] += 1
+        assert min(cover[1:]) >= 1
+        # interior tokens (inside every window that could reach them)
+        full_cover = _CHUNK_C // _CHUNK_S + 1
+        interior = [
+            c for p, c in enumerate(cover[1:], start=1)
+            if p > _CHUNK_C and p <= n - _CHUNK_C
+        ]
+        assert all(c >= 2 for c in interior)
+        assert all(c <= full_cover for c in cover[1:])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_substring_span_detects_planted_run_at_random_offset(spark, seed):
+    """A 100-char block planted at a RANDOM offset inside unrelated
+    filler must always pair the two docs that share it (exactness of
+    the every-position gram contract — no alignment luck involved)."""
+    import random
+
+    from sales_etl_spark.operators.dedup import substring_span_pairs
+
+    rng = random.Random(seed)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum", "gold",
+             "jade", "rust", "sage"]
+    block = " ".join(rng.choices(vocab, k=30))  # ~140 chars
+    f1 = " ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+    f2 = " ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+    f3 = " ".join(rng.choices(vocab, k=rng.randint(5, 40)))
+    rows = [
+        (1, f"{f1} {block} {f2}".strip()),
+        (2, f"{block} {f3}".strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in substring_span_pairs(
+            df, "doc_id", "text", window=64, min_shared=8,
+            max_gram_df=None,
+        ).collect()
+    }
+    assert (1, 2) in got
