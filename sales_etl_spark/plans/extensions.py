@@ -34,7 +34,27 @@ from sales_etl_spark.streaming.windows import (
     tumbling_agg,
 )
 
-SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
+import os as _os
+
+#: Scratch root for queries that materialize files (format demos, the
+#: persisted LSH index, backfill marts). Scoped PER PROCESS by
+#: default: two concurrent runs (a pytest session and a check_oracle
+#: sweep, or the driver and a local sweep) previously shared one
+#: directory tree and raced each other's rmtree/rebuild cycles —
+#: intermittent, hard-to-reproduce failures that vanish when run
+#: alone. Within one process the sentinel-based build-once caching is
+#: unchanged. ``SPARK_ETL_SCRATCH`` overrides the root (e.g. to share
+#: a pre-built index deliberately).
+SCRATCH = Path(
+    _os.environ.get(
+        "SPARK_ETL_SCRATCH",
+        str(
+            Path(__file__).resolve().parent.parent.parent
+            / ".scratch"
+            / f"pid{_os.getpid()}"
+        ),
+    )
+)
 
 
 def _scratch(name: str, sf_dir: str) -> Path:
