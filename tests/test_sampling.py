@@ -284,3 +284,66 @@ def test_temperature_resample_targets_and_fill(spark):
     by_mass = sorted(per_src, key=lambda s: per_src[s][1])
     targets = [got[s][1] for s in by_mass if s in got]
     assert targets == sorted(targets)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """DSIR's defining property: source docs written in the TARGET
+    domain's vocabulary must receive higher importance weights than
+    generic filler. Plant a hash-selected target cohort that speaks a
+    distinctive vocabulary, give a few source docs the same
+    vocabulary, and assert every vocabulary-matching source doc
+    outranks every filler doc."""
+    from sales_etl_spark.operators.sampling import (
+        hash_uniform_hex,
+        threshold_hex,
+    )
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.plans.trade import _DSIR_TGT_RATE, _DSIR_TGT_SEED
+
+    from pyspark.sql import functions as F
+
+    # find doc ids the query's own hash draw labels TARGET vs SOURCE
+    ids = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    lbl = ids.withColumn(
+        "is_tgt",
+        hash_uniform_hex(F.col("doc_id"), _DSIR_TGT_SEED)
+        < F.lit(threshold_hex(_DSIR_TGT_RATE)),
+    ).collect()
+    tgt_ids = [r.doc_id for r in lbl if r.is_tgt]
+    src_ids = [r.doc_id for r in lbl if not r.is_tgt]
+    assert len(tgt_ids) >= 10 and len(src_ids) >= 100
+
+    domain = "quark lepton boson hadron gluon meson baryon photon"
+    filler = "table chair window door floor ceiling wall carpet"
+    matching = set(src_ids[:8])  # source docs that speak the domain
+    rows = []
+    for i in tgt_ids:
+        rows.append((i, domain, "en", len(domain), "t"))
+    for i in src_ids:
+        text = domain if i in matching else filler
+        rows.append((i, text, "en", len(text), "s"))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, n_chars long, "
+        "source string",
+    )
+    import os
+
+    d = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        spark.read.parquet(
+            f"/root/testdata/sf0.001/{t}.parquet"
+        ).limit(1).write.parquet(f"{d}/{t}.parquet")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    out = {
+        r.doc_id: r.logw_micro
+        for r in QUERY_REGISTRY["sample_dsir_weights"]
+        .builder(spark, d)
+        .collect()
+    }
+    match_w = [out[i] for i in matching if i in out]
+    filler_w = [w for i, w in out.items() if i not in matching]
+    assert len(match_w) == len(matching)  # all matched docs ranked
+    assert min(match_w) > max(filler_w)
