@@ -26,8 +26,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness sweep covers the first 50 entries of the
 # dict returned by ``queries()``. Round-5 rotation (the round-4
 # verdict's top ask): every key that has NEVER had a driver
-# CORRECTNESS row leads the order. 105 such keys exist (incl. the
-# seven new round-5 queries) against a
+# CORRECTNESS row leads the order. 106 such keys exist (incl. the
+# eight new round-5 queries) against a
 # 50-slot window, so the window holds, in order: (a) this round's
 # changed/new code (the ntile rewrite and its new exact-pairs twin —
 # hard signal for fresh code outranks rotation turns), then (b) the
@@ -35,10 +35,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # TPC-H flagships, the lake-format DML surface, the scan-pruning
 # family (DPP / bucketed / z-order / partition / schema-evolution /
 # binary), the window family, and the mart/graph/dedup machinery
-# closers. The 55 remaining never-checked keys follow IMMEDIATELY
-# after slot 50 (positions 51-105) so next round's rotation is
+# closers. The 56 remaining never-checked keys follow IMMEDIATELY
+# after slot 50 (positions 51-106) so next round's rotation is
 # exactly "promote the tail" and the two windows jointly cover all
-# 105. Every displaced key is bit-exact under tools/check_oracle.py
+# 106. Every displaced key is bit-exact under tools/check_oracle.py
 # at sf0.001 AND sf0.01 this session, and the keys this window
 # displaces (the r04 cohort) all hold green driver rows from
 # CORRECTNESS_r04.
@@ -53,6 +53,7 @@ _SWEEP_FIRST = [
     "ann_pq_topk",
     "agg_percentile_cont",
     "join_asof_nearest",
+    "events_markov_stationary",
     # -- TPC-H flagship tier (never driver-checked) ------------------
     "flagship_min_cost_supplier",
     "flagship_product_profit",
@@ -97,15 +98,16 @@ _SWEEP_FIRST = [
     "mart_incremental_join_refresh",
     "graph_pagerank_trade",
     "graph_triangle_cluster",
+    # ---- end of the 50-slot window (graph_triangle_cluster is
+    # slot 50). The eight brand-new round-5 queries
+    # (sample_dsir_weights, search_ndcg_eval, dedup_substring_span,
+    # text_chunk_overlap, ann_pq_topk, agg_percentile_cont,
+    # join_asof_nearest, events_markov_stationary) joined the lead
+    # cohort after this list was first cut, displacing the eight
+    # trailing dedup/corpus/variant closers (dedup_semantic onward)
+    # to lead the tail — they head the r06 window. Positions 51-106
+    # queue the rest of the never-driver-checked keys. ----------------
     "dedup_semantic",
-    # ---- end of the 50-slot window (dedup_semantic is slot 50).
-    # The seven brand-new round-5 queries (sample_dsir_weights,
-    # search_ndcg_eval, dedup_substring_span, text_chunk_overlap,
-    # ann_pq_topk, agg_percentile_cont, join_asof_nearest) joined
-    # the lead cohort after this list was first cut, displacing the
-    # seven trailing dedup/corpus/variant closers (dedup_containment
-    # onward) to lead the tail — they head the r06 window. Positions
-    # 51-105 queue the rest of the never-driver-checked keys. --------
     "dedup_containment",
     "dedup_paragraphs",
     "dedup_tf_cosine",

@@ -2125,3 +2125,129 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, vec_id long, dist_to_chosen double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov steady state over the behavioral-flow matrix (round 5)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 12
+
+_MARKOV_BASE_SQL = """
+    seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events
+    ),
+    cnt AS MATERIALIZED (
+        SELECT from_type AS i, event_type AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS MATERIALIZED (SELECT i, CAST(SUM(c) AS BIGINT) AS r
+                        FROM cnt GROUP BY i),
+    types AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+    p0 AS MATERIALIZED (
+        SELECT t,
+               CAST(1000000 // (SELECT COUNT(*) FROM types) AS BIGINT)
+                   AS v
+        FROM types
+    )
+"""
+
+
+def _markov_level_sql(k: int) -> str:
+    """One exact-integer power-iteration level: each type's next mass
+    is the floor-divided inflow Σᵢ (πᵢ·cᵢⱼ) // rᵢ plus any dangling
+    (no-outgoing) type's self-retained mass."""
+    return f"""
+    p{k} AS MATERIALIZED (
+        SELECT t.t,
+               CAST(
+                 COALESCE((SELECT SUM((p.v * c.c) // r.r)
+                           FROM p{k - 1} p
+                           JOIN cnt c ON c.i = p.t AND c.j = t.t
+                           JOIN rt r ON r.i = p.t), 0)
+                 + COALESCE((SELECT SUM(p.v) FROM p{k - 1} p
+                             WHERE p.t = t.t AND NOT EXISTS
+                                   (SELECT 1 FROM rt WHERE rt.i = p.t)),
+                            0)
+               AS BIGINT) AS v
+        FROM types t
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle=(
+        "WITH "
+        + _MARKOV_BASE_SQL
+        + ","
+        + ",".join(_markov_level_sql(k) for k in range(1, _MARKOV_ITERS + 1))
+        + f"""
+    SELECT t AS event_type,
+           v AS stationary_micro,
+           CAST(v AS DOUBLE) / 1000000.0 AS stationary
+    FROM p{_MARKOV_ITERS}
+    """
+    ),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state distribution of the behavioral Markov chain: where
+    does a user's session settle if the observed event-type
+    transition probabilities keep acting — the long-run attention
+    share per event type (events_transition_matrix asks what each
+    step looks like; this asks where the flow CONVERGES). Dangling
+    types (no outgoing transitions) retain their mass — the
+    self-loop convention.
+
+    Spark-first shape — the bounded-iteration local-solve pattern
+    (Lloyd/PCA/Holt): the transition matrix is domain-bounded
+    (≤|types|² cells), so ONE shuffle builds it, the driver collects
+    those ≤25 rows, and the power iteration runs in exact Python
+    integers — π quantized to micro-units, each level summing
+    floor-divided inflows (πᵢ·cᵢⱼ) // rᵢ, {0} levels unrolled — with
+    the result re-entering as a literal frame. Chaining {0} tiny
+    distributed jobs instead would be pure scheduler floor. The
+    oracle restates the identical integer iteration as {0} unrolled
+    CTE levels (DuckDB // ≡ Python // on the non-negative masses), so
+    the ENTIRE fixpoint is hash-checked, not just the last step.""".format(
+        _MARKOV_ITERS
+    )
+    st = _star(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = st.events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    cells = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # ≤|types|² rows — the bounded driver state
+    )
+    types = sorted(
+        r.event_type
+        for r in st.events.select("event_type").distinct().collect()
+    )
+    c: dict[str, dict[str, int]] = {}
+    r: dict[str, int] = {}
+    for row in cells:
+        c.setdefault(row.from_type, {})[row.event_type] = row.c
+        r[row.from_type] = r.get(row.from_type, 0) + row.c
+    pi = {t: 1_000_000 // len(types) for t in types}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {t: 0 for t in types}
+        for i in types:
+            if r.get(i, 0) > 0:
+                for j, cij in c.get(i, {}).items():
+                    nxt[j] += (pi[i] * cij) // r[i]
+            else:
+                nxt[i] += pi[i]
+        pi = nxt
+    return spark.createDataFrame(
+        [(t, pi[t], pi[t] / 1e6) for t in types],
+        "event_type string, stationary_micro long, stationary double",
+    )
