@@ -2208,14 +2208,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤|types|² cells), so ONE shuffle builds it, the driver collects
     those ≤25 rows, and the power iteration runs in exact Python
     integers — π quantized to micro-units, each level summing
-    floor-divided inflows (πᵢ·cᵢⱼ) // rᵢ, {0} levels unrolled — with
-    the result re-entering as a literal frame. Chaining {0} tiny
+    floor-divided inflows (πᵢ·cᵢⱼ) // rᵢ, 12 levels unrolled — with
+    the result re-entering as a literal frame. Chaining 12 tiny
     distributed jobs instead would be pure scheduler floor. The
-    oracle restates the identical integer iteration as {0} unrolled
-    CTE levels (DuckDB // ≡ Python // on the non-negative masses), so
-    the ENTIRE fixpoint is hash-checked, not just the last step.""".format(
-        _MARKOV_ITERS
-    )
+    oracle restates the identical integer iteration as 12 unrolled
+    MATERIALIZED CTE levels (DuckDB // ≡ Python // on the
+    non-negative masses), so the ENTIRE fixpoint is hash-checked,
+    not just the last step."""
     st = _star(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = st.events.select(
