@@ -1483,8 +1483,9 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flagship_forecast_revenue",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(8,4))) AS revenue_delta
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue_delta
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
       AND l_shipdate <  TIMESTAMP '1995-01-01'
@@ -1516,10 +1517,16 @@ def flagship_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        # Decimal keeps the sum exact and order-free; the OUTPUT cast
+        # to double makes the dtype engine-invariant (registry
+        # convention — exposed DecimalType hash-diverges between
+        # Spark toPandas float64 and DuckDB decimal.Decimal).
         F.sum(
             F.col("l_extendedprice").cast("decimal(18,2)")
             * F.col("l_discount").cast("decimal(8,4)")
-        ).alias("revenue_delta"),
+        )
+        .cast("double")
+        .alias("revenue_delta"),
     )
 
 

@@ -174,7 +174,7 @@ def window_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
-               CAST(SUM(rev_c) AS DECIMAL(38,0)) AS total_rev_cents,
+               CAST(SUM(rev_c) AS BIGINT) AS total_rev_cents,
                SUM(CAST(i AS DECIMAL(19,0))
                    * CAST(rev_c AS DECIMAL(19,0))) AS s_ix
         FROM ranked
@@ -217,7 +217,10 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("rev_c").cast("decimal(38,0)").alias("total_rev_cents"),
+        # bigint, not decimal(38,0): engine-invariant at the output
+        # boundary (sum of cents fits long far past sf100), and the
+        # gini double expression below sees the same integer either way.
+        F.sum("rev_c").cast("bigint").alias("total_rev_cents"),
         F.sum(
             F.col("i").cast("decimal(19,0)")
             * F.col("rev_c").cast("decimal(19,0)")
@@ -320,7 +323,8 @@ _BIG_ORDER_QTY = 250
     oracle=f"""
     WITH big AS (
         SELECT l_orderkey,
-               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_qty
         FROM lineitem
         GROUP BY l_orderkey
         HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_BIG_ORDER_QTY}
@@ -362,6 +366,14 @@ def flagship_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .filter(F.col("total_qty") > _BIG_ORDER_QTY)
+        # Output-boundary dtype invariance (registry convention,
+        # plans/registry.py): the exact decimal sum stays internal —
+        # the HAVING threshold compares decimals — but the EXPOSED
+        # column is double, because DecimalType round-trips
+        # differently per engine (Spark toPandas -> float64 vs DuckDB
+        # -> decimal.Decimal) and stringify-hash comparators diverge
+        # even when values are bit-equal.
+        .select("l_orderkey", F.col("total_qty").cast("double").alias("total_qty"))
     )
     pruned = st.orders.join(
         F.broadcast(big),

@@ -623,6 +623,23 @@ def test_fuzzy_names_is_codegen_no_python(spark):
     assert "levenshtein" in plan.lower(), plan
 
 
+def test_pq_topk_compiles_no_codegen_fallback(spark):
+    """ann_pq_topk must EXECUTE with whole-stage-codegen fallback
+    disabled — the round-5 regression this locks against: the unrolled
+    literal PQ scoring generated a ~14.6k-line class janino rejected,
+    and Spark silently ran the stage interpreted (plus paid two doomed
+    compile attempts per run — the query was 4× slower than the HOF
+    form that replaced it). With spark.sql.codegen.fallback=false a
+    compile failure raises instead of degrading, so a future giant
+    expression tree fails THIS test rather than the bench."""
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = _build(spark, "ann_pq_topk").collect()
+        assert len(rows) == 10
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 def test_global_rownum_has_no_full_table_global_sort(spark):
     """The bucket-offset numbering must not range-repartition the doc
     table for a global sort; the only unpartitioned window runs over

@@ -28,6 +28,37 @@ def oracle_con():
     con.close()
 
 
+def test_no_engine_variant_output_dtypes(spark):
+    """Registry-wide dtype hygiene: no query may EXPOSE a DecimalType
+    column — it round-trips differently per engine (Spark toPandas ->
+    float64 vs DuckDB -> decimal.Decimal), so a stringify-then-hash
+    comparator diverges even when values are bit-equal. Decimals stay
+    INTERNAL (exact sums) and cast to bigint/double at the output
+    boundary — the r5 verdict root-caused flagship_big_orders' red
+    driver row to exactly this. TimestampType event-time columns are
+    NOT flagged: both engines surface them as datetime64[us] through
+    pandas, and the five queries exposing them have been driver
+    hash-green since r1. Schema-only (analysis, no execution), so the
+    whole registry checks in a couple of minutes.
+    """
+    from pyspark.sql.types import DecimalType
+
+    offenders = {}
+    for name in sorted(QUERY_REGISTRY):
+        schema = QUERY_REGISTRY[name].builder(spark, SF_DIR).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "engine-variant output dtypes (cast to bigint/double or "
+        f"timestamp_ntz at the boundary): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
 def test_query_matches_oracle(spark, oracle_con, name):
     qd = QUERY_REGISTRY[name]
