@@ -75,12 +75,68 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _is_transient_connect_error(exc: Exception) -> bool:
+    """Connection-level (retryable) vs everything else (fail fast).
+
+    Mirror of the reference retrying ONLY psycopg2.OperationalError
+    (main.py:42-58): a booting/unreachable server is worth waiting
+    for; an auth rejection, malformed URL, or missing driver class is
+    not — retrying those ``max_retries`` times just buries the root
+    cause under a generic "not ready". Retryable =
+
+    - SQLState class 08 (connection exception) anywhere in the Java
+      cause chain — EXCEPT DriverManager's "No suitable driver",
+      which some JDKs stamp 08001 despite being a configuration
+      error that no amount of waiting fixes;
+    - ``SQLTransientConnectionException`` /
+      ``SQLNonTransientConnectionException`` subclasses;
+    - raw socket-level failures (``java.net.ConnectException``,
+      ``SocketTimeoutException``, ``UnknownHostException`` is NOT
+      retried — a bad hostname is configuration);
+    - for injected test fakes: Python ``ConnectionError`` /
+      ``TimeoutError``.
+    """
+    je = getattr(exc, "java_exception", None)
+    if je is None:
+        return isinstance(exc, (ConnectionError, TimeoutError))
+    cur = je
+    while cur is not None:
+        try:
+            cname = cur.getClass().getName()
+            msg = cur.getMessage() or ""
+        except Exception:
+            return False
+        if "UnknownHostException" in cname:
+            return False
+        if "No suitable driver" in msg:
+            return False
+        if (
+            "SQLTransientConnectionException" in cname
+            or "SQLNonTransientConnectionException" in cname
+            or "java.net.ConnectException" in cname
+            or "SocketTimeoutException" in cname
+        ):
+            return True
+        try:
+            state = cur.getSQLState()
+        except Exception:
+            state = None
+        if state and str(state).startswith("08"):
+            return True
+        try:
+            cur = cur.getCause()
+        except Exception:
+            cur = None
+    return False
+
+
 def wait_for_db(
     spark,
     url: str,
     max_retries: int = 10,
     delay: float = 2.0,
     driver: str | None = None,
+    properties: Mapping[str, str] | None = None,
     _connect=None,
 ) -> int:
     """Bounded database-readiness probe (reference main.py:42-58
@@ -90,21 +146,42 @@ def wait_for_db(
     that succeeded or raises ``RuntimeError`` after ``max_retries``
     with the last driver error chained.
 
+    The probe authenticates EXACTLY like the real write: the caller's
+    ``properties`` mapping (user/password — the standard Spark JDBC
+    pattern) becomes a ``java.util.Properties`` passed to
+    ``getConnection(url, props)``. A credential-less probe against an
+    authenticated database burns all ``max_retries`` (~18 s) and then
+    fails a sink whose database was ready the whole time.
+
+    Only connection-level failures are retried
+    (:func:`_is_transient_connect_error` — the reference retries only
+    psycopg2.OperationalError); auth rejections, malformed URLs, and
+    missing driver classes raise immediately with the real cause.
+    Each failed attempt is logged.
+
     Real deployments hit cold databases constantly — every sink entry
     point calls this before its first real connection so a container
     that is still booting costs a few retries, not a failed run.
     ``_connect`` injects the connection attempt for tests (a
     refusing-then-accepting fake); production always probes through
     ``java.sql.DriverManager``."""
+    import logging
     import time
 
+    log = logging.getLogger(__name__)
     if _connect is None:
         jvm = spark._jvm
+        if driver is None and properties:
+            driver = properties.get("driver")
         if driver:
             jvm.java.lang.Class.forName(driver)
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            if k != "driver":
+                props.setProperty(k, str(v))
 
         def _connect() -> None:
-            jvm.java.sql.DriverManager.getConnection(url).close()
+            jvm.java.sql.DriverManager.getConnection(url, props).close()
 
     last: Exception | None = None
     for attempt in range(1, max_retries + 1):
@@ -112,6 +189,12 @@ def wait_for_db(
             _connect()
             return attempt
         except Exception as exc:  # Py4JJavaError / fake test error
+            if not _is_transient_connect_error(exc):
+                raise
+            log.warning(
+                "wait_for_db attempt %d/%d against %s failed: %s",
+                attempt, max_retries, url, exc,
+            )
             last = exc
             if attempt < max_retries:
                 time.sleep(delay)
@@ -144,7 +227,7 @@ def jdbc_write(
         url,
         max_retries=connect_retries,
         delay=retry_delay,
-        driver=(properties or {}).get("driver"),
+        properties=properties,
     )
     if num_partitions:
         df = df.coalesce(num_partitions)
@@ -275,6 +358,7 @@ def jdbc_execute_upsert(
     guard_versions: bool = False,
     connect_retries: int = 10,
     retry_delay: float = 2.0,
+    properties: Mapping[str, str] | None = None,
 ) -> int:
     """Row-level upsert through a real JDBC ``PreparedStatement`` batch
     (the reference's psycopg2 ``execute`` loop, etl/load.py:81-109, on
@@ -309,8 +393,14 @@ def jdbc_execute_upsert(
         max_retries=connect_retries,
         delay=retry_delay,
         driver=driver,
+        properties=properties,
     )
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the real connection authenticates exactly like the probe did
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        if k != "driver":
+            props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     n = 0
     try:
         guard = list(order_by) if guard_versions else None

@@ -42,19 +42,30 @@ import os as _os
 #: sweep, or the driver and a local sweep) previously shared one
 #: directory tree and raced each other's rmtree/rebuild cycles —
 #: intermittent, hard-to-reproduce failures that vanish when run
-#: alone. Within one process the sentinel-based build-once caching is
-#: unchanged. ``SPARK_ETL_SCRATCH`` overrides the root (e.g. to share
-#: a pre-built index deliberately).
-SCRATCH = Path(
-    _os.environ.get(
-        "SPARK_ETL_SCRATCH",
-        str(
-            Path(__file__).resolve().parent.parent.parent
-            / ".scratch"
-            / f"pid{_os.getpid()}"
-        ),
+#: alone. The per-process name is a uuid4 (NOT the bare pid: pids
+#: recycle, so a new process could adopt a stale sentinel-complete
+#: tree built by an earlier, possibly different-code run — and the
+#: dirs would pile up unboundedly) and the tree is removed at
+#: interpreter exit. Within one process the sentinel-based build-once
+#: caching is unchanged. ``SPARK_ETL_SCRATCH`` overrides the root
+#: (e.g. to share a pre-built index deliberately) and is then left on
+#: disk — deliberate sharing implies deliberate lifecycle.
+_SCRATCH_OVERRIDE = _os.environ.get("SPARK_ETL_SCRATCH")
+if _SCRATCH_OVERRIDE:
+    SCRATCH = Path(_SCRATCH_OVERRIDE)
+else:
+    import atexit as _atexit
+    import shutil as _shutil
+    import uuid as _uuid
+
+    SCRATCH = (
+        Path(__file__).resolve().parent.parent.parent
+        / ".scratch"
+        / f"run-{_uuid.uuid4().hex[:12]}"
     )
-)
+    _atexit.register(
+        lambda: _shutil.rmtree(SCRATCH, ignore_errors=True)
+    )
 
 
 def _scratch(name: str, sf_dir: str) -> Path:

@@ -90,8 +90,13 @@ def join_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
     purchases AS (
-        SELECT user_id, ts, event_id, value
-        FROM events WHERE event_type = 'purchase'
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, ts ORDER BY event_id
+                   ) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
     ),
     b AS (
         SELECT c.event_id, MAX(p.ts) AS bt
@@ -135,20 +140,38 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep computes both directional carries as range frames over the
     numeric time axis and each row picks its closer match in place —
     one shuffle on user_id + one in-partition sort, no
-    |clicks|×|purchases| pair stream at any scale. The oracle states
-    the same pick declaratively (per-click MAX/MIN candidate times,
-    the backward-tie CASE, and a tolerance-guarded re-join on the
-    unique (user_id, ts) key)."""
+    |clicks|×|purchases| pair stream at any scale. The operator's
+    contract requires the right side unique on (user_id, ts), so
+    exact-ts tying purchases are collapsed FIRST — keep the min
+    event_id's whole row via one map-side-combinable min(struct(...))
+    aggregate (no window sort) — and the oracle mirrors the identical
+    keep-one rule with a ROW_NUMBER before its tolerance-guarded
+    equality re-join; without the dedup a tie makes the carry
+    arbitrary on the Spark side and row-multiplying on the oracle
+    side. The oracle states the same pick declaratively (per-click
+    MAX/MIN candidate times, the backward-tie CASE)."""
     st = _star(spark, sf_dir)
     ev = st.events
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("value").alias("purchase_value"),
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("event_id").alias("purchase_event_id"),
+                    F.col("value").alias("purchase_value"),
+                )
+            ).alias("__p")
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.col("__p.purchase_event_id").alias("purchase_event_id"),
+            F.col("__p.purchase_value").alias("purchase_value"),
+        )
     )
     return temporal.asof_join(
         clicks,

@@ -649,6 +649,68 @@ def test_wait_for_db_exhaustion_raises_with_cause(spark, monkeypatch):
     assert isinstance(exc.value.__cause__, ConnectionError)
 
 
+def test_wait_for_db_fails_fast_on_non_transient_errors(
+    spark, monkeypatch
+):
+    """Only connection-level failures are retried (the reference
+    retries only psycopg2.OperationalError): an auth rejection or a
+    malformed URL raises the ORIGINAL error on attempt 1 — no ~18 s of
+    doomed retries burying the root cause under a generic 'not
+    ready'."""
+    import pytest as _pytest
+
+    from sales_etl_spark.load import wait_for_db
+
+    monkeypatch.setattr(
+        "time.sleep",
+        lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+    )
+    calls = {"n": 0}
+
+    def reject_auth():
+        calls["n"] += 1
+        raise ValueError("FATAL: password authentication failed")
+
+    with _pytest.raises(ValueError, match="authentication failed"):
+        wait_for_db(
+            spark, "jdbc:fake:db", max_retries=10, _connect=reject_auth
+        )
+    assert calls["n"] == 1  # no retry on a non-transient failure
+
+
+def test_wait_for_db_probe_authenticates_with_properties(
+    spark, tmp_path
+):
+    """The probe must pass the caller's properties mapping
+    (user/password) to getConnection(url, props) — i.e. authenticate
+    exactly like the real write. Embedded Derby accepts credentialed
+    connections, so a successful credentialed probe proves the
+    properties route through; a credential-LESS probe against an
+    auth-required database would otherwise fail all attempts even
+    when the DB is ready."""
+    if not _derby_available(spark):
+        pytest.skip("Derby JDBC driver not on the classpath")
+
+    from sales_etl_spark.load import wait_for_db
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path)
+    )
+    url = f"jdbc:derby:{tmp_path}/whauth;create=true"
+    attempt = wait_for_db(
+        spark,
+        url,
+        max_retries=2,
+        delay=0.1,
+        properties={
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "user": "app",
+            "password": "secret",
+        },
+    )
+    assert attempt == 1
+
+
 def test_wait_for_db_immediate_success_never_sleeps(spark, monkeypatch):
     """A ready database costs exactly one probe connection."""
     from sales_etl_spark.load import wait_for_db
