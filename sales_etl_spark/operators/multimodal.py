@@ -112,9 +112,13 @@ def decode_capability() -> dict[str, bool]:
     """Runtime probe of the optional media-decode dependencies, logged
     once per process so a run's feature report states which decode
     tier actually executed. ``pil`` covers still-image pixel decode;
-    ``libav`` covers video/audio frame decode (PyAV binding)."""
+    ``libav`` covers video/audio frame decode (PyAV binding);
+    ``png_stdlib`` is the always-available pure-stdlib PNG pixel
+    decoder (operators/png.py) — real inflate + unfiltering with no
+    optional dependency, so the real-decode tier executes on every
+    box for PNG payloads."""
     global _CAPABILITY_LOGGED
-    caps = {}
+    caps = {"png_stdlib": True}
     try:
         from PIL import Image  # noqa: F401
 
@@ -158,6 +162,19 @@ def _pil_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
         return im.width, im.height, int(getattr(im, "n_frames", 1))
 
 
+def _png_stdlib_decode(payload: bytes) -> tuple[int, int, int]:
+    """REAL PNG pixel decode through the pure-stdlib codec
+    (operators/png.py): the full raster is inflated and unfiltered,
+    so truncated/corrupt payloads raise HERE (ValueError from the
+    chunk walk / CRC check / raster-length check) exactly like the
+    PIL tier. Always available — this is the middle tier between
+    header-parse and PIL."""
+    from sales_etl_spark.operators.png import decode_png
+
+    w, h, _ch, _pixels = decode_png(payload)
+    return w, h, 1
+
+
 def featurize_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Per-item media features via Arrow-batched mapInPandas.
 
@@ -170,22 +187,30 @@ def featurize_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         caps = None if decode_stub else decode_capability()
         for pdf in it:
-            if caps is not None and not caps["pil"]:
-                raise NotImplementedError(
-                    "real media decode requires PIL (images) / libav "
-                    "(video): neither is importable — run with "
-                    "decode_stub=True for the deterministic stub"
-                )
             rows = []
             for media_id, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 data = bytes(payload)
                 if caps is not None:
-                    # real tier: PIL pixel decode for images; frame
-                    # decode for audio/video still needs libav
-                    if mtype == "image":
+                    # real tier: PIL pixel decode for images when
+                    # importable; the pure-stdlib PNG decoder covers
+                    # PNG payloads on every box; frame decode for
+                    # audio/video still needs libav
+                    if mtype == "image" and caps["pil"]:
                         w, h, nf = _pil_decode(data, mtype)
+                    elif mtype == "image" and data[:8] == (
+                        b"\x89PNG\r\n\x1a\n"
+                    ):
+                        w, h, nf = _png_stdlib_decode(data)
+                    elif mtype == "image":
+                        raise NotImplementedError(
+                            "real decode of non-PNG images requires "
+                            "PIL (not importable); PNG decodes via "
+                            "the stdlib codec, or run with "
+                            "decode_stub=True for the deterministic "
+                            "stub"
+                        )
                     else:
                         raise NotImplementedError(
                             "real audio/video decode requires libav "
@@ -293,6 +318,69 @@ def demean_embeddings_per_group(
     return src.groupBy(group_col).applyInPandas(
         demean,
         schema=f"{id_col} {id_t}, {group_col} {grp_t}, centered array<double>",
+    )
+
+
+def documents_as_png(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG fixture stream: one REAL spec-valid PNG per
+    document (operators/png.py:encode_png), every parameter a closed
+    form of doc fields so an SQL oracle can predict every decoded
+    pixel — width 4 + doc_id%13, height 3 + n_chars%11, 8-bit gray
+    pixel(y,x) = (doc_id·31 + y·17 + x·7 + n_chars) % 256, and the
+    scanline filter VARIES per row ((doc_id + y) % 5) so all five
+    PNG filter types sit on the hash-checked decode path. The
+    synthesizer is the fixture half; decode_png is the production
+    half under test — mirrors documents_as_wav."""
+    from sales_etl_spark.operators.png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = 4 + d % 13
+                h = 3 + nc % 11
+                px = bytes(
+                    (d * 31 + y * 17 + x * 7 + nc) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append(
+                    (d, bytearray(encode_png(px, w, h, lambda y: (d + y) % 5)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def png_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG decode: inflate + unfilter every payload
+    (operators/png.py:decode_png) and emit the raster as an int array
+    alongside the decoded geometry. Downstream fingerprinting stays
+    NATIVE (posexplode + JVM aggregation) — Python's only job is the
+    byte-level codec work Spark has no builtin for."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sales_etl_spark.operators.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                rows.append((media_id, w, h, ch, list(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "pixels"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "pixels array<int>"
+        ),
     )
 
 

@@ -72,24 +72,32 @@ def test_decode_stub_false_raises_at_kernel(spark, media):
         featurize_media(av, decode_stub=False).collect()
 
 
-def test_decode_real_pil_tier_when_available(spark):
-    """When PIL is importable the decode_stub=False image tier decodes
-    REAL pixels (dimensions from the decoded image, corrupt payloads
-    rejected); skipped where the sandbox has no PIL — the stub tier
-    and header parsing stay covered by the other tests either way."""
+def test_decode_real_image_tier_runs_everywhere(spark):
+    """The decode_stub=False image tier decodes REAL pixels on every
+    box: through PIL when importable, else through the pure-stdlib
+    PNG codec (operators/png.py) — no environment leaves the real
+    tier unexecuted (the round-5 skip this replaces). Either path
+    must recover true dimensions and reject corrupt payloads at the
+    kernel site."""
     from sales_etl_spark.operators.multimodal import decode_capability
 
     caps = decode_capability()
-    assert set(caps) == {"pil", "libav"}
-    if not caps["pil"]:
-        pytest.skip("PIL not importable on this box")
-    import io
+    assert set(caps) == {"pil", "libav", "png_stdlib"}
+    assert caps["png_stdlib"] is True
 
-    from PIL import Image
+    if caps["pil"]:
+        import io
 
-    buf = io.BytesIO()
-    Image.new("RGB", (31, 17)).save(buf, format="PNG")
-    png = buf.getvalue()
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (31, 17)).save(buf, format="PNG")
+        png = buf.getvalue()
+    else:
+        from sales_etl_spark.operators.png import encode_png
+
+        png = encode_png(bytes(31 * 17), 31, 17, lambda y: y % 5)
+
     media = spark.createDataFrame(
         [(1, "image", bytearray(png))],
         "media_id long, media_type string, payload binary",
@@ -103,6 +111,51 @@ def test_decode_real_pil_tier_when_available(spark):
     )
     with pytest.raises(PythonException):
         featurize_media(corrupt, decode_stub=False).collect()
+
+
+def test_png_codec_roundtrip_and_real_world_decode():
+    """Driver-side codec contract: (a) encode→decode round-trips every
+    filter type bit-exactly on random rasters; (b) the decoder reads
+    REAL third-party PNGs (palette / RGBA / gray shapes produced by
+    other encoders) when present on the box, proving the unfiltering
+    isn't merely self-consistent with our encoder; (c) out-of-scope
+    depths and corrupt streams raise ValueError."""
+    import random
+    from pathlib import Path
+
+    from sales_etl_spark.operators.png import decode_png, encode_png
+
+    rng = random.Random(7)
+    for _ in range(10):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        for mode in range(5):
+            w2, h2, ch, out = decode_png(
+                encode_png(px, w, h, lambda y, m=mode: m)
+            )
+            assert (w2, h2, ch, out) == (w, h, 1, px)
+
+    for cand, exp in [
+        ("/usr/share/gitweb/static/git-logo.png", (72, 27, 1)),
+        ("/usr/share/doc/python3/_static/file.png", (16, 16, 4)),
+    ]:
+        p = Path(cand)
+        if p.exists():
+            w, h, ch, out = decode_png(p.read_bytes())
+            assert (w, h, ch) == exp
+            assert len(out) == w * h * ch
+
+    good = encode_png(bytes(12), 4, 3)
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated mid-IHDR
+    with pytest.raises(ValueError):
+        decode_png(b"\x00" * 32)  # bad signature
+    # flip one IDAT byte: CRC check must catch it
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
 
 
 def test_demean_embeddings_matches_native_two_pass(spark):
