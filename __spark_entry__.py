@@ -24,89 +24,30 @@ from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the
-# dict returned by ``queries()``. Round-5 rotation (the round-4
-# verdict's top ask): every key that has NEVER had a driver
-# CORRECTNESS row leads the order. 106 such keys exist (incl. the
-# eight new round-5 queries) against a
-# 50-slot window, so the window holds, in order: (a) this round's
-# changed/new code (the ntile rewrite and its new exact-pairs twin —
-# hard signal for fresh code outranks rotation turns), then (b) the
-# highest-risk never-checked families the verdict named — the 22
-# TPC-H flagships, the lake-format DML surface, the scan-pruning
-# family (DPP / bucketed / z-order / partition / schema-evolution /
-# binary), the window family, and the mart/graph/dedup machinery
-# closers. The 56 remaining never-checked keys follow IMMEDIATELY
-# after slot 50 (positions 51-106) so next round's rotation is
-# exactly "promote the tail" and the two windows jointly cover all
-# 106. Every displaced key is bit-exact under tools/check_oracle.py
-# at sf0.001 AND sf0.01 this session, and the keys this window
-# displaces (the r04 cohort) all hold green driver rows from
-# CORRECTNESS_r04.
+# dict returned by ``queries()``. Round-6 rotation (the round-5
+# verdict's asks #1/#2): (a) this round's changed/new code leads —
+# hard signal for fresh code outranks rotation turns — starting with
+# `flagship_big_orders` (the ONE red r5 row: its exposed decimal is
+# now cast to double in builder+oracle; the green r6 row is the
+# done-condition), its two dtype siblings (`agg_gini_revenue`,
+# `flagship_forecast_revenue`), the rewritten-internals queries
+# (`ann_pq_topk` janino fix, `join_asof_nearest` tie dedup), and the
+# new `media_png_decode`; then (b) the promoted never-driver-checked
+# tail (the r5 order's positions 51+, kept stable as the verdict
+# asked). 56 never-checked keys + 5 re-checks + 1 new = 62 against
+# 50 slots, so the last 12 tail keys land at positions 51-62 for the
+# r7 window. Every key in both windows is bit-exact under
+# tools/check_oracle.py at sf0.001 AND sf0.01 this session; every
+# displaced key holds a green driver row from r01-r05.
 _SWEEP_FIRST = [
     # -- changed/new this round (no driver row for the new shape) ----
-    "window_ntile_quartiles",
-    "dedup_incremental_pairs_exact",
-    "sample_dsir_weights",
-    "search_ndcg_eval",
-    "dedup_substring_span",
-    "text_chunk_overlap",
-    "ann_pq_topk",
-    "agg_percentile_cont",
-    "join_asof_nearest",
-    "events_markov_stationary",
-    # -- TPC-H flagship tier (never driver-checked) ------------------
-    "flagship_min_cost_supplier",
-    "flagship_product_profit",
-    "flagship_important_stock",
-    "flagship_shipmode_priority",
-    "flagship_supplier_variety",
-    "flagship_dominant_supplier",
-    "flagship_nation_trade",
-    "flagship_market_share",
-    "flagship_cust_order_dist",
-    "flagship_top_supplier",
-    "flagship_brand_revenue",
-    "flagship_idle_balances",
-    "flagship_local_volume",
-    "flagship_small_quantity",
-    "flagship_returned_items",
-    "flagship_promo_revenue",
-    "flagship_late_orders",
-    "flagship_above_avg_balance",
     "flagship_big_orders",
+    "agg_gini_revenue",
     "flagship_forecast_revenue",
-    "flagship_revenue_bridge",
-    "flagship_waiting_supplier",
-    # -- lake DML + scan-pruning family ------------------------------
-    "scan_lake_dml",
-    "scan_lake_table",
-    "scan_dpp_prune",
-    "scan_bucketed_join",
-    "scan_zorder_prune",
-    "scan_partition_prune",
-    "scan_binary_files",
-    "scan_schema_evolution",
-    # -- window family (incl. the one non-decomposable recurrence) ---
-    "window_topn_per_group",
-    "window_global_rownum",
-    "window_capped_running_sum",
-    "window_concurrent_orders",
-    "window_drawdown",
-    # -- mart / graph / dedup machinery closers ----------------------
-    "mart_customer_360",
-    "mart_incremental_refresh",
-    "mart_incremental_join_refresh",
-    "graph_pagerank_trade",
-    "graph_triangle_cluster",
-    # ---- end of the 50-slot window (graph_triangle_cluster is
-    # slot 50). The eight brand-new round-5 queries
-    # (sample_dsir_weights, search_ndcg_eval, dedup_substring_span,
-    # text_chunk_overlap, ann_pq_topk, agg_percentile_cont,
-    # join_asof_nearest, events_markov_stationary) joined the lead
-    # cohort after this list was first cut, displacing the eight
-    # trailing dedup/corpus/variant closers (dedup_semantic onward)
-    # to lead the tail — they head the r06 window. Positions 51-106
-    # queue the rest of the never-driver-checked keys. ----------------
+    "ann_pq_topk",
+    "join_asof_nearest",
+    "media_png_decode",
+    # -- promoted never-driver-checked tail (r5 positions 51+) -------
     "dedup_semantic",
     "dedup_containment",
     "dedup_paragraphs",
@@ -146,7 +87,6 @@ _SWEEP_FIRST = [
     "events_session_stats",
     "mix_epoch_schedule",
     "agg_skew_kurtosis",
-    "agg_gini_revenue",
     "events_type_entropy",
     "text_zipf_slope",
     "text_bm25_topk",
