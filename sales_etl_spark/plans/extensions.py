@@ -625,6 +625,148 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Conformal gate miscoverage level: the calibrated keep-threshold
+#: guarantees >= (1 - alpha) of exchangeable good docs pass.
+_CONF_ALPHA = 0.1
+_CONF_SEED = "conformal-v1"
+
+
+@query(
+    "quality_conformal_gate",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                    THEN round(CAST(list_sum(list_transform(
+                             toks, t -> {_QW_INT_SQL})) AS DOUBLE)
+                         / 4294967296 / len(toks), 6)
+                    ELSE 0.0 END AS score
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents) t
+    ),
+    sp AS (
+        SELECT *,
+               CASE WHEN substr(md5('{_CONF_SEED}:'
+                                    || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{sampling.threshold_hex(0.5)}'
+                    THEN 'cal' ELSE 'test' END AS split
+        FROM scored
+    ),
+    cal AS (
+        SELECT score,
+               ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn
+        FROM sp WHERE split = 'cal'
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(floor((COUNT(*) + 1) * {_CONF_ALPHA}) AS BIGINT)
+                   AS k_rank
+        FROM cal
+    ),
+    thr AS (
+        SELECT st.n_cal, st.k_rank, cal.score AS threshold_score
+        FROM cal JOIN st ON cal.rn = st.k_rank
+    )
+    SELECT thr.n_cal, thr.k_rank, thr.threshold_score,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN s.score >= thr.threshold_score
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN s.score >= thr.threshold_score
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage
+    FROM sp s, thr WHERE s.split = 'test'
+    GROUP BY thr.n_cal, thr.k_rank, thr.threshold_score
+    """,
+)
+def quality_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality gate: hash-split the
+    corpus into calibration/test halves (the md5 cumulative-threshold
+    split — stable under corpus growth), set the keep-threshold to the
+    floor(alpha*(n_cal+1))-th SMALLEST calibration score (the exact
+    split-conformal order statistic), and report the empirical
+    coverage of `score >= threshold` on the held-out half — which
+    exchangeability guarantees is >= 1 - alpha in expectation. The
+    distribution-free way to turn the heuristic classifier score
+    (quality_classifier_score) into a gate with a keep-rate guarantee.
+
+    Spark-first shape: scoring is the same map-side codegen fold as
+    the classifier (no shuffle); the order statistic comes from the
+    bucket-offset global rank (operators/windows.py — NO
+    single-partition sort of the calibration half; buckets on the
+    milli-score, bounded domain) joined to a broadcast 1-row count
+    frame; the final pass is one partial-agg over the test half with
+    the 1-row threshold broadcast in. Three bounded exchanges total
+    at any corpus size. Exactness: scores are the 6-dp rounding of
+    exact long sums (identical in both engines), the rank tiebreak is
+    total (score, doc_id), and coverage is one IEEE division rounded
+    to 6 dp."""
+    from sales_etl_spark.operators.windows import global_row_number
+
+    st = _star(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = st.documents.select("doc_id", toks.alias("__toks"))
+    k = F.size("__toks")
+    w_int = lambda t: (  # noqa: E731
+        F.lit(2)
+        * F.conv(
+            F.substring(F.md5(F.concat(F.lit(_QW_SEED + ":"), t)), 1, 8),
+            16, 10,
+        ).cast("long")
+        - F.lit(4294967296)
+    )
+    sum_int = F.aggregate(
+        F.transform(F.col("__toks"), w_int),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.when(
+        k > 0,
+        F.round(sum_int.cast("double") / F.lit(4294967296.0) / k, 6),
+    ).otherwise(F.lit(0.0))
+    scored = base.select("doc_id", score.alias("score"))
+    sp = sampling.split_assign(
+        scored, "doc_id", {"cal": 0.5, "test": 0.5}, seed=_CONF_SEED
+    )
+    cal = sp.filter(F.col("split") == "cal")
+    ranked = global_row_number(
+        cal,
+        order_by=[F.col("score"), F.col("doc_id")],
+        bucket=F.floor(F.col("score") * F.lit(1000.0)).cast("long"),
+        out="rn",
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    ).withColumn(
+        "k_rank",
+        F.floor((F.col("n_cal") + F.lit(1)) * F.lit(_CONF_ALPHA))
+        .cast("bigint"),
+    )
+    thr = (
+        ranked.join(
+            F.broadcast(stats), ranked["rn"] == stats["k_rank"]
+        )
+        .select("n_cal", "k_rank", F.col("score").alias("threshold_score"))
+    )
+    test = sp.filter(F.col("split") == "test")
+    kept = F.sum(
+        F.when(
+            F.col("score") >= F.col("threshold_score"), 1
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .groupBy("n_cal", "k_rank", "threshold_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            kept.alias("n_kept"),
+            F.round(
+                kept.cast("double") / F.count(F.lit(1)), 6
+            ).alias("coverage"),
+        )
+    )
+
+
 #: Per-domain document cap (C4/RefinedWeb-style host cap).
 _DOMAIN_CAP = 18
 

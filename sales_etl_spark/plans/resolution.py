@@ -128,6 +128,166 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_micro(m: float, u: float) -> tuple[int, int]:
+    """Fellegi-Sunter field weights in integer MICRO-bits: agreement
+    weight log2(m/u) and disagreement weight log2((1-m)/(1-u)),
+    floored to 1e-6 precision so every downstream sum is exact bigint
+    arithmetic — the same cross-engine-exactness move as the cents/
+    micro-unit conventions everywhere else. math.log2 on the fixed
+    (m, u) literals is IEEE-deterministic, so Spark expression and
+    DuckDB oracle interpolate the identical integers."""
+    import math
+
+    return (
+        math.floor(math.log2(m / u) * 1_000_000),
+        math.floor(math.log2((1 - m) / (1 - u)) * 1_000_000),
+    )
+
+
+#: (m, u) per compared field: m = P(agree | same entity),
+#: u = P(agree | different entities) — classic published-shape
+#: conditional probabilities (name high-m/low-u; nation u = 1/25;
+#: segment u = 1/5; balance-within-$100 low-u).
+_FS_NAME = _fs_micro(0.95, 0.01)
+_FS_NATION = _fs_micro(0.90, 0.04)
+_FS_SEGMENT = _fs_micro(0.85, 0.20)
+_FS_BALANCE = _fs_micro(0.80, 0.01)
+#: decision thresholds (micro-bits): total >= upper -> link,
+#: >= lower -> possible (clerical review band), else non-link.
+_FS_UPPER = 8_000_000
+_FS_LOWER = 0
+
+_FS_BAL_CENTS = "CAST(CAST({t}.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "dedup_fs_linkage",
+    oracle=f"""
+    WITH p AS (
+        SELECT a.c_custkey AS custkey_a,
+               b.c_custkey AS custkey_b,
+               CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                    THEN 1 ELSE 0 END AS ag_name,
+               CASE WHEN a.c_nationkey = b.c_nationkey
+                    THEN 1 ELSE 0 END AS ag_nation,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS ag_segment,
+               CASE WHEN abs({_FS_BAL_CENTS.format(t='a')}
+                             - {_FS_BAL_CENTS.format(t='b')}) <= 10000
+                    THEN 1 ELSE 0 END AS ag_balance
+        FROM customer a
+        JOIN customer b
+          ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+         AND a.c_custkey < b.c_custkey
+    ),
+    w AS (
+        SELECT *,
+               CAST(ag_name * {_FS_NAME[0]}
+                    + (1 - ag_name) * {_FS_NAME[1]}
+                    + ag_nation * {_FS_NATION[0]}
+                    + (1 - ag_nation) * {_FS_NATION[1]}
+                    + ag_segment * {_FS_SEGMENT[0]}
+                    + (1 - ag_segment) * {_FS_SEGMENT[1]}
+                    + ag_balance * {_FS_BALANCE[0]}
+                    + (1 - ag_balance) * {_FS_BALANCE[1]}
+                    AS BIGINT) AS weight_micro
+        FROM p
+    )
+    SELECT custkey_a, custkey_b,
+           CAST(ag_name AS INTEGER) AS ag_name,
+           CAST(ag_nation AS INTEGER) AS ag_nation,
+           CAST(ag_segment AS INTEGER) AS ag_segment,
+           CAST(ag_balance AS INTEGER) AS ag_balance,
+           weight_micro,
+           CASE WHEN weight_micro >= {_FS_UPPER} THEN 'link'
+                ELSE 'possible' END AS decision
+    FROM w
+    WHERE weight_micro >= {_FS_LOWER}
+    """,
+)
+def dedup_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over blocked
+    customer pairs — the methodology step past dedup_fuzzy_names'
+    single-field threshold: each compared field contributes
+    log2(m/u) micro-bits on agreement and log2((1-m)/(1-u)) on
+    disagreement (name edit<=1, nation, market segment, account
+    balance within $100), the summed evidence classifies pairs into
+    link / possible(clerical-review) bands, and the non-link mass is
+    dropped. The m/u-weighted sum is the 1969 Fellegi-Sunter
+    decision rule; thresholds are the standard two-band cut.
+
+    Scale shape: identical to the fuzzy-names contract — one
+    self-equi-join on the deterministic block key (name 16-prefix,
+    block size bounded by the name format), slim 5-column
+    projection, all field comparators JVM-side (thresholded
+    levenshtein abandons each DP row early), weights are exact
+    integer micro-bits so the hash matches bit-for-bit cross-engine.
+    At 100 TB the block key is the unit of parallelism; skewed
+    blocks salt like the n-gram hot-shingle guard."""
+    st = _star(spark, sf_dir)
+    slim = st.customer.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("__bal_c"),
+    )
+
+    def side(tag: str) -> DataFrame:
+        return slim.select(
+            F.col("c_custkey").alias(f"custkey_{tag}"),
+            F.col("c_name").alias(f"__name_{tag}"),
+            F.col("c_nationkey").alias(f"__nk_{tag}"),
+            F.col("c_mktsegment").alias(f"__seg_{tag}"),
+            F.col("__bal_c").alias(f"__bal_{tag}"),
+            F.substring("c_name", 1, 16).alias("__blk"),
+        )
+
+    pairs = (
+        side("a")
+        .join(side("b"), "__blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+    )
+    ag = {
+        "ag_name": (
+            F.levenshtein(F.col("__name_a"), F.col("__name_b"), 1) >= 0
+        ),
+        "ag_nation": F.col("__nk_a") == F.col("__nk_b"),
+        "ag_segment": F.col("__seg_a") == F.col("__seg_b"),
+        "ag_balance": (
+            F.abs(F.col("__bal_a") - F.col("__bal_b")) <= F.lit(10000)
+        ),
+    }
+    weights = {
+        "ag_name": _FS_NAME,
+        "ag_nation": _FS_NATION,
+        "ag_segment": _FS_SEGMENT,
+        "ag_balance": _FS_BALANCE,
+    }
+    scored = pairs.select(
+        "custkey_a",
+        "custkey_b",
+        *[
+            F.when(cond, 1).otherwise(0).cast("int").alias(name)
+            for name, cond in ag.items()
+        ],
+    )
+    total = sum(
+        F.col(name).cast("bigint") * F.lit(wa)
+        + (F.lit(1) - F.col(name)).cast("bigint") * F.lit(wd)
+        for name, (wa, wd) in weights.items()
+    )
+    return (
+        scored.withColumn("weight_micro", total.cast("bigint"))
+        .filter(F.col("weight_micro") >= _FS_LOWER)
+        .withColumn(
+            "decision",
+            F.when(
+                F.col("weight_micro") >= _FS_UPPER, F.lit("link")
+            ).otherwise(F.lit("possible")),
+        )
+    )
+
+
 @query(
     "window_global_rownum",
     oracle="""
