@@ -32,13 +32,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # done-condition), its two dtype siblings (`agg_gini_revenue`,
 # `flagship_forecast_revenue`), the rewritten-internals queries
 # (`ann_pq_topk` janino fix, `join_asof_nearest` tie dedup), and the
-# new `media_png_decode`; then (b) the promoted never-driver-checked
-# tail (the r5 order's positions 51+, kept stable as the verdict
-# asked). 56 never-checked keys + 5 re-checks + 1 new = 62 against
-# 50 slots, so the last 12 tail keys land at positions 51-62 for the
-# r7 window. Every key in both windows is bit-exact under
-# tools/check_oracle.py at sf0.001 AND sf0.01 this session; every
-# displaced key holds a green driver row from r01-r05.
+# the four new round-6 queries (media_png_decode, dedup_fs_linkage,
+# quality_conformal_gate, ann_ivfpq_topk); then (b) the promoted
+# never-driver-checked tail (the r5 order's positions 51+, kept
+# stable as the verdict asked). 56 never-checked keys + 5 re-checks
+# + 4 new = 65 against 50 slots, so the last 15 tail keys land at
+# positions 51-65 for the r7 window. Every key in both windows is
+# bit-exact under tools/check_oracle.py at sf0.001 AND sf0.01 this
+# session; every displaced key holds a green driver row from r01-r05.
 _SWEEP_FIRST = [
     # -- changed/new this round (no driver row for the new shape) ----
     "flagship_big_orders",
@@ -47,6 +48,9 @@ _SWEEP_FIRST = [
     "ann_pq_topk",
     "join_asof_nearest",
     "media_png_decode",
+    "dedup_fs_linkage",
+    "quality_conformal_gate",
+    "ann_ivfpq_topk",
     # -- promoted never-driver-checked tail (r5 positions 51+) -------
     "dedup_semantic",
     "dedup_containment",

@@ -16,6 +16,8 @@ shipped as array literals — pure deterministic expressions, no UDF.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -600,23 +602,67 @@ def pq_topk(
     distances round to 1e-6 with code-id tiebreaks; centroid updates
     quantize elements to integer nano-units and means to micro-unit
     doubles; ADC terms round to 1e-6 and sum as exact micro longs."""
+    q, q_subs, sub_d = _pq_query_state(
+        corpus, query_id, m_subs, id_col, vec_col
+    )
+    trained = _pq_train(corpus, q_subs, sub_d, m_subs, k_codes,
+                        id_col, vec_col)
+    est = _pq_est_micro(vec_col, trained, q_subs, m_subs, sub_d)
+    return (
+        corpus.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), est.alias("__est_micro"))
+        .select(
+            id_col,
+            (F.col("__est_micro").cast("double") / F.lit(1_000_000.0))
+            .alias("dist_est"),
+        )
+        .orderBy("dist_est", id_col)
+        .limit(k)
+    )
+
+
+def _pq_query_state(
+    corpus: DataFrame,
+    query_id: int,
+    m_subs: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[float], list[list[float]], int]:
+    """Driver state for one PQ/IVF-PQ query: the full query vector,
+    its per-subspace slices, and the subspace width."""
+    q_row = (
+        corpus.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    )
+    q = [float(x) for x in q_row[0][0]]
+    sub_d = len(q) // m_subs
+    q_subs = [q[m * sub_d : (m + 1) * sub_d] for m in range(m_subs)]
+    return q, q_subs, sub_d
+
+
+def _pq_train(
+    corpus: DataFrame,
+    q_subs: list[list[float]],
+    sub_d: int,
+    m_subs: int,
+    k_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[tuple[int, list[float]]]]:
+    """One deterministic Lloyd round per subspace from the vec_id<k
+    seeds: ONE map-only assign pass + ONE partial-aggregated exchange
+    of m·k·sub_d ≤ 1024 nano-unit rows (the only driver state).
+    Returns the trained per-subspace codebooks in micro-unit doubles
+    (the emb_kmeans_lloyd exactness recipe)."""
     seeds_rows = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in corpus.filter(F.col(id_col) < k_codes)
         .select(id_col, vec_col)
         .collect()
     )
-    dim = len(seeds_rows[0][1])
-    sub_d = dim // m_subs
     seeds = [
         [(code, v[m * sub_d : (m + 1) * sub_d]) for code, v in seeds_rows]
         for m in range(m_subs)
     ]
-    q_row = (
-        corpus.filter(F.col(id_col) == query_id).select(vec_col).collect()
-    )
-    q = [float(x) for x in q_row[0][0]]
-    q_subs = [q[m * sub_d : (m + 1) * sub_d] for m in range(m_subs)]
 
     # -- train: one assign pass + one bounded exchange ---------------
     code_cols = [
@@ -657,7 +703,7 @@ def pq_topk(
     book: dict[int, dict[int, dict[int, int]]] = {}
     for r in micro:
         book.setdefault(r.m, {}).setdefault(r.code, {})[r.dim] = r.mq
-    trained = [
+    return [
         [
             (code, [dims[d] / 1e6 for d in sorted(dims)])
             for code, dims in sorted(book.get(m, {}).items())
@@ -665,8 +711,19 @@ def pq_topk(
         for m in range(m_subs)
     ]
 
-    # -- encode + ADC score: map-only ---------------------------------
-    est = sum(
+
+def _pq_est_micro(
+    vec_col: str,
+    trained: list[list[tuple[int, list[float]]]],
+    q_subs: list[list[float]],
+    m_subs: int,
+    sub_d: int,
+):
+    """Map-only encode + ADC estimate in exact integer micro-units:
+    per subspace, the in-row argmin over the trained literal codebook
+    carries its query-to-codeword term; the per-row estimate is the
+    order-free long sum over subspaces."""
+    return sum(
         F.floor(
             _pq_best(_pq_slice(vec_col, m, sub_d), trained[m], q_subs[m])[
                 "adc"
@@ -676,11 +733,85 @@ def pq_topk(
         ).cast("long")
         for m in range(m_subs)
     )
-    return (
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape — a coarse inverted-file
+    quantizer prunes the corpus to ``n_probe`` of ``n_lists`` cells,
+    and ONLY the surviving cells are scored with the PQ asymmetric-
+    distance estimate. The two halves compose exactly as FAISS's
+    IVFPQ does (coarse filter × compressed fine scoring); residual
+    encoding — quantizing vector-minus-centroid instead of the raw
+    vector — is the library refinement deliberately left out so every
+    stage stays closed-form for the oracle.
+
+    Spark-first shape: the coarse quantizer is the vec_id<n_lists
+    seed set (bounded driver state, same move as the PQ/Lloyd seeds);
+    cell assignment is ONE in-row argmin over the literal centroid
+    array (map-only — the same HOF-over-literals plan as _pq_best, so
+    whole-stage codegen holds); the query's probe set is computed
+    driver-side from the same literals and prunes rows BEFORE any
+    shuffle via an ``isin`` filter on the computed cell. At 100 TB
+    the cell id is stored as a partition column at ingest, turning
+    that same filter into partition pruning so the fine pass READS
+    only ~n_probe/n_lists of the corpus — the entire point of IVF;
+    this demo computes the assignment in-row because the testdata is
+    not pre-partitioned.
+    PQ training and ADC scoring are shared verbatim with pq_topk
+    (_pq_train/_pq_est_micro: one assign pass, one ≤1024-row
+    exchange, map-only estimate, TakeOrderedAndProject).
+
+    Cross-engine exactness: coarse distances round to 1e-6 with
+    centroid-id tiebreaks (driver Python and the SQL oracle fold the
+    identical IEEE sequence); everything downstream inherits the PQ
+    recipe. Returns (id, list_id, dist_est)."""
+    q, q_subs, sub_d = _pq_query_state(
+        corpus, query_id, m_subs, id_col, vec_col
+    )
+    coarse = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_lists)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    # half-away-from-zero 6-dp rounding (floor(x*1e6+0.5) on the
+    # nonnegative distances) — the SQL round() semantics, NOT
+    # Python's banker's round(), so probe ties break identically
+    probed = [
+        cid
+        for _, cid in sorted(
+            (math.floor(_sq_l2_const(q, cv) * 1e6 + 0.5), cid)
+            for cid, cv in coarse
+        )[:n_probe]
+    ]
+    # in-row coarse assignment over the full-dim literal centroids;
+    # q_sub=q makes the carried adc term the (unused) query distance
+    assign = _pq_best(F.col(vec_col), coarse, q)["code"]
+    cand = (
         corpus.filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), est.alias("__est_micro"))
+        .withColumn("list_id", assign)
+        .filter(F.col("list_id").isin([int(p) for p in probed]))
+    )
+    trained = _pq_train(corpus, q_subs, sub_d, m_subs, k_codes,
+                        id_col, vec_col)
+    est = _pq_est_micro(vec_col, trained, q_subs, m_subs, sub_d)
+    return (
+        cand.select(
+            F.col(id_col), "list_id", est.alias("__est_micro")
+        )
         .select(
             id_col,
+            "list_id",
             (F.col("__est_micro").cast("double") / F.lit(1_000_000.0))
             .alias("dist_est"),
         )

@@ -3445,11 +3445,12 @@ _PQ_SQDIST = (
     " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
 )
 
-
-@query(
-    "ann_pq_topk",
-    oracle=f"""
-    WITH sub AS (
+#: Shared PQ codebook-training CTE block (subvector split, seed
+#: codebooks, one deterministic Lloyd round in exact nano/micro
+#: integer units, query subvectors) — the declarative restatement of
+#: operators/similarity.py:_pq_train, embedded by both the flat-PQ
+#: and the IVF-PQ oracles.
+_PQ_TRAIN_CTES = f"""sub AS (
         SELECT vec_id, t.m,
                embedding[t.m * {_PQ_SUB_D} + 1 :
                          t.m * {_PQ_SUB_D} + {_PQ_SUB_D}] AS sv
@@ -3488,7 +3489,13 @@ _PQ_SQDIST = (
                     ORDER BY dim) AS cv
         FROM q1 GROUP BY m, code
     ),
-    qv AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = {_PQ_QID}),
+    qv AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = {_PQ_QID})"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_PQ_TRAIN_CTES},
     e0 AS (
         SELECT s.vec_id, s.m, c.code,
                round({_PQ_SQDIST.format(a='s.sv', b='c.cv')}, 6) AS dd,
@@ -3532,4 +3539,93 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         st.embeddings.select("vec_id", "embedding"),
         query_id=_PQ_QID, k=10, m_subs=_PQ_M, k_codes=_PQ_K,
+    )
+
+
+_IVFPQ_LISTS = 8   #: coarse cells (seeded from vec_id < 8)
+_IVFPQ_PROBE = 2   #: cells scored per query
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_TRAIN_CTES},
+    coarse AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings WHERE vec_id < {_IVFPQ_LISTS}
+    ),
+    cassign AS (
+        SELECT e.vec_id, c.cid,
+               round({_PQ_SQDIST.format(a='e.embedding', b='c.cv')}, 6)
+                   AS dd
+        FROM embeddings e, coarse c
+    ),
+    alist AS (
+        SELECT vec_id, cid AS list_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM cassign
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT cid AS list_id FROM (
+            SELECT c.cid,
+                   round({_PQ_SQDIST.format(a='q.embedding', b='c.cv')},
+                         6) AS dd
+            FROM coarse c,
+                 (SELECT embedding FROM embeddings
+                  WHERE vec_id = {_PQ_QID}) q
+        ) ORDER BY dd, cid LIMIT {_IVFPQ_PROBE}
+    ),
+    e0 AS (
+        SELECT s.vec_id, al.list_id, s.m, c.code,
+               round({_PQ_SQDIST.format(a='s.sv', b='c.cv')}, 6) AS dd,
+               round({_PQ_SQDIST.format(a='qv.qsv', b='c.cv')}, 6) AS adc
+        FROM sub s
+        JOIN alist al ON al.vec_id = s.vec_id
+        JOIN qprobe p ON p.list_id = al.list_id
+        JOIN c1 c ON c.m = s.m
+        JOIN qv ON qv.m = s.m
+        WHERE s.vec_id <> {_PQ_QID}
+    ),
+    e1 AS (
+        SELECT vec_id, list_id, m, adc FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dd, code) AS rn
+            FROM e0
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT vec_id, list_id,
+               CAST(SUM(CAST(floor(adc * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS est_micro
+        FROM e1 GROUP BY vec_id, list_id
+    )
+    SELECT vec_id, list_id,
+           CAST(est_micro AS DOUBLE) / 1000000.0 AS dist_est
+    FROM scored ORDER BY dist_est, vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 — the production composition closing the
+    ladder (exact cosine → LSH → IVF → int8 → PQ → IVF-PQ): a coarse
+    {_IVFPQ_LISTS}-cell inverted file prunes the corpus to the
+    query's {_IVFPQ_PROBE} nearest cells, and only those candidates
+    are scored with the PQ asymmetric-distance estimate. Unlike
+    ann_ivf_topk (rows-only), every stage here — coarse assignment,
+    probe selection, codebook training, ADC scoring — is exact
+    integer/rounded arithmetic, making this the first HASH-EXACT
+    IVF-family row. Plan and exactness recipe in
+    operators/similarity.py:ivfpq_topk (map-only assignment over
+    literal centroids, driver-side probe set, shared _pq_train /
+    _pq_est_micro); the oracle restates coarse assign + probe + PQ
+    train + filtered ADC scoring declaratively."""
+    from sales_etl_spark.operators.similarity import ivfpq_topk
+
+    st = _star(spark, sf_dir)
+    return ivfpq_topk(
+        st.embeddings.select("vec_id", "embedding"),
+        query_id=_PQ_QID, k=10,
+        n_lists=_IVFPQ_LISTS, n_probe=_IVFPQ_PROBE,
+        m_subs=_PQ_M, k_codes=_PQ_K,
     )
