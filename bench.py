@@ -111,6 +111,14 @@ HEADLINE = [
     # percentile frame is value-domain-grain
     "ann_pq_topk",
     "agg_percentile_cont",
+    # round-6: the Arrow-batched PNG decode kernels (the one honest
+    # per-payload Python cost in the bench), the blocked FS pair
+    # scoring join, the order-statistic conformal gate, and IVF-PQ
+    # (coarse probe + shared PQ training per run, like ann_pq_topk)
+    "media_png_decode",
+    "dedup_fs_linkage",
+    "quality_conformal_gate",
+    "ann_ivfpq_topk",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -696,8 +696,10 @@ def quality_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition sort of the calibration half; buckets on the
     milli-score, bounded domain) joined to a broadcast 1-row count
     frame; the final pass is one partial-agg over the test half with
-    the 1-row threshold broadcast in. Three bounded exchanges total
-    at any corpus size. Exactness: scores are the 6-dp rounding of
+    the 1-row threshold broadcast in. Only TWO exchanges ever carry
+    corpus-sized frames (the calibration bucket shuffle and the
+    test-half partial-agg merge); the remaining plan exchanges move
+    bucket-count/1-row frames. Exactness: scores are the 6-dp rounding of
     exact long sums (identical in both engines), the rank tiebreak is
     total (score, doc_id), and coverage is one IEEE division rounded
     to 6 dp."""

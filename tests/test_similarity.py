@@ -232,3 +232,47 @@ def test_pq_estimate_correlates_with_true_distance(spark):
     med = sorted(est.values())[len(est) // 2]
     true_mean = sum(est[i] for i in exact_ids) / len(exact_ids)
     assert true_mean < med
+
+
+def test_ivfpq_probe_invariants(spark):
+    """IVF-PQ structural contract: every returned row's coarse cell is
+    one of the query's n_probe nearest cells (computed here from the
+    same seed centroids with the same half-up 6-dp rounding), and the
+    returned estimates are consistent with flat PQ — for ids both
+    tiers return, the ADC estimate is IDENTICAL (the fine scorer is
+    shared; IVF only prunes candidates). Bit-exactness of every stage
+    is hash-checked by the ann_ivfpq_topk oracle."""
+    import math
+
+    from sales_etl_spark.operators.similarity import (
+        _sq_l2_const,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_lists, n_probe = 8, 2
+    rows = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(f"vec_id < {n_lists} or vec_id = 0").collect()
+    }
+    q = rows[0]
+    probed = {
+        cid
+        for _, cid in sorted(
+            (math.floor(_sq_l2_const(q, cv) * 1e6 + 0.5), cid)
+            for cid, cv in rows.items()
+        )[:n_probe]
+    }
+
+    got = ivfpq_topk(
+        e, query_id=0, k=10, n_lists=n_lists, n_probe=n_probe
+    ).collect()
+    assert len(got) == 10
+    assert {r.list_id for r in got} <= probed
+
+    flat = {r.vec_id: r.dist_est for r in pq_topk(e, query_id=0, k=500).collect()}
+    for r in got:
+        assert flat[r.vec_id] == r.dist_est
