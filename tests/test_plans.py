@@ -336,6 +336,10 @@ _PYTHON_OK = {
     # columns (operators/multimodal.py) — byte-structure work is the
     # declared Python tier
     "multimodal_audio",
+    # Arrow-batched stdlib PNG encode/decode kernels (operators/png.py)
+    # — the real-pixel-decode tier; the raster fingerprint downstream
+    # is native posexplode + JVM aggregation
+    "media_png_decode",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
@@ -433,6 +437,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row (t_ref, t_cur) totals broadcast into the 10-row bin frame
     # for the PSI shares
     "quality_psi_drift",
+    # 1-row conformal threshold (n_cal, k_rank, threshold_score)
+    # broadcast into the test-half coverage aggregate
+    "quality_conformal_gate",
 }
 
 
