@@ -727,9 +727,13 @@ def quality_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sum_int.cast("double") / F.lit(4294967296.0) / k, 6),
     ).otherwise(F.lit(0.0))
     scored = base.select("doc_id", score.alias("score"))
+    # Q15 cache pattern: the scored+split frame is read by BOTH the
+    # calibration branch and the test branch; without the cache each
+    # consumer re-runs the full token-scoring fold over the corpus
+    # (neither ReuseExchange nor AQE dedupes a view read twice).
     sp = sampling.split_assign(
         scored, "doc_id", {"cal": 0.5, "test": 0.5}, seed=_CONF_SEED
-    )
+    ).cache()
     cal = sp.filter(F.col("split") == "cal")
     ranked = global_row_number(
         cal,
