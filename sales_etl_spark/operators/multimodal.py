@@ -384,6 +384,48 @@ def png_pixels(media: DataFrame) -> DataFrame:
     )
 
 
+def png_thumbnails(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize over REAL decoded pixels: decode each PNG
+    payload (operators/png.py), nearest-neighbor resample the raster
+    to ``out_w x out_h`` (source index = (dst * src_dim) // out_dim —
+    the canonical NN mapping, works for down- AND up-sampling), and
+    emit the thumbnail as an int array. This replaces the stub tier
+    for the resize step of multimodal ingestion: the pixels flowing
+    out are the decoded payload's pixels, so a decode or indexing bug
+    upstream changes every downstream fingerprint. Grayscale rasters
+    (channels=1) only — the fixture format; multi-channel would
+    resample per channel identically."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sales_etl_spark.operators.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                if ch != 1:
+                    raise NotImplementedError(
+                        "png_thumbnails resamples grayscale rasters"
+                    )
+                thumb = [
+                    px[((y * h) // out_h) * w + ((x * w) // out_w)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                ]
+                rows.append((media_id, w, h, thumb))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "src_w", "src_h", "thumb"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, src_w int, src_h int, thumb array<int>"
+        ),
+    )
+
+
 def parse_wav_metadata(
     data: bytes,
 ) -> tuple[int, int, int, int] | None:

@@ -1471,6 +1471,76 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Thumbnail geometry for the resize tier (8x8 — the perceptual-hash
+#: standard size, upsampling the narrow fixture PNGs and
+#: downsampling the wide ones so both NN directions are on the
+#: hash-checked path).
+_THUMB = 8
+
+
+@query(
+    "media_png_resize",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               4 + doc_id % 13 AS w,
+               3 + n_chars % 11 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, g.w, g.h,
+               (g.doc_id * 31
+                + ((ty.y * g.h) // {_THUMB}) * 17
+                + ((tx.x * g.w) // {_THUMB}) * 7
+                + g.n_chars) % 256 AS v,
+               ty.y * {_THUMB} + tx.x + 1 AS pos1
+        FROM geom g,
+             unnest(generate_series(0, {_THUMB - 1})) AS ty(y),
+             unnest(generate_series(0, {_THUMB - 1})) AS tx(x)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS src_w,
+           CAST(h AS INTEGER) AS src_h,
+           CAST(SUM(v) AS BIGINT) AS thumb_sum,
+           CAST(SUM(pos1 * v) AS BIGINT) AS thumb_weighted,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over real decoded pixels — the step past
+    media_png_decode: every fixture PNG is decoded (inflate +
+    unfilter) and nearest-neighbor resampled to {_THUMB}x{_THUMB}
+    inside the Arrow kernel (operators/multimodal.py:png_thumbnails,
+    source index = (dst*src)//out — some fixtures upsample, some
+    downsample, so both NN directions are exercised), then the
+    thumbnail raster is fingerprinted natively. The oracle predicts
+    every resampled pixel closed-form from the fixture formulas —
+    an off-by-one in the index mapping or a wrong unfiltered byte
+    flips the hash. Completes the decode -> feature-extract ->
+    RESIZE multimodal ladder with no stub anywhere."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_png(st.documents)
+    thumbs = multimodal.png_thumbnails(media, _THUMB, _THUMB)
+    px = thumbs.select(
+        "media_id",
+        "src_w",
+        "src_h",
+        F.posexplode("thumb").alias("pos", "v"),
+    )
+    return px.groupBy("media_id", "src_w", "src_h").agg(
+        F.sum("v").cast("bigint").alias("thumb_sum"),
+        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
+        .cast("bigint")
+        .alias("thumb_weighted"),
+        F.min("v").cast("int").alias("px_min"),
+        F.max("v").cast("int").alias("px_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Inter-arrival gap profile (lag + binned quantiles)
 # ---------------------------------------------------------------------------

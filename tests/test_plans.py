@@ -340,6 +340,8 @@ _PYTHON_OK = {
     # — the real-pixel-decode tier; the raster fingerprint downstream
     # is native posexplode + JVM aggregation
     "media_png_decode",
+    # same kernels + nearest-neighbor resample over the decoded raster
+    "media_png_resize",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
