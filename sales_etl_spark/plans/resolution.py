@@ -242,8 +242,19 @@ def dedup_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("c_name", 1, 16).alias("__blk"),
         )
 
+    # Blocks are the unit of parallelism — make that TRUE in the
+    # physical plan: the customer dim arrives as one small file (one
+    # scan partition), so without this tiny exchange the broadcast
+    # probe generates all |block|²/2 pairs in a single task. The
+    # partition count is EXPLICIT because AQE sizes coalescing by the
+    # exchange's byte size (15k slim rows -> 1 partition), blind to
+    # the 50x pair fan-out on the other side of the join; an explicit
+    # repartition(N, key) is exempt from coalescing. One tiny shuffle
+    # buys |cores|-way pair generation + scoring.
+    n_par = spark.sparkContext.defaultParallelism
     pairs = (
         side("a")
+        .repartition(n_par, F.col("__blk"))
         .join(side("b"), "__blk")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
     )
