@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_fs_linkage",
     "quality_conformal_gate",
     "ann_ivfpq_topk",
+    "media_png_resize",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).
