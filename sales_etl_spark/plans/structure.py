@@ -879,6 +879,131 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DiD period cutoff: events span 2024-01-01..01-30; mid-month gives
+#: both periods real mass in every cell.
+_DID_CUTOFF = "2024-01-16"
+
+
+@query(
+    "events_did_estimator",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(ts >= TIMESTAMP '{_DID_CUTOFF}' AS INTEGER) AS post,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN variant=0 AND post=0 THEN n END) AS n_c_pre,
+            MAX(CASE WHEN variant=0 AND post=0 THEN s END) AS s_c_pre,
+            MAX(CASE WHEN variant=0 AND post=1 THEN n END) AS n_c_post,
+            MAX(CASE WHEN variant=0 AND post=1 THEN s END) AS s_c_post,
+            MAX(CASE WHEN variant=1 AND post=0 THEN n END) AS n_t_pre,
+            MAX(CASE WHEN variant=1 AND post=0 THEN s END) AS s_t_pre,
+            MAX(CASE WHEN variant=1 AND post=1 THEN n END) AS n_t_post,
+            MAX(CASE WHEN variant=1 AND post=1 THEN s END) AS s_t_post
+        FROM cells
+    )
+    SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           round(CAST(s_c_pre AS DOUBLE) / n_c_pre / 1000000.0, 6)
+               AS mean_c_pre,
+           round(CAST(s_c_post AS DOUBLE) / n_c_post / 1000000.0, 6)
+               AS mean_c_post,
+           round(CAST(s_t_pre AS DOUBLE) / n_t_pre / 1000000.0, 6)
+               AS mean_t_pre,
+           round(CAST(s_t_post AS DOUBLE) / n_t_post / 1000000.0, 6)
+               AS mean_t_post,
+           round((CAST(s_t_post AS DOUBLE) / n_t_post
+                  - CAST(s_t_pre AS DOUBLE) / n_t_pre
+                  - CAST(s_c_post AS DOUBLE) / n_c_post
+                  + CAST(s_c_pre AS DOUBLE) / n_c_pre)
+                 / 1000000.0, 6) AS did_effect
+    FROM w
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value — the panel-data
+    causal readout completing the experimentation family (Welch z for
+    parallel groups, CUPED for variance reduction, DiD for
+    treatment-over-time with a control trend): effect =
+    (T_post − T_pre) − (C_post − C_pre), the parallel-trends
+    identification. Variant is the deterministic user-id parity split
+    and period splits at mid-window, so all four cells carry real
+    mass at every sf.
+
+    Spark-first plan: ONE partial-aggregated pass builds the four
+    (variant, period) cells — values quantize to integer micro-units
+    at the scan so the cell sums are order-free longs — the 4-row
+    frame pivots via conditional MAX, and the estimator evaluates as
+    one deterministic IEEE expression over exact operands. The same
+    agg_stats recipe as Welch; no new exchange shape at any scale."""
+    st = _star(spark, sf_dir)
+    v_micro = F.floor(
+        F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        st.events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            (
+                F.col("ts")
+                >= F.lit(_DID_CUTOFF).cast("timestamp_ntz")
+            ).cast("int").alias("post"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(v_micro).alias("s"))
+    )
+
+    def cell(vv: int, pp: int, col: str):
+        return F.max(
+            F.when(
+                (F.col("variant") == vv) & (F.col("post") == pp),
+                F.col(col),
+            )
+        )
+
+    w = cells.agg(
+        cell(0, 0, "n").alias("n_c_pre"), cell(0, 0, "s").alias("s_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"), cell(0, 1, "s").alias("s_c_post"),
+        cell(1, 0, "n").alias("n_t_pre"), cell(1, 0, "s").alias("s_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"), cell(1, 1, "s").alias("s_t_post"),
+    )
+
+    def mean(s: str, n: str):
+        return F.col(s).cast("double") / F.col(n)
+
+    return w.select(
+        F.col("n_c_pre").cast("bigint").alias("n_c_pre"),
+        F.col("n_c_post").cast("bigint").alias("n_c_post"),
+        F.col("n_t_pre").cast("bigint").alias("n_t_pre"),
+        F.col("n_t_post").cast("bigint").alias("n_t_post"),
+        F.round(mean("s_c_pre", "n_c_pre") / F.lit(1_000_000.0), 6)
+        .alias("mean_c_pre"),
+        F.round(mean("s_c_post", "n_c_post") / F.lit(1_000_000.0), 6)
+        .alias("mean_c_post"),
+        F.round(mean("s_t_pre", "n_t_pre") / F.lit(1_000_000.0), 6)
+        .alias("mean_t_pre"),
+        F.round(mean("s_t_post", "n_t_post") / F.lit(1_000_000.0), 6)
+        .alias("mean_t_post"),
+        F.round(
+            (
+                mean("s_t_post", "n_t_post")
+                - mean("s_t_pre", "n_t_pre")
+                - mean("s_c_post", "n_c_post")
+                + mean("s_c_pre", "n_c_pre")
+            )
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("did_effect"),
+    )
+
+
 _KS_SRC_A = "src0"
 _KS_SRC_B = "src1"
 
