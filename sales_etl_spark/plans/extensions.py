@@ -2159,33 +2159,6 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "scan_orc_roundtrip",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           o_orderdate, o_orderpriority
-    FROM orders
-    """,
-)
-def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC connector round-trip: write an orders projection as ORC
-    (Spark's second built-in columnar format — the one a Hive-era
-    lake hands you) and read it back, NTZ order dates included. Same
-    contract as scan_csv/sink_roundtrip: full-fidelity write + typed
-    re-read, hash-compared against the parquet source of truth, so a
-    type-mapping drift in either direction (e.g. timestamp coercion,
-    decimal widening) flips the hash. ORC scans split/prune like
-    parquet at 100 TB (stripe-level statistics); predicate pushdown
-    into ORC is exercised by the pushdown plan locks on the parquet
-    twins — semantics, not format, is what the registry pins."""
-    st = _star(spark, sf_dir)
-    out = _scratch("scan_orc", sf_dir)
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderdate", "o_orderpriority"]
-    st.orders.select(*cols).write.mode("overwrite").orc(str(out))
-    return spark.read.orc(str(out)).select(*cols)
-
-
-@query(
     "sink_roundtrip",
     oracle="""
     SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
