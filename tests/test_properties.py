@@ -814,3 +814,42 @@ def test_substring_span_detects_planted_run_at_random_offset(spark, seed):
         ).collect()
     }
     assert (1, 2) in got
+
+
+# PNG codec: pure driver-side property — no Spark jobs, so a real
+# example budget is cheap. Random rasters across the full byte range,
+# degenerate dims (1x1, 1xN, Nx1), and per-row filter choice drawn
+# from all five PNG filter types (including mixed sequences, where an
+# unfiltering bug in row y corrupts every later Up/Average/Paeth row).
+_png_dims = st.tuples(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(dims=_png_dims, data=st.data())
+def test_png_codec_roundtrip_property(dims, data):
+    from sales_etl_spark.operators.png import decode_png, encode_png
+
+    w, h = dims
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    filters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4),
+            min_size=h,
+            max_size=h,
+        )
+    )
+    enc = encode_png(px, w, h, lambda y: filters[y])
+    w2, h2, ch, out = decode_png(enc)
+    assert (w2, h2, ch) == (w, h, 1)
+    assert out == px
