@@ -1004,6 +1004,193 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kaplan-Meier censoring cutoff: one day past the event window
+#: (events span 2024-01-01..01-30), so every non-converter censors at
+#: a well-defined duration.
+_KM_CUTOFF = "2024-01-31"
+
+
+@query(
+    "events_km_survival",
+    oracle=f"""
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT g.user_id, g.s_ts, MIN(e.ts) AS p_ts
+        FROM signup g
+        LEFT JOIN events e
+          ON e.user_id = g.user_id AND e.event_type = 'purchase'
+         AND e.ts >= g.s_ts
+        GROUP BY g.user_id, g.s_ts
+    ),
+    durations AS (
+        SELECT user_id,
+               CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CAST(CASE WHEN p_ts IS NOT NULL
+                    THEN date_diff('microsecond', s_ts, p_ts)
+                    ELSE date_diff('microsecond', s_ts,
+                                   TIMESTAMP '{_KM_CUTOFF}')
+                    END // 86400000000 AS BIGINT) AS day
+        FROM conv
+    ),
+    daily AS (
+        SELECT day,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM durations GROUP BY day
+    ),
+    risk AS (
+        SELECT day, d, c,
+               -- explicit BIGINT: the window SUM widens to DECIMAL in
+               -- DuckDB and the driver hash is dtype-sensitive (the
+               -- flagship_big_orders r5 lesson)
+               CAST(CAST((SELECT COUNT(*) FROM durations) AS BIGINT)
+                    - COALESCE(SUM(d + c) OVER (
+                          ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM daily
+    ),
+    terms AS (
+        SELECT day, d, c, n_risk,
+               CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                    WHEN d < n_risk THEN
+                        CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                   * 1000000000.0 + 0.5) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS ln_nano,
+               CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dies
+        FROM risk
+    )
+    SELECT day, n_risk, d AS n_events, c AS n_censored,
+           CASE WHEN SUM(dies) OVER (ORDER BY day) > 0 THEN 0.0
+                ELSE round(exp(CAST(SUM(ln_nano) OVER (ORDER BY day)
+                                    AS DOUBLE) / 1000000000.0), 6)
+           END AS km_survival
+    FROM terms ORDER BY day
+    """,
+)
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of signup→purchase conversion time, with
+    right-censoring at the window edge — the survival-analysis member
+    of the experimentation family (Welch/CUPED/DiD measure effect
+    size; KM measures time-to-event under censoring, the estimator
+    behind retention curves and LTV horizon picks). S(t) =
+    Π_{{s≤t}} (1 − d_s/n_s) over daily event times; non-converters
+    censor at the cutoff and leave the risk set without contributing
+    an event — dropping them instead (the naive mistake) biases the
+    curve down.
+
+    Spark-first + exactness shape: per-user durations are two
+    pushdown-filtered scans and a user-grain aggregate (exact integer
+    microsecond arithmetic → day buckets); everything after lives on
+    a ≤31-row daily frame, so the unpartitioned cumulative windows
+    are calendar-bounded (the registry's bounded-domain window
+    contract). Each factor's ln(1 − d/n) is one transcendental of
+    one IEEE division of two exact longs, micro-floored to NANO units
+    BEFORE the cumulative sum (the DSIR/lm-score recipe, here on
+    negative values — floor is toward −∞ in both engines), so the
+    survival product is exp of an exact integer sum, rounded 6 dp; a
+    day where the whole risk set fails pins the curve to exactly 0."""
+    st = _star(spark, sf_dir)
+    ev = st.events
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(pur, "user_id", "left")
+        .filter(F.col("p_ts").isNull() | (F.col("p_ts") >= F.col("s_ts")))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    # users whose only purchases precede signup: the left join keeps
+    # them only via rows that failed the >= filter — reattach as
+    # censored by re-joining signup (anti pattern below keeps one row
+    # per signup user regardless)
+    conv = signup.join(
+        conv.select("user_id", "p_ts"), "user_id", "left"
+    )
+    us = F.unix_micros(F.col("s_ts").cast("timestamp"))
+    up = F.unix_micros(F.col("p_ts").cast("timestamp"))
+    uc = F.unix_micros(
+        F.lit(_KM_CUTOFF).cast("timestamp_ntz").cast("timestamp")
+    )
+    # integer `div`, not double-divide+floor: an exact-multiple-of-a-
+    # day duration must bucket identically to DuckDB's BIGINT `//`
+    durations = conv.select(
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        F.when(F.col("p_ts").isNotNull(), up - us)
+        .otherwise(uc - us)
+        .alias("__dur_us"),
+    ).select(
+        "ev",
+        F.expr("__dur_us div 86400000000").cast("bigint").alias("day"),
+    )
+    daily = durations.groupBy("day").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    total = durations.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    w_prev = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = daily.crossJoin(F.broadcast(total)).select(
+        "day",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    ln_nano = F.when(F.col("d") == 0, F.lit(0).cast("bigint")).when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+            )
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    dies = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.select(
+        "day", "d", "c", "n_risk",
+        ln_nano.alias("ln_nano"), dies.alias("dies"),
+    )
+    return terms.select(
+        "day",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.sum("dies").over(w_cum) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum("ln_nano").over(w_cum).cast("double")
+                    / F.lit(1_000_000_000.0)
+                ),
+                6,
+            )
+        )
+        .alias("km_survival"),
+    )
+
+
 _KS_SRC_A = "src0"
 _KS_SRC_B = "src1"
 
