@@ -442,6 +442,9 @@ _SCALAR_BNLJ_OK = {
     # 1-row conformal threshold (n_cal, k_rank, threshold_score)
     # broadcast into the test-half coverage aggregate
     "quality_conformal_gate",
+    # 1-row subject-count scalar broadcast into the <=31-row daily
+    # risk-set frame for the at-risk prefix subtraction
+    "events_km_survival",
 }
 
 
