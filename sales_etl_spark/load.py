@@ -87,7 +87,13 @@ def _is_transient_connect_error(exc: Exception) -> bool:
     - SQLState class 08 (connection exception) anywhere in the Java
       cause chain — EXCEPT DriverManager's "No suitable driver",
       which some JDKs stamp 08001 despite being a configuration
-      error that no amount of waiting fixes;
+      error that no amount of waiting fixes. Class 08 is retried
+      WHOLESALE: drivers overload it (Derby stamps auth failures
+      08004; "too many connections" is 08004 on some engines and
+      genuinely transient), and psycopg2.OperationalError — the
+      reference's retry set — makes the same err-on-retry call.
+      Unambiguous auth rejections arrive as class 28 (PostgreSQL
+      28P01) and fail fast;
     - ``SQLTransientConnectionException`` /
       ``SQLNonTransientConnectionException`` subclasses;
     - raw socket-level failures (``java.net.ConnectException``,

@@ -711,6 +711,26 @@ def test_wait_for_db_probe_authenticates_with_properties(
     assert attempt == 1
 
 
+def test_wait_for_db_fails_fast_on_no_suitable_driver(
+    spark, monkeypatch
+):
+    """Java-path classification: a URL no registered driver accepts is
+    a configuration error — DriverManager raises SQLException('No
+    suitable driver', some JDKs stamp it 08001) and the probe must
+    surface it on attempt 1 through the REAL getConnection route, not
+    burn retries on it."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(
+        "time.sleep",
+        lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+    )
+    with _pytest.raises(Exception, match="No suitable driver"):
+        from sales_etl_spark.load import wait_for_db
+
+        wait_for_db(spark, "jdbc:nosuchproto:nowhere", max_retries=10)
+
+
 def test_wait_for_db_immediate_success_never_sleeps(spark, monkeypatch):
     """A ready database costs exactly one probe connection."""
     from sales_etl_spark.load import wait_for_db
