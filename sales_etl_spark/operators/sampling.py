@@ -495,3 +495,48 @@ def weighted_sample_oracle_sql(
     ) t
     WHERE sample_rank <= {k}
     """
+
+
+def conformal_threshold(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Split-conformal calibration threshold: the
+    floor(alpha * (n + 1))-th SMALLEST score of the calibration frame
+    (ties broken by id — a total order, so the order statistic is
+    unique), returned as a ONE-ROW frame (n_cal, k_rank,
+    threshold_score) for broadcasting into the scoring pass. Keeping
+    ``score >= threshold`` on exchangeable data then covers at least
+    1 - alpha of it in expectation — the distribution-free guarantee.
+    If floor(alpha * (n + 1)) < 1 the quantile is below every sample
+    and the returned frame is EMPTY (callers treat no-threshold as
+    keep-everything).
+
+    Scale shape: the rank comes from the bucket-offset global row
+    number (operators/windows.py — no single-partition sort of the
+    calibration frame; buckets on the milli-score, a bounded value
+    domain), joined to a broadcast 1-row count frame. Two bounded
+    exchanges at any calibration size.
+    """
+    from sales_etl_spark.operators.windows import global_row_number
+
+    ranked = global_row_number(
+        scored,
+        order_by=[F.col(score_col), F.col(id_col)],
+        bucket=F.floor(F.col(score_col) * F.lit(1000.0)).cast("long"),
+        out="__rn",
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    ).withColumn(
+        "k_rank",
+        F.floor((F.col("n_cal") + F.lit(1)) * F.lit(float(alpha)))
+        .cast("bigint"),
+    )
+    return ranked.join(
+        F.broadcast(stats), ranked["__rn"] == stats["k_rank"]
+    ).select(
+        "n_cal", "k_rank", F.col(score_col).alias("threshold_score")
+    )

@@ -703,8 +703,6 @@ def quality_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact long sums (identical in both engines), the rank tiebreak is
     total (score, doc_id), and coverage is one IEEE division rounded
     to 6 dp."""
-    from sales_etl_spark.operators.windows import global_row_number
-
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
     base = st.documents.select("doc_id", toks.alias("__toks"))
@@ -735,24 +733,8 @@ def quality_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "doc_id", {"cal": 0.5, "test": 0.5}, seed=_CONF_SEED
     ).cache()
     cal = sp.filter(F.col("split") == "cal")
-    ranked = global_row_number(
-        cal,
-        order_by=[F.col("score"), F.col("doc_id")],
-        bucket=F.floor(F.col("score") * F.lit(1000.0)).cast("long"),
-        out="rn",
-    )
-    stats = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cal")
-    ).withColumn(
-        "k_rank",
-        F.floor((F.col("n_cal") + F.lit(1)) * F.lit(_CONF_ALPHA))
-        .cast("bigint"),
-    )
-    thr = (
-        ranked.join(
-            F.broadcast(stats), ranked["rn"] == stats["k_rank"]
-        )
-        .select("n_cal", "k_rank", F.col("score").alias("threshold_score"))
+    thr = sampling.conformal_threshold(
+        cal.select("doc_id", "score"), "score", "doc_id", _CONF_ALPHA
     )
     test = sp.filter(F.col("split") == "test")
     kept = F.sum(

@@ -853,3 +853,45 @@ def test_png_codec_roundtrip_property(dims, data):
     w2, h2, ch, out = decode_png(enc)
     assert (w2, h2, ch) == (w, h, 1)
     assert out == px
+
+
+# Conformal threshold: the distributed bucket-offset order statistic
+# must equal the single-node sorted() answer on ANY score multiset —
+# heavy ties, negatives, constant frames, n from 1 to 40, alpha
+# across the useful band. (The registry query checks one corpus
+# cross-engine; this checks the operator's maths everywhere else.)
+_scores = st.lists(
+    st.integers(min_value=-500, max_value=500).map(lambda v: v / 100.0),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scores=_scores, alpha=st.sampled_from([0.05, 0.1, 0.25, 0.5]))
+def test_conformal_threshold_matches_sorted_order_statistic(
+    spark, scores, alpha
+):
+    import math
+
+    from sales_etl_spark.operators.sampling import conformal_threshold
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, score double"
+    )
+    got = conformal_threshold(df, "score", "doc_id", alpha).collect()
+
+    n = len(scores)
+    k = math.floor(alpha * (n + 1))
+    if k < 1:
+        assert got == []
+        return
+    expected = sorted(scores)[k - 1]
+    assert len(got) == 1
+    row = got[0]
+    assert (row.n_cal, row.k_rank) == (n, k)
+    assert row.threshold_score == expected
