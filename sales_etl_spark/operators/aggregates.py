@@ -362,3 +362,90 @@ def weighted_median(
         .agg(F.min(value_col).alias(out))
         .select(*group_cols, out, "total_weight")
     )
+
+
+def km_survival_curve(
+    durations: DataFrame,
+    day_col: str = "day",
+    event_col: str = "ev",
+) -> DataFrame:
+    """Kaplan-Meier estimator over (duration-bucket, event-flag)
+    subject rows: one output row per observed duration with the risk
+    set size, event/censor counts, and the survival product
+    S(t) = Π_{s<=t}(1 - d_s/n_s). Right-censored subjects
+    (``event_col`` = 0) leave the risk set without contributing an
+    event — the correction that separates KM from a naive conversion
+    curve.
+
+    Scale + exactness shape (the registry's bounded-domain recipe):
+    one partial-aggregated exchange collapses subjects to the
+    duration grain, so every window below runs on a value-domain-
+    bounded frame (days, not subjects); each factor's ln(1 - d/n) is
+    one transcendental of one IEEE division of two exact longs,
+    floored to NANO units BEFORE the cumulative sum (floor is toward
+    -inf in both engines, so negative terms agree), and the survival
+    value is exp of an exact integer sum rounded to 6 dp. A day where
+    the whole risk set fails pins the curve (and every later row) to
+    exactly 0.0 via a cumulative flag rather than ln(0).
+    """
+    daily = durations.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(event_col).cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col(event_col)).cast("bigint").alias("c"),
+    )
+    total = durations.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = daily.crossJoin(F.broadcast(total)).select(
+        "day",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    ln_nano = (
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                )
+                * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    dies = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.select(
+        "day", "d", "c", "n_risk",
+        ln_nano.alias("__ln_nano"), dies.alias("__dies"),
+    )
+    return terms.select(
+        "day",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.sum("__dies").over(w_cum) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum("__ln_nano").over(w_cum).cast("double")
+                    / F.lit(1_000_000_000.0)
+                ),
+                6,
+            )
+        )
+        .alias("km_survival"),
+    )

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sales_etl_spark.functions import text as TX
+from sales_etl_spark.operators import aggregates
 from sales_etl_spark.operators.windows import (
     global_prefix_sum,
     global_row_number,
@@ -1132,63 +1133,7 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ev",
         F.expr("__dur_us div 86400000000").cast("bigint").alias("day"),
     )
-    daily = durations.groupBy("day").agg(
-        F.sum("ev").cast("bigint").alias("d"),
-        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
-    )
-    total = durations.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total")
-    )
-    w_prev = (
-        Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = daily.crossJoin(F.broadcast(total)).select(
-        "day",
-        "d",
-        "c",
-        (
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
-            )
-        ).alias("n_risk"),
-    )
-    ln_nano = F.when(F.col("d") == 0, F.lit(0).cast("bigint")).when(
-        F.col("d") < F.col("n_risk"),
-        F.floor(
-            F.log(
-                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
-            )
-            * F.lit(1_000_000_000.0)
-            + F.lit(0.5)
-        ).cast("bigint"),
-    ).otherwise(F.lit(0).cast("bigint"))
-    dies = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-    terms = risk.select(
-        "day", "d", "c", "n_risk",
-        ln_nano.alias("ln_nano"), dies.alias("dies"),
-    )
-    return terms.select(
-        "day",
-        "n_risk",
-        F.col("d").alias("n_events"),
-        F.col("c").alias("n_censored"),
-        F.when(F.sum("dies").over(w_cum) > 0, F.lit(0.0))
-        .otherwise(
-            F.round(
-                F.exp(
-                    F.sum("ln_nano").over(w_cum).cast("double")
-                    / F.lit(1_000_000_000.0)
-                ),
-                6,
-            )
-        )
-        .alias("km_survival"),
-    )
+    return aggregates.km_survival_curve(durations, "day", "ev")
 
 
 _KS_SRC_A = "src0"

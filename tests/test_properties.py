@@ -895,3 +895,56 @@ def test_conformal_threshold_matches_sorted_order_statistic(
     row = got[0]
     assert (row.n_cal, row.k_rank) == (n, k)
     assert row.threshold_score == expected
+
+
+# Kaplan-Meier: the distributed curve must equal a from-scratch
+# single-node KM (with the operator's own exactness contract: nano-
+# floored ln factors, exp, round 6) on ANY censoring pattern — all
+# events, all censored, mixed, ties on a day, risk-set exhaustion
+# (where the curve must pin to exactly 0.0 forever after).
+_km_subjects = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # duration day
+        st.integers(min_value=0, max_value=1),   # event flag
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(subjects=_km_subjects)
+def test_km_survival_curve_matches_single_node(spark, subjects):
+    import math
+
+    from sales_etl_spark.operators.aggregates import km_survival_curve
+
+    df = spark.createDataFrame(subjects, "day long, ev int")
+    got = {
+        r.day: (r.n_risk, r.n_events, r.n_censored, r.km_survival)
+        for r in km_survival_curve(df, "day", "ev").collect()
+    }
+
+    # independent single-node KM with the same exactness contract
+    days = sorted({d for d, _ in subjects})
+    n_risk = len(subjects)
+    ln_sum = 0
+    dead = False
+    expected = {}
+    for day in days:
+        d = sum(1 for dd, ev in subjects if dd == day and ev == 1)
+        c = sum(1 for dd, ev in subjects if dd == day and ev == 0)
+        if d >= n_risk and d > 0:
+            dead = True
+        elif d > 0:
+            ln_sum += math.floor(
+                math.log(1.0 - d / n_risk) * 1e9 + 0.5
+            )
+        km = 0.0 if dead else round(math.exp(ln_sum / 1e9), 6)
+        expected[day] = (n_risk, d, c, km)
+        n_risk -= d + c
+    assert got == expected
