@@ -32,12 +32,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # done-condition), its two dtype siblings (`agg_gini_revenue`,
 # `flagship_forecast_revenue`), the rewritten-internals queries
 # (`ann_pq_topk` janino fix, `join_asof_nearest` tie dedup), and
-# the seven new round-6 queries (media_png_decode,
+# the eight new round-6 queries (media_png_decode,
 # dedup_fs_linkage, quality_conformal_gate, ann_ivfpq_topk,
-# media_png_resize, events_did_estimator, events_km_survival); then (b) the promoted never-driver-checked
+# media_png_resize, events_did_estimator, events_km_survival,
+# events_audience_overlap); then (b) the promoted never-driver-checked
 # tail (the r5 order's positions 51+, kept stable as the verdict
-# asked). 56 never-checked keys + 5 re-checks + 7 new = 68 against
-# 50 slots, so the last 18 tail keys land at positions 51-68 for the
+# asked). 56 never-checked keys + 5 re-checks + 8 new = 69 against
+# 50 slots, so the last 19 tail keys land at positions 51-69 for the
 # r7 window. Every key in both windows is bit-exact under
 # tools/check_oracle.py at sf0.001 AND sf0.01 this session; every
 # displaced key holds a green driver row from r01-r05.
@@ -55,6 +56,7 @@ _SWEEP_FIRST = [
     "media_png_resize",
     "events_did_estimator",
     "events_km_survival",
+    "events_audience_overlap",
     # -- promoted never-driver-checked tail (r5 positions 51+) -------
     "dedup_semantic",
     "dedup_containment",

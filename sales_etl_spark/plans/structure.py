@@ -303,6 +303,89 @@ def graph_triangle_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("triangles"), F.asc("part_id")).limit(20)
 
 
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM aud GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM aud a
+        JOIN aud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b,
+           sa.n AS n_a, sb.n AS n_b, i.n_both,
+           CAST(sa.n + sb.n - i.n_both AS BIGINT) AS n_union,
+           round(CAST(i.n_both AS DOUBLE)
+                 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types — for every type
+    pair, the exact distinct-user intersection, union
+    (inclusion-exclusion) and Jaccard: the adtech/segment-overlap
+    readout, and the EXACT twin a sketch tier (HLL unions à la
+    events_hll_rollup, |A∩B| = |A|+|B|−|A∪B|) would be validated
+    against at scale.
+
+    Scale shape: the (type, user) distinct grain collapses FIRST (one
+    partial-agg exchange — users with duplicate events cannot inflate
+    counts); the pair expansion is bounded by the DATA MODEL like the
+    co-purchase pass (a user has ≤|types| = 5 distinct types ⇒ ≤10
+    pairs per user, linear in users); sizes broadcast into the
+    ≤|types|² pair frame. Jaccard is one IEEE division of exact longs
+    rounded 6 dp."""
+    st = _star(spark, sf_dir)
+    aud = st.events.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = aud.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = aud.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    out = inter.join(F.broadcast(sa), "type_a").join(
+        F.broadcast(sb), "type_b"
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        union.cast("bigint").alias("n_union"),
+        F.round(F.col("n_both").cast("double") / union, 6).alias(
+            "jaccard"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-user event-type entropy
 # ---------------------------------------------------------------------------
