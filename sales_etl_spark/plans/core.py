@@ -861,14 +861,15 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
-                    THEN 0 ELSE 1 END) AS n_bad_text_nonempty,
-           SUM(CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
+                         THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_bad_text_nonempty,
+           CAST(SUM(CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END) AS BIGINT)
                AS n_bad_min_chars,
-           SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
-               AS n_bad_chars_consistent,
-           SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
-                    THEN 0 ELSE 1 END) AS n_bad_lang_known
+           CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_bad_chars_consistent,
+           CAST(SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_lang_known
     FROM documents
     GROUP BY source
     """,
@@ -900,14 +901,16 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
         SELECT source,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
-                        THEN 0 ELSE 1 END) AS n_bad_text_nonempty,
-               SUM(CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END)
-                   AS n_bad_min_chars,
-               SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
-                   AS n_bad_chars_consistent,
-               SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
-                        THEN 0 ELSE 1 END) AS n_bad_lang_known
+               CAST(SUM(CASE WHEN text IS NOT NULL AND length(text) > 0
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_bad_text_nonempty,
+               CAST(SUM(CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_bad_min_chars,
+               CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_bad_chars_consistent,
+               CAST(SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_bad_lang_known
         FROM documents
         GROUP BY source
     )

@@ -14,7 +14,11 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.check_oracle import compare, duckdb_conn  # noqa: E402
+from tools.check_oracle import (  # noqa: E402
+    compare,
+    duckdb_conn,
+    oracle_dtype_offenders,
+)
 
 from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 
@@ -56,6 +60,30 @@ def test_no_engine_variant_output_dtypes(spark):
     assert not offenders, (
         "engine-variant output dtypes (cast to bigint/double or "
         f"timestamp_ntz at the boundary): {offenders}"
+    )
+
+
+def test_no_engine_variant_oracle_dtypes(oracle_con):
+    """Oracle-side mirror of the Spark DecimalType guard above: no
+    oracle may DECLARE a HUGEINT/UHUGEINT/DECIMAL output column.
+    DuckDB widens SUM over INTEGER to HUGEINT, which fetchdf()
+    surfaces as object/Decimal — the driver's value-hash then reds a
+    result whose VALUES are bit-identical to Spark's int64 (r6's only
+    two failures, quality_expectations{,_long}). Oracles cast such
+    columns to BIGINT/DOUBLE at the output boundary. Schema-only
+    (DESCRIBE, no execution), so the whole registry checks in
+    seconds."""
+    offenders = {}
+    for name in sorted(QUERY_REGISTRY):
+        oracle = QUERY_REGISTRY[name].oracle
+        if oracle is None:
+            continue
+        bad = oracle_dtype_offenders(oracle_con, oracle)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle output dtypes that diverge at the driver hash "
+        f"(CAST to BIGINT/DOUBLE in the oracle SQL): {offenders}"
     )
 
 

@@ -39,6 +39,31 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# DuckDB output types whose pandas round-trip diverges from Spark's
+# even when values are equal: HUGEINT/UHUGEINT fetch as Python ints /
+# object dtype (vs Spark's int64) and DECIMAL as decimal.Decimal (vs
+# float64), so the driver's stringify-then-hash comparator reds a
+# bit-identical result. The r6 driver's only two failures were exactly
+# this — SUM(CASE...) widening to HUGEINT in two oracles. Oracles must
+# CAST such columns to BIGINT / DOUBLE at the output boundary (the
+# oracle-side mirror of the no-DecimalType Spark-schema guard).
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_dtype_offenders(
+    con: duckdb.DuckDBPyConnection, oracle_sql: str
+) -> list:
+    """(column, duckdb_type) pairs in the oracle's DECLARED output
+    schema that would hash differently at the driver. Schema-only:
+    DESCRIBE plans the query without executing it."""
+    rows = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    return [
+        (name, ctype)
+        for name, ctype, *_ in rows
+        if any(ctype.upper().startswith(b) for b in BANNED_ORACLE_TYPES)
+    ]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Columns sorted by name, rows sorted by all columns — the
     order-insensitive canonical form the driver hashes."""
@@ -168,6 +193,14 @@ def main() -> int:
             print(f"OK?   {name}: {len(sdf)} rows ({status}, no oracle)")
             continue
         try:
+            bad_types = oracle_dtype_offenders(con, qd.oracle)
+            if bad_types:
+                failures.append((name, f"oracle dtype: {bad_types}"))
+                print(
+                    f"FAIL  {name}: oracle output dtype would diverge at "
+                    f"the driver hash (CAST to BIGINT/DOUBLE): {bad_types}"
+                )
+                continue
             odf = con.execute(qd.oracle).fetchdf()
         except Exception as e:
             failures.append((name, f"oracle error: {e}"))
