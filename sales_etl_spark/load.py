@@ -100,7 +100,10 @@ def _is_transient_connect_error(exc: Exception) -> bool:
       ``SocketTimeoutException``, ``UnknownHostException`` is NOT
       retried — a bad hostname is configuration);
     - for injected test fakes: Python ``ConnectionError`` /
-      ``TimeoutError``.
+      ``TimeoutError``;
+    - a Java cause chain whose OWN introspection fails (Py4J gateway
+      hiccup mid-classification) — retried conservatively rather
+      than aborting a bounded probe on attempt 1.
     """
     je = getattr(exc, "java_exception", None)
     if je is None:
@@ -111,7 +114,14 @@ def _is_transient_connect_error(exc: Exception) -> bool:
             cname = cur.getClass().getName()
             msg = cur.getMessage() or ""
         except Exception:
-            return False
+            # Gateway introspection itself failed — most often a
+            # transient Py4J hiccup while classifying what may be a
+            # genuine connection-refused. Failing fast here would
+            # abort wait_for_db on attempt 1 for exactly the class of
+            # error the probe exists to ride out; the retry loop is
+            # bounded by max_retries, so the conservative default is
+            # to retry, not to raise.
+            return True
         if "UnknownHostException" in cname:
             return False
         if "No suitable driver" in msg:

@@ -382,8 +382,9 @@ def km_survival_curve(
     duration grain, so every window below runs on a value-domain-
     bounded frame (days, not subjects); each factor's ln(1 - d/n) is
     one transcendental of one IEEE division of two exact longs,
-    floored to NANO units BEFORE the cumulative sum (floor is toward
-    -inf in both engines, so negative terms agree), and the survival
+    quantized to NANO units BEFORE the cumulative sum via
+    round-half-up — floor(ln*1e9 + 0.5), the identical expression in
+    both engines, so negative terms agree — and the survival
     value is exp of an exact integer sum rounded to 6 dp. A day where
     the whole risk set fails pins the curve (and every later row) to
     exactly 0.0 via a cumulative flag rather than ln(0).

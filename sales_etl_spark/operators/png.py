@@ -34,6 +34,11 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 #: samples per pixel by PNG color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Hard ceiling on the IHDR-declared raster size (64 MiB ≈ 4096×4096
+#: RGBA). Decoding runs inside Arrow-batched executors; one crafted
+#: header must not be able to demand a multi-GiB allocation.
+_MAX_RASTER_BYTES = 1 << 26
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG spec §6.6): the neighbor (left, up,
@@ -102,10 +107,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     w, h, _depth, color = ihdr
     ch = _CHANNELS[color]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    if expected > _MAX_RASTER_BYTES:
         raise ValueError(
-            f"raster length {len(raw)} != {(stride + 1) * h}"
+            f"declared raster {w}x{h}x{ch} exceeds "
+            f"{_MAX_RASTER_BYTES} byte cap"
+        )
+    # Bounded inflate: cap the output at the IHDR-declared raster size
+    # (+1 to detect overflow) so a crafted PNG with a high-ratio
+    # DEFLATE stream cannot allocate unbounded memory before the
+    # length validation fires.
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"raster length {len(raw)} != {expected}"
         )
     out = bytearray(stride * h)
     prev = bytes(stride)

@@ -1172,9 +1172,10 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ≤31-row daily frame, so the unpartitioned cumulative windows
     are calendar-bounded (the registry's bounded-domain window
     contract). Each factor's ln(1 − d/n) is one transcendental of
-    one IEEE division of two exact longs, micro-floored to NANO units
-    BEFORE the cumulative sum (the DSIR/lm-score recipe, here on
-    negative values — floor is toward −∞ in both engines), so the
+    one IEEE division of two exact longs, quantized to NANO units
+    BEFORE the cumulative sum via round-half-up — floor(ln*1e9 + 0.5),
+    the DSIR/lm-score recipe, the identical expression in both
+    engines so negative values agree — and the
     survival product is exp of an exact integer sum, rounded 6 dp; a
     day where the whole risk set fails pins the curve to exactly 0."""
     st = _star(spark, sf_dir)

@@ -158,6 +158,38 @@ def test_png_codec_roundtrip_and_real_world_decode():
         decode_png(bytes(bad))
 
 
+def test_png_decode_bounds_decompression_bombs():
+    """Adversarial-input contract: the decoder must reject crafted
+    PNGs WITHOUT materializing attacker-sized buffers — (a) an IHDR
+    declaring a raster above the 64 MiB cap fails before any inflate,
+    and (b) a small declared raster whose IDAT inflates to far more
+    fails after at most raster+1 bytes (bounded decompressobj, not a
+    full zlib.decompress)."""
+    import struct
+    import zlib
+
+    from sales_etl_spark.operators.png import _SIG, _chunk, decode_png
+
+    def craft(w, h, idat_raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(idat_raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    # (a) header alone demands 100_000^2 bytes (~9.3 GiB) — reject on
+    # the declared size, with a tiny IDAT so any inflate would succeed
+    with pytest.raises(ValueError, match="byte cap"):
+        decode_png(craft(100_000, 100_000, b"\x00" * 16))
+
+    # (b) declared 4x3 gray (raster 15 B) but IDAT inflates to 10 MB:
+    # the bounded inflate must stop at 16 bytes and raise
+    with pytest.raises(ValueError, match="raster length"):
+        decode_png(craft(4, 3, b"\x00" * 10_000_000))
+
+
 def test_demean_embeddings_matches_native_two_pass(spark):
     """applyInPandas grouped demean == the native two-pass form
     (posexplode → per-(group,pos) mean → rebuild) — proving the

@@ -678,6 +678,24 @@ def test_wait_for_db_fails_fast_on_non_transient_errors(
     assert calls["n"] == 1  # no retry on a non-transient failure
 
 
+def test_transient_classifier_retries_on_introspection_failure():
+    """If the Py4J gateway hiccups WHILE classifying a Java cause
+    chain (getClass()/getMessage() itself raises), the classifier
+    must default to transient=retry, not fail-fast: aborting
+    wait_for_db on attempt 1 because the gateway blinked defeats the
+    probe's whole purpose, and the retry loop is bounded anyway."""
+    from sales_etl_spark.load import _is_transient_connect_error
+
+    class _GatewayDown:
+        def getClass(self):
+            raise RuntimeError("Py4J gateway not responding")
+
+    class _FakePy4JError(Exception):
+        java_exception = _GatewayDown()
+
+    assert _is_transient_connect_error(_FakePy4JError("boom")) is True
+
+
 def test_wait_for_db_probe_authenticates_with_properties(
     spark, tmp_path
 ):
