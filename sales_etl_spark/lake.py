@@ -51,6 +51,29 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Row bound under which a deletion-vector staging write may
+#: coalesce(1). DV rows are two slim columns (file name, position) —
+#: ~tens of bytes each — so 10M rows is a few hundred MB in one task:
+#: fine for the retention/retraction deletes DVs exist for, and the
+#: single output file keeps the manifest small. PAST the bound
+#: (a corpus-sized retraction) the write keeps its natural
+#: partitioning — the staging rename loops already handle multiple
+#: part files — so no frame can route through one task just because
+#: it passed through this sink.
+_DV_SINGLE_FILE_MAX_ROWS = 10_000_000
+
+
+def _stage_delete_vectors(matches: DataFrame, staging: Path) -> None:
+    """Write a (__file, __pos) deletion-vector frame to ``staging``,
+    single-file when small (bounded by _DV_SINGLE_FILE_MAX_ROWS),
+    naturally partitioned when not."""
+    n = matches.count()
+    staged = (
+        matches.coalesce(1) if n <= _DV_SINGLE_FILE_MAX_ROWS else matches
+    )
+    staged.write.mode("overwrite").parquet(str(staging))
+
+
 def _log_dir(table_path: str) -> Path:
     return Path(table_path) / "_log"
 
@@ -608,7 +631,7 @@ def delete_where(
         # stage the new delete files, then CAS-publish the manifest
         token = uuid.uuid4().hex[:12]
         staging = table / f"_staging-dv-{token}"
-        matches.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        _stage_delete_vectors(matches, staging)
         dv_dir = table / "deletes"
         dv_dir.mkdir(parents=True, exist_ok=True)
         new_dv = []
@@ -713,9 +736,7 @@ def merge_into(
         new_dv: list[str] = []
         if not replaced.isEmpty():
             dv_staging = table / f"_staging-dv-{token}"
-            replaced.coalesce(1).write.mode("overwrite").parquet(
-                str(dv_staging)
-            )
+            _stage_delete_vectors(replaced, dv_staging)
             dv_dir = table / "deletes"
             dv_dir.mkdir(parents=True, exist_ok=True)
             for i, part in enumerate(sorted(dv_staging.glob("*.parquet"))):

@@ -812,3 +812,38 @@ def test_python_datasource_sink_writes_atomic_versions(spark, tmp_path):
     assert [r.k for r in lake.read_table(spark, t).collect()] == [9]
     assert lake.read_table(spark, t, 2).count() == 42  # time travel
     assert lake.fsck(t)["ok"]
+
+
+def test_dv_staging_write_is_bounded_not_single_task(
+    spark, tmp_path, monkeypatch
+):
+    """The deletion-vector staging write may coalesce(1) ONLY while
+    the DV row count sits under _DV_SINGLE_FILE_MAX_ROWS; past the
+    bound it must keep its natural partitioning so a corpus-sized
+    retraction cannot route through one task. Proven by shrinking the
+    bound: the same delete that stages one file at the default bound
+    stages multiple part files (and still reads back correctly) when
+    the bound is below the match count."""
+    df = spark.createDataFrame(
+        [(i, "drop" if i < 40 else "keep") for i in range(50)],
+        "k long, v string",
+    ).repartition(4)
+
+    # small DV, default bound: exactly one staged dv file
+    t1 = str(tmp_path / "one")
+    lake.commit_write(df, t1)
+    lake.delete_where(spark, t1, "v = 'drop'")
+    m1 = lake._read_manifest(t1, lake.versions(t1)[-1])
+    assert len(m1["delete_files"]) == 1
+
+    # same delete with the bound forced under the match count: the
+    # natural partitioning survives (multiple dv files), values intact
+    monkeypatch.setattr(lake, "_DV_SINGLE_FILE_MAX_ROWS", 5)
+    t2 = str(tmp_path / "many")
+    lake.commit_write(df, t2)
+    lake.delete_where(spark, t2, "v = 'drop'")
+    m2 = lake._read_manifest(t2, lake.versions(t2)[-1])
+    assert len(m2["delete_files"]) > 1
+    assert _rows(lake.read_table(spark, t2).select("k", "v")) == [
+        (i, "keep") for i in range(40, 50)
+    ]
