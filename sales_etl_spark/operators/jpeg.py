@@ -1,0 +1,492 @@
+"""Baseline-sequential JPEG codec in pure Python + NumPy — no PIL.
+
+Public-knowledge implementation of ITU-T T.81 (1992) baseline DCT
+(SOF0) with the JFIF 1.02 container: marker walk, DQT (8/16-bit),
+DHT canonical Huffman, interleaved MCU entropy decode with restart
+markers, dequantize + separable IDCT, chroma upsampling, JFIF
+YCbCr->RGB. The encoder half is the grayscale fixture synthesizer
+(mirrors operators/png.py:encode_png): standard Annex K Huffman
+tables, edge-replication padding, selectable quantization table.
+
+Exactness contract for the hash-checked tier: a raster whose 8x8
+blocks are each CONSTANT survives encode->decode BIT-EXACTLY when the
+quantization table is all-ones — the forward DCT of a constant block
+is a single DC coefficient 8*(v-128) (an exact float for v in
+0..255), every AC term is a mathematically-zero cosine sum that
+quantization rounds away, and the IDCT of a lone DC returns the
+constant. General rasters are lossy (the point of JPEG) and are
+covered by the tolerance-tier tests, not the driver hash.
+
+Scale shape: the codec runs inside Arrow-batched mapInPandas kernels
+(operators/multimodal.py) — per-payload byte work Spark has no
+builtin for; everything after decode (fingerprinting, aggregation)
+stays JVM-side. Reference parity: the reference pipeline has no image
+codec at all (etl/ is tabular CSV->postgres); this extends the
+multimodal ingestion tier the training-data brief requires.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: Zig-zag scan order: index = zigzag position, value = row-major slot.
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: T.81 Annex K.1 — example luminance quantization table.
+STD_LUMA_QUANT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: T.81 Annex K.3 — typical luminance DC table (BITS, HUFFVAL).
+STD_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+STD_DC_VALS = tuple(range(12))
+
+#: T.81 Annex K.3 — typical luminance AC table.
+STD_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+STD_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+#: Same raster-size ceiling as the PNG decoder: one crafted SOF header
+#: must not be able to demand a multi-GiB allocation inside an
+#: executor kernel.
+_MAX_RASTER_BYTES = 1 << 26
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis M (T.81 A.3.3 scaling):
+    coefficients = M @ block @ M.T, samples = M.T @ coefs @ M."""
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _canonical_codes(bits, vals):
+    """(T.81 C.2) canonical Huffman: code lengths come sorted, codes
+    count up within a length and shift left across lengths. Returns
+    {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits, vals):
+    """Inverse of :func:`_canonical_codes`: {symbol: (code, length)}."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _canonical_codes(bits, vals).items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# bit I/O with 0xFF stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # T.81 B.1.1.5 byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read: only sync_restart
+                # may consume it
+                raise ValueError("hit restart marker inside a symbol")
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                )
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read(self, nbits: int) -> int:
+        while self._n < nbits:
+            self._fill()
+        self._n -= nbits
+        v = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def decode_symbol(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 E.2.4)."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t received bits to a signed
+    amplitude."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder (grayscale baseline, the fixture synthesizer)
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    qtable=None,
+) -> bytes:
+    """Encode an 8-bit GRAYSCALE raster as a spec-valid baseline JFIF
+    JPEG. ``qtable`` is 64 quantization values in ROW-MAJOR order
+    (default all-ones — visually lossless and bit-exact on
+    block-constant rasters; pass :data:`STD_LUMA_QUANT` for realistic
+    compression). Edges pad by replication to 8-pixel multiples; the
+    SOF records the true geometry so decoders crop back."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match geometry")
+    if qtable is None:
+        qtable = (1,) * 64
+    q = np.asarray(qtable, dtype=np.float64).reshape(8, 8)
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+
+    dc_codes = _encode_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _encode_codes(STD_AC_BITS, STD_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coefs = _DCT_M @ block @ _DCT_M.T
+            qz = np.rint(coefs / q).astype(np.int64)
+            zz = [int(qz.flat[ZIGZAG[i]]) for i in range(64)]
+            # DC: differential category + amplitude bits
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            t = _category(diff)
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            # AC: run/size with ZRL and EOB
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                t = _category(v)
+                code, ln = ac_codes[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qz8 = np.rint(q).astype(np.int64)
+    if (qz8 < 1).any() or (qz8 > 255).any():
+        raise ValueError("8-bit quantization values must be 1..255")
+    dqt = bytes([0]) + bytes(int(qz8.flat[ZIGZAG[i]]) for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(STD_DC_BITS) + bytes(STD_DC_VALS)
+        + bytes([0x10]) + bytes(STD_AC_BITS) + bytes(STD_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoder (baseline sequential, 1..4 components, subsampling, restarts)
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a BASELINE-SEQUENTIAL (SOF0) JPEG. Returns
+    ``(width, height, channels, raster)`` — 8-bit samples, interleaved
+    row-major; 3-component scans are converted JFIF YCbCr->RGB, single
+    component stays grayscale. Progressive (SOF2) and arithmetic-coded
+    streams raise ValueError: out of baseline scope, fail loudly."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart = 0
+    frame = None
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                vals = (
+                    struct.unpack(f">{64}H", raw) if pq else tuple(raw)
+                )
+                tbl = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = vals[k]
+                quant[tq] = tbl.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1 : i + 17]
+                nvals = sum(bits)
+                vals = body[i + 17 : i + 17 + nvals]
+                huff[(tc, th)] = _canonical_codes(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. seq.
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision: {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported frame type 0xFF{marker:02X} "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return _decode_scan(
+                data, pos + 2 + ln, frame, body, quant, huff, restart
+            )
+        pos += 2 + ln
+    raise ValueError("no scan in stream")
+
+
+def _decode_scan(data, pos, frame, sos, quant, huff, restart):
+    w, h, comps = frame
+    nc = len(comps)
+    if w * h * nc > _MAX_RASTER_BYTES:
+        raise ValueError(
+            f"declared raster {w}x{h}x{nc} exceeds "
+            f"{_MAX_RASTER_BYTES} byte cap"
+        )
+    ns = sos[0]
+    if ns != nc:
+        raise ValueError("non-interleaved multi-scan streams unsupported")
+    scan_tbl = {}
+    for i in range(ns):
+        cs, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan_tbl[cs] = (tt >> 4, tt & 15)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = []
+    for cid, hi, vi, tq in comps:
+        planes.append(
+            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        )
+
+    br = _BitReader(data, pos)
+    pred = [0] * nc
+    rst_n = 0
+    since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and since_restart == restart:
+                br.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * nc
+                since_restart = 0
+            since_restart += 1
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                dc_tbl = huff[(0, scan_tbl[cid][0])]
+                ac_tbl = huff[(1, scan_tbl[cid][1])]
+                q = quant[tq]
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = br.decode_symbol(dc_tbl)
+                        diff = _extend(br.read(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(ac_tbl)
+                            r, t = rs >> 4, rs & 15
+                            if t == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[ZIGZAG[k]] = _extend(br.read(t), t)
+                            k += 1
+                        coefs = zz.reshape(8, 8) * q
+                        block = _DCT_M.T @ coefs @ _DCT_M
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        p = np.clip(np.floor(planes[ci] + 128.5), 0, 255)
+        # upsample to full geometry by sample replication, then crop
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, 0), hmax // hi, 1)
+        out_planes.append(p[:h, :w])
+    if nc == 1:
+        raster = out_planes[0].astype(np.uint8)
+        return w, h, 1, raster.tobytes()
+    if nc == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [
+                np.clip(np.floor(r + 0.5), 0, 255),
+                np.clip(np.floor(g + 0.5), 0, 255),
+                np.clip(np.floor(b + 0.5), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return w, h, 3, rgb.tobytes()
+    raise ValueError(f"unsupported component count {nc}")

@@ -426,6 +426,69 @@ def png_thumbnails(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def documents_as_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG fixture stream: one REAL baseline JFIF JPEG
+    per document (operators/jpeg.py:encode_jpeg), every parameter a
+    closed form of doc fields so an SQL oracle can predict every
+    decoded pixel — width 8·(1 + doc_id%3), height 8·(1 + n_chars%3),
+    8-bit gray, each 8x8 tile CONSTANT at
+    (doc_id·37 + (y//8)·19 + (x//8)·11 + n_chars) % 256. Constant
+    tiles are the JPEG exactness contract (see operators/jpeg.py):
+    with the all-ones quantization table the DCT round-trip is
+    bit-exact, so the decode tier can be hash-checked like PNG even
+    though JPEG is lossy in general. The synthesizer is the fixture
+    half; decode_jpeg is the production half under test."""
+    from sales_etl_spark.operators.jpeg import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + nc % 3)
+                px = bytes(
+                    (d * 37 + (y // 8) * 19 + (x // 8) * 11 + nc) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append((d, bytearray(encode_jpeg(px, w, h))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def jpeg_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL baseline-JPEG decode: marker walk, Huffman
+    entropy decode, dequantize + IDCT (operators/jpeg.py:decode_jpeg)
+    and emit the raster as an int array alongside the decoded
+    geometry. Downstream fingerprinting stays NATIVE (posexplode +
+    JVM aggregation) — the same contract as png_pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sales_etl_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_jpeg(bytes(payload))
+                rows.append((media_id, w, h, ch, list(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "pixels"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "pixels array<int>"
+        ),
+    )
+
+
 def parse_wav_metadata(
     data: bytes,
 ) -> tuple[int, int, int, int] | None:

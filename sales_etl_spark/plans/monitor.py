@@ -1541,6 +1541,79 @@ def media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_jpeg_decode",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               8 * (1 + doc_id % 3) AS w,
+               8 * (1 + n_chars % 3) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, g.w, g.h,
+               (g.doc_id * 37 + (ty.y // 8) * 19
+                + (tx.x // 8) * 11 + g.n_chars) % 256 AS v,
+               ty.y * g.w + tx.x + 1 AS pos1
+        FROM geom g,
+             unnest(generate_series(0, g.h - 1)) AS ty(y),
+             unnest(generate_series(0, g.w - 1)) AS tx(x)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(pos1 * v) AS BIGINT) AS pixel_weighted,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG ingestion end-to-end with a REAL baseline-DCT decode and
+    no optional dependency: synthesize a spec-valid JFIF JPEG per
+    document (operators/multimodal.py:documents_as_jpeg — geometry
+    and every 8x8-constant tile closed forms of doc fields), run the
+    pure Python+NumPy decoder (operators/jpeg.py: marker walk,
+    canonical-Huffman entropy decode, dequantize, separable IDCT)
+    over the binary column via Arrow-batched mapInPandas, then
+    fingerprint the decoded raster NATIVELY (posexplode + JVM
+    count/sum/position-weighted sum/min/max per image). Hash-exact
+    despite JPEG being lossy: constant 8x8 tiles with the all-ones
+    quantization table survive the DCT round-trip bit-for-bit (the
+    forward transform is a lone exact DC coefficient), so the oracle
+    predicts every decoded pixel closed-form — a wrong Huffman table,
+    zig-zag slot, predictor reset, or IDCT scale flips the hash. The
+    second image format of the decode tier (PNG landed in r6); the
+    decoder additionally handles 3-component color, 4:2:0/4:4:4
+    subsampling, and restart markers, validated against Java
+    ImageIO's decode of real-world photos in tests/test_multimodal.py
+    (mean abs diff 0.18 on a 4:2:0 kitten photo)."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_jpeg(st.documents)
+    dec = multimodal.jpeg_pixels(media)
+    px = dec.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.posexplode("pixels").alias("pos", "v"),
+    )
+    return px.groupBy("media_id", "width", "height", "channels").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
+        F.sum("v").cast("bigint").alias("pixel_sum"),
+        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
+        .cast("bigint")
+        .alias("pixel_weighted"),
+        F.min("v").cast("int").alias("px_min"),
+        F.max("v").cast("int").alias("px_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Inter-arrival gap profile (lag + binned quantiles)
 # ---------------------------------------------------------------------------

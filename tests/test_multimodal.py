@@ -335,3 +335,147 @@ def test_audio_metadata_operator_mixed_payloads(spark):
     assert rows[1]["duration_ms"] == 500
     assert rows[2]["sample_rate"] is None  # quarantine, not an error
     assert rows[2]["byte_length"] == 12
+
+
+def test_jpeg_constant_tiles_roundtrip_bit_exact():
+    """The JPEG exactness contract the hash-checked query rides on:
+    rasters whose 8x8 blocks are each constant survive
+    encode->decode BIT-EXACTLY with the all-ones quantization table
+    (forward DCT = a lone exact DC coefficient; every AC is a
+    mathematically-zero cosine sum that quantization rounds away)."""
+    import random
+
+    from sales_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(11)
+    for _ in range(15):
+        tw, th = rng.randint(1, 4), rng.randint(1, 4)
+        w, h = 8 * tw, 8 * th
+        tiles = [
+            [rng.randrange(256) for _ in range(tw)] for _ in range(th)
+        ]
+        px = bytes(
+            tiles[y // 8][x // 8] for y in range(h) for x in range(w)
+        )
+        assert decode_jpeg(encode_jpeg(px, w, h)) == (w, h, 1, px)
+
+
+def test_jpeg_general_rasters_near_lossless_and_lossy_tier():
+    """(a) Arbitrary rasters (non-multiple-of-8 geometry -> the edge
+    replication padding + crop path; nonzero ACs -> run-length/ZRL/EOB
+    Huffman coding) round-trip within +-1 with the all-ones table —
+    the DCT float noise bound. (b) The standard Annex K table
+    compresses (smaller payload) and stays within a small error on a
+    smooth gradient — the realistic lossy tier."""
+    import random
+
+    import numpy as np
+
+    from sales_etl_spark.operators.jpeg import (
+        STD_LUMA_QUANT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(13)
+    for _ in range(5):
+        w, h = rng.randint(3, 30), rng.randint(3, 30)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        w2, h2, ch, out = decode_jpeg(encode_jpeg(px, w, h))
+        assert (w2, h2, ch) == (w, h, 1)
+        d = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(px, np.uint8).astype(int)
+        )
+        assert d.max() <= 1, d.max()
+
+    w, h = 24, 16
+    px = bytes((x * 4 + y * 3) % 256 for y in range(h) for x in range(w))
+    lossless = encode_jpeg(px, w, h)
+    lossy = encode_jpeg(px, w, h, STD_LUMA_QUANT)
+    assert len(lossy) < len(lossless)
+    w2, h2, ch, out = decode_jpeg(lossy)
+    d = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert d.max() <= 8 and d.mean() <= 3, (d.max(), d.mean())
+
+
+def test_jpeg_real_world_decode_matches_java_imageio(spark):
+    """Independence check mirroring the PNG real-world tier, but
+    stronger: decode REAL third-party baseline JPEGs (a 4:2:0 photo
+    and a 4:4:4 graphic shipped with Spark/gsutil) and compare every
+    RGB sample against Java ImageIO's decode (Spark's `image` data
+    source, BGR order) — a genuinely independent implementation.
+    Decoders may differ by a few ULPs of IDCT + chroma-upsample
+    (ImageIO interpolates chroma; we replicate), so the bar is a tight
+    MEAN error with bounded outliers, not bit equality."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from sales_etl_spark.operators.jpeg import decode_jpeg
+
+    cases = [
+        (
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+            "kittens/DP802813.jpg",
+            0.5,  # 4:2:0 — replication vs interpolation on edges
+        ),
+        (
+            "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+            "requests/ext/flower-of-life.jpg",
+            0.5,  # 4:4:4 — pure IDCT/rounding differences
+        ),
+    ]
+    ran = 0
+    for path, mean_bound in cases:
+        if not Path(path).exists():
+            continue
+        row = (
+            spark.read.format("image")
+            .load(path)
+            .select("image.*")
+            .collect()[0]
+        )
+        assert row.nChannels == 3
+        ref = np.frombuffer(bytes(row.data), np.uint8).reshape(
+            row.height, row.width, 3
+        )[:, :, ::-1].astype(int)  # BGR -> RGB
+        w, h, ch, out = decode_jpeg(Path(path).read_bytes())
+        assert (w, h, ch) == (row.width, row.height, 3)
+        ours = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+        d = np.abs(ours - ref)
+        assert d.mean() <= mean_bound, d.mean()
+        assert (d > 16).mean() <= 0.001, (d > 16).mean()
+        ran += 1
+    if not ran:
+        import pytest as _pytest
+
+        _pytest.skip("no system baseline JPEGs on this box")
+
+
+def test_jpeg_rejects_progressive_and_bounds_declared_rasters():
+    """(a) Progressive (SOF2) streams raise ValueError — out of
+    baseline scope, must fail loudly rather than mis-decode. (b) A
+    crafted SOF declaring a raster past the 64 MiB cap raises BEFORE
+    entropy decode allocates anything."""
+    import struct
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from sales_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    prog = Path("/usr/share/doc/nodejs/thin-white-stripe.jpg")
+    if prog.exists():
+        with _pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(prog.read_bytes())
+
+    good = bytearray(encode_jpeg(bytes(64), 8, 8))
+    sof_at = bytes(good).index(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) height(2) width(2) — patch the geometry
+    good[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 30000, 30000)
+    with _pytest.raises(ValueError, match="byte cap"):
+        decode_jpeg(bytes(good))

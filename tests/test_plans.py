@@ -342,6 +342,9 @@ _PYTHON_OK = {
     "media_png_decode",
     # same kernels + nearest-neighbor resample over the decoded raster
     "media_png_resize",
+    # Arrow-batched baseline-JPEG encode/decode kernels
+    # (operators/jpeg.py) — second format of the real-decode tier
+    "media_jpeg_decode",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
