@@ -426,6 +426,104 @@ def png_thumbnails(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def documents_as_pcm_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture stream with REAL nonzero PCM: one
+    16-bit mono WAV per document (stdlib ``wave``), every parameter a
+    closed form of doc fields so an SQL oracle predicts every decoded
+    SAMPLE — rate 8000 + (doc_id%4)·4000 Hz,
+    n = 100 + n_chars % 400 samples,
+    sample(i) = ((doc_id·13 + i·7 + n_chars) % 65536) − 32768.
+    The zero-frame twin (documents_as_wav) covers header parsing;
+    this one puts the sample DECODE on the hash-checked path."""
+    import io
+    import struct
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                rate = 8000 + (d % 4) * 4000
+                n = 100 + nc % 400
+                samples = [
+                    ((d * 13 + i * 7 + nc) % 65536) - 32768
+                    for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                rows.append((d, bytearray(buf.getvalue())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_wav_pcm(data: bytes) -> tuple[int, int, list[int]]:
+    """Real PCM decode, independent of the stdlib ``wave`` encoder:
+    RIFF chunk walk (the parse_wav_metadata loop) to locate ``fmt ``
+    and ``data``, then little-endian signed-16 unpack of the sample
+    stream. Returns (sample_rate, channels, samples). 16-bit PCM only
+    — anything else raises, the fail-loud contract of the decode
+    tier."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = data[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})"
+        )
+    n = len(payload) // 2
+    return rate, channels, list(struct.unpack(f"<{n}h", payload[: n * 2]))
+
+
+def wav_pcm_samples(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PCM sample decode (decode_wav_pcm) emitting
+    the sample stream as an int array alongside the decoded rate —
+    downstream fingerprinting stays NATIVE, the png_pixels/jpeg_pixels
+    contract applied to audio."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav_pcm(bytes(payload))
+                rows.append((media_id, rate, ch, samples))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "samples"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, sample_rate int, channels int, "
+            "samples array<int>"
+        ),
+    )
+
+
 def documents_as_jpeg(docs: DataFrame) -> DataFrame:
     """Deterministic JPEG fixture stream: one REAL baseline JFIF JPEG
     per document (operators/jpeg.py:encode_jpeg), every parameter a
@@ -485,6 +583,87 @@ def jpeg_pixels(media: DataFrame) -> DataFrame:
         schema=(
             "media_id long, width int, height int, channels int, "
             "pixels array<int>"
+        ),
+    )
+
+
+def documents_as_mjpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic VIDEO fixture stream: one REAL AVI-1.0 MJPEG file
+    per document (operators/avi.py:encode_avi_mjpeg wrapping
+    operators/jpeg.py:encode_jpeg frames), every parameter a closed
+    form of doc fields — 2 + doc_id%4 frames, geometry
+    8·(1 + doc_id%2) × 8, frame f's 8x8 tiles constant at
+    (doc_id·41 + f·29 + (y//8)·19 + (x//8)·11 + n_chars) % 256 (the
+    JPEG constant-tile exactness contract, so every sampled frame's
+    pixels are oracle-predictable). The synthesizer is the fixture
+    half; parse_avi_mjpeg + decode_jpeg are the production half."""
+    from sales_etl_spark.operators.avi import encode_avi_mjpeg
+    from sales_etl_spark.operators.jpeg import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                n_frames = 2 + d % 4
+                w = 8 * (1 + d % 2)
+                h = 8
+                frames = []
+                for f in range(n_frames):
+                    px = bytes(
+                        (d * 41 + f * 29 + (y // 8) * 19
+                         + (x // 8) * 11 + nc) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    frames.append(encode_jpeg(px, w, h))
+                rows.append(
+                    (d, bytearray(encode_avi_mjpeg(frames, w, h)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def mjpeg_frame_pixels(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Arrow-batched REAL video frame sampling + decode: walk the AVI
+    container (operators/avi.py:parse_avi_mjpeg), keep every
+    ``every_n``-th frame (the sample_frames stride contract, now over
+    real payloads), decode each kept frame's JPEG (operators/jpeg.py)
+    and emit its raster as an int array. One output row per sampled
+    frame; fingerprinting stays NATIVE downstream. At 100 TB this is
+    the frame-extraction shape: container walk + per-frame decode
+    inside the executor kernel, only sampled frames ever
+    materialize."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sales_etl_spark.operators.avi import parse_avi_mjpeg
+        from sales_etl_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, fps, frames = parse_avi_mjpeg(bytes(payload))
+                for idx in range(0, len(frames), every_n):
+                    fw, fh, ch, px = decode_jpeg(frames[idx])
+                    rows.append(
+                        (media_id, idx, len(frames), fw, fh, list(px))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames",
+                    "width", "height", "pixels",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, frame_idx int, n_frames int, "
+            "width int, height int, pixels array<int>"
         ),
     )
 

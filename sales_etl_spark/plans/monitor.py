@@ -1542,6 +1542,144 @@ def media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_mjpeg_frames",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               2 + doc_id % 4 AS n_frames,
+               8 * (1 + doc_id % 2) AS w,
+               8 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT g.*, f.f AS frame_idx
+        FROM geom g,
+             unnest(generate_series(0, g.n_frames - 1)) AS f(f)
+        WHERE f.f % 2 = 0
+    ),
+    px AS (
+        SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.w, fr.h,
+               (fr.doc_id * 41 + fr.frame_idx * 29 + (ty.y // 8) * 19
+                + (tx.x // 8) * 11 + fr.n_chars) % 256 AS v,
+               ty.y * fr.w + tx.x + 1 AS pos1
+        FROM fr,
+             unnest(generate_series(0, fr.h - 1)) AS ty(y),
+             unnest(generate_series(0, fr.w - 1)) AS tx(x)
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(pos1 * v) AS BIGINT) AS pixel_weighted,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM px GROUP BY doc_id, frame_idx, n_frames, w, h
+    """,
+)
+def media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO ingestion with REAL container walk + frame decode — the
+    modality the stub tier (sample_frames) previously covered with
+    fake payloads: synthesize a spec-valid AVI-1.0 MJPEG file per
+    document (operators/multimodal.py:documents_as_mjpeg), sample
+    every 2nd frame inside the Arrow kernel (the 100 TB
+    frame-extraction shape: only sampled frames materialize), decode
+    each sampled frame's JPEG (operators/jpeg.py) and fingerprint its
+    raster NATIVELY per (media_id, frame_idx). Hash-exact through the
+    JPEG constant-tile contract; the oracle predicts every sampled
+    frame's every pixel closed-form — a wrong RIFF walk, a missed
+    word-alignment pad, an off-stride sample, or any JPEG decode
+    defect flips the hash. With media_wav_samples and the PNG/JPEG
+    tiers this completes REAL decode across image, audio and video."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_mjpeg(st.documents)
+    dec = multimodal.mjpeg_frame_pixels(media, every_n=2)
+    px = dec.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.posexplode("pixels").alias("pos", "v"),
+    )
+    return px.groupBy(
+        "media_id", "frame_idx", "n_frames", "width", "height"
+    ).agg(
+        F.sum("v").cast("bigint").alias("pixel_sum"),
+        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
+        .cast("bigint")
+        .alias("pixel_weighted"),
+        F.min("v").cast("int").alias("px_min"),
+        F.max("v").cast("int").alias("px_max"),
+    )
+
+
+@query(
+    "media_wav_samples",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               100 + n_chars % 400 AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT g.doc_id, g.rate, g.n,
+               ((g.doc_id * 13 + i.i * 7 + g.n_chars) % 65536) - 32768
+                   AS v,
+               i.i + 1 AS pos1
+        FROM geom g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM(pos1 * v) AS BIGINT) AS sample_weighted,
+           CAST(MIN(v) AS INTEGER) AS s_min,
+           CAST(MAX(v) AS INTEGER) AS s_max
+    FROM s GROUP BY doc_id, rate, n
+    """,
+)
+def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingestion with REAL PCM sample decode — the step past
+    multimodal_audio's header parse: synthesize a 16-bit mono WAV per
+    document with NONZERO closed-form samples (operators/
+    multimodal.py:documents_as_pcm_wav), decode the sample stream via
+    an independent RIFF walk + signed-16 unpack (decode_wav_pcm, not
+    the stdlib wave module that wrote it) in Arrow-batched
+    mapInPandas, then fingerprint the samples NATIVELY (posexplode +
+    JVM sum / position-weighted sum / min / max). The oracle predicts
+    every sample closed-form, so a wrong byte order, sign extension,
+    chunk-alignment skip, or off-by-one in the data-chunk walk flips
+    the hash. Completes the real-decode tier across all three
+    modalities (PNG/JPEG pixels, PCM samples, MJPEG frames)."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_pcm_wav(st.documents)
+    dec = multimodal.wav_pcm_samples(media)
+    sx = dec.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        F.posexplode("samples").alias("pos", "v"),
+    )
+    return sx.groupBy("media_id", "sample_rate", "channels").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("v").cast("bigint").alias("sample_sum"),
+        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
+        .cast("bigint")
+        .alias("sample_weighted"),
+        F.min("v").cast("int").alias("s_min"),
+        F.max("v").cast("int").alias("s_max"),
+    )
+
+
+@query(
     "media_jpeg_decode",
     oracle="""
     WITH geom AS (

@@ -345,6 +345,10 @@ _PYTHON_OK = {
     # Arrow-batched baseline-JPEG encode/decode kernels
     # (operators/jpeg.py) — second format of the real-decode tier
     "media_jpeg_decode",
+    # real PCM sample decode (RIFF walk + signed-16 unpack)
+    "media_wav_samples",
+    # real video tier: AVI container walk + per-frame JPEG decode
+    "media_mjpeg_frames",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
