@@ -120,6 +120,13 @@ HEADLINE = [
     "quality_conformal_gate",
     "ann_ivfpq_topk",
     "media_png_resize",
+    # round-7: the real-decode completion tier — per-payload JPEG
+    # entropy decode + IDCT, PCM sample unpack, and the AVI container
+    # walk with stride-2 frame decode (each an Arrow-batched Python
+    # kernel, the declared honest cost; fingerprinting stays native)
+    "media_jpeg_decode",
+    "media_wav_samples",
+    "media_mjpeg_frames",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -436,7 +437,6 @@ def documents_as_pcm_wav(docs: DataFrame) -> DataFrame:
     The zero-frame twin (documents_as_wav) covers header parsing;
     this one puts the sample DECODE on the hash-checked path."""
     import io
-    import struct
     import wave
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -446,16 +446,15 @@ def documents_as_pcm_wav(docs: DataFrame) -> DataFrame:
                 d, nc = int(doc_id), int(n_chars)
                 rate = 8000 + (d % 4) * 4000
                 n = 100 + nc % 400
-                samples = [
-                    ((d * 13 + i * 7 + nc) % 65536) - 32768
-                    for i in range(n)
-                ]
+                pcm = (
+                    ((d * 13 + nc) + np.arange(n) * 7) % 65536 - 32768
+                ).astype("<i2").tobytes()
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(rate)
-                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                    w.writeframes(pcm)
                 rows.append((d, bytearray(buf.getvalue())))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -545,11 +544,11 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
                 d, nc = int(doc_id), int(n_chars)
                 w = 8 * (1 + d % 3)
                 h = 8 * (1 + nc % 3)
-                px = bytes(
-                    (d * 37 + (y // 8) * 19 + (x // 8) * 11 + nc) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
+                ty = np.arange(h).reshape(-1, 1) // 8
+                tx = np.arange(w).reshape(1, -1) // 8
+                px = (
+                    ((d * 37 + nc) + ty * 19 + tx * 11) % 256
+                ).astype(np.uint8).tobytes()
                 rows.append((d, bytearray(encode_jpeg(px, w, h))))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -608,14 +607,14 @@ def documents_as_mjpeg(docs: DataFrame) -> DataFrame:
                 n_frames = 2 + d % 4
                 w = 8 * (1 + d % 2)
                 h = 8
+                ty = np.arange(h).reshape(-1, 1) // 8
+                tx = np.arange(w).reshape(1, -1) // 8
                 frames = []
                 for f in range(n_frames):
-                    px = bytes(
-                        (d * 41 + f * 29 + (y // 8) * 19
-                         + (x // 8) * 11 + nc) % 256
-                        for y in range(h)
-                        for x in range(w)
-                    )
+                    px = (
+                        ((d * 41 + f * 29 + nc) + ty * 19 + tx * 11)
+                        % 256
+                    ).astype(np.uint8).tobytes()
                     frames.append(encode_jpeg(px, w, h))
                 rows.append(
                     (d, bytearray(encode_avi_mjpeg(frames, w, h)))

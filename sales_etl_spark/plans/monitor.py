@@ -1679,6 +1679,110 @@ def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Audio feature-extraction window: 100 samples per analysis frame
+#: (12.5 ms at 8 kHz) — full windows only, the trailing partial frame
+#: is dropped (the standard framing convention).
+_AUDIO_WIN = 100
+
+
+@query(
+    "media_audio_features",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               100 + n_chars % 400 AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT g.doc_id, g.n, i.i,
+               i.i // {_AUDIO_WIN} AS win_idx,
+               ((g.doc_id * 13 + i.i * 7 + g.n_chars) % 65536) - 32768
+                   AS v,
+               CASE WHEN i.i % {_AUDIO_WIN} = 0 THEN NULL ELSE
+                 ((g.doc_id * 13 + (i.i - 1) * 7 + g.n_chars) % 65536)
+                 - 32768 END AS prev_v
+        FROM geom g, unnest(generate_series(0, g.n - 1)) AS i(i)
+        WHERE i.i // {_AUDIO_WIN} < g.n // {_AUDIO_WIN}
+    )
+    SELECT doc_id AS media_id,
+           CAST(win_idx AS INTEGER) AS win_idx,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy_sum,
+           CAST(SUM(CASE WHEN prev_v IS NOT NULL
+                          AND (prev_v < 0) <> (v < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak
+    FROM s GROUP BY doc_id, win_idx
+    """,
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over real decoded PCM — the quality-
+    filtering step an audio training-data pipeline runs after decode:
+    per 100-sample analysis frame, the energy sum (Σv², the RMS
+    numerator, exact long), the zero-crossing count (the classic
+    voiced/unvoiced + noise discriminator) and the peak amplitude.
+    Spark-first shape: the decode kernel emits the sample array ONCE
+    (media_wav_samples' kernel); everything after is native
+    higher-order functions — zip_with over shifted slices for the
+    sign-change flags, aggregate folds per window slice, posexplode
+    of the window index sequence — zero Python past the codec, zero
+    exchange until the final aggregation-free projection (the explode
+    is in-row). Trailing partial frames are dropped (standard
+    framing). At 100 TB this is a map-only pass over the audio
+    column. Exactness: all-integer arithmetic; v² accumulates in
+    long; the sign-change predicate ((prev<0) != (v<0)) is
+    branch-identical in both engines."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_pcm_wav(st.documents)
+    dec = multimodal.wav_pcm_samples(media)
+    W = _AUDIO_WIN
+    n = F.size("samples")
+    base = dec.select(
+        "media_id",
+        "samples",
+        (n / W).cast("int").alias("n_win"),
+        n.alias("n"),
+    ).filter(F.col("n_win") > 0)
+    # adjacent-pair sign-change flags, one per (i-1, i) pair; pair k
+    # compares samples[k] and samples[k+1] (0-based)
+    flags = F.zip_with(
+        F.slice("samples", 1, F.col("n") - 1),
+        F.slice("samples", 2, F.col("n") - 1),
+        lambda a, b: ((a < 0) != (b < 0)).cast("int"),
+    )
+    base = base.withColumn("flags", flags)
+    win = base.select(
+        "media_id",
+        "samples",
+        "flags",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_win") - 1)).alias(
+            "_p", "win_idx"
+        ),
+    )
+    wslice = F.slice("samples", F.col("win_idx") * W + 1, W)
+    # pairs fully inside the window: pair indices w*W+1 .. w*W+W-1
+    # (1-based slice start w*W+2 on the flags array shifted by one)
+    fslice = F.slice("flags", F.col("win_idx") * W + 1, W - 1)
+    return win.select(
+        "media_id",
+        F.col("win_idx").cast("int").alias("win_idx"),
+        F.aggregate(
+            wslice,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint") * x.cast("bigint"),
+        ).alias("energy_sum"),
+        F.aggregate(
+            fslice,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("zero_crossings"),
+        F.greatest(
+            F.array_max(wslice), -F.array_min(wslice)
+        ).cast("int").alias("peak"),
+    )
+
+
 @query(
     "media_jpeg_decode",
     oracle="""

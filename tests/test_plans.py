@@ -347,6 +347,10 @@ _PYTHON_OK = {
     "media_jpeg_decode",
     # real PCM sample decode (RIFF walk + signed-16 unpack)
     "media_wav_samples",
+    # same decode kernel; the windowed features themselves are native
+    # higher-order functions (zip_with/slice/aggregate), zero extra
+    # Python past the codec
+    "media_audio_features",
     # real video tier: AVI container walk + per-frame JPEG decode
     "media_mjpeg_frames",
 }
