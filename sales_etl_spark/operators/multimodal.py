@@ -586,6 +586,65 @@ def jpeg_pixels(media: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_gif(docs: DataFrame) -> DataFrame:
+    """Deterministic GIF fixture stream: one REAL GIF87a per document
+    (operators/gif.py:encode_gif — real dictionary-building LZW),
+    every parameter a closed form of doc fields — width 5 + doc_id%12,
+    height 4 + n_chars%9, 8-bit gray palette,
+    pixel(y,x) = (doc_id·43 + y·23 + x·13 + n_chars) % 256. GIF is
+    LOSSLESS, so unlike JPEG the hash-checked path carries ARBITRARY
+    rasters (no constant-tile contract): every LZW code path —
+    dictionary growth, width changes, KwKwK — is on the oracle hash."""
+    from sales_etl_spark.operators.gif import encode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = 5 + d % 12
+                h = 4 + nc % 9
+                y = np.arange(h).reshape(-1, 1)
+                x = np.arange(w).reshape(1, -1)
+                px = (
+                    ((d * 43 + nc) + y * 23 + x * 13) % 256
+                ).astype(np.uint8).tobytes()
+                rows.append((d, bytearray(encode_gif(px, w, h))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def gif_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL GIF decode (operators/gif.py: LZW expand +
+    palette application) emitting the interleaved RGB raster as an
+    int array — the png_pixels/jpeg_pixels contract for the third
+    image format."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sales_etl_spark.operators.gif import decode_gif
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_gif(bytes(payload))
+                rows.append((media_id, w, h, ch, list(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "pixels"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "pixels array<int>"
+        ),
+    )
+
+
 def documents_as_mjpeg(docs: DataFrame) -> DataFrame:
     """Deterministic VIDEO fixture stream: one REAL AVI-1.0 MJPEG file
     per document (operators/avi.py:encode_avi_mjpeg wrapping

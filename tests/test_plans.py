@@ -353,6 +353,9 @@ _PYTHON_OK = {
     "media_audio_features",
     # real video tier: AVI container walk + per-frame JPEG decode
     "media_mjpeg_frames",
+    # real LZW GIF decode (third image format; lossless => arbitrary
+    # rasters on the hash)
+    "media_gif_decode",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
