@@ -1680,6 +1680,132 @@ def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               4 + doc_id % 13 AS w,
+               3 + n_chars % 11 AS h
+        FROM documents
+    ),
+    t AS (
+        SELECT g.doc_id,
+               ty.y * {_THUMB} + tx.x AS i,
+               (g.doc_id * 31
+                + ((ty.y * g.h) // {_THUMB}) * 17
+                + ((tx.x * g.w) // {_THUMB}) * 7
+                + g.n_chars) % 256 AS v
+        FROM geom g,
+             unnest(generate_series(0, {_THUMB - 1})) AS ty(y),
+             unnest(generate_series(0, {_THUMB - 1})) AS tx(x)
+    ),
+    sums AS (
+        SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s
+        FROM t GROUP BY doc_id
+    ),
+    halves AS (
+        SELECT t.doc_id,
+               CAST(SUM(CASE WHEN t.i < 32 AND t.v * 64 >= sums.s
+                    THEN CAST(1 AS BIGINT) << t.i ELSE 0 END) AS BIGINT)
+                   AS hash_lo,
+               CAST(SUM(CASE WHEN t.i >= 32 AND t.v * 64 >= sums.s
+                    THEN CAST(1 AS BIGINT) << (t.i - 32) ELSE 0 END)
+                    AS BIGINT) AS hash_hi
+        FROM t JOIN sums USING (doc_id) GROUP BY t.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, hash_lo % 65536 AS band_val
+        FROM halves
+        UNION ALL
+        SELECT doc_id, 1, hash_lo // 65536 FROM halves
+        UNION ALL
+        SELECT doc_id, 2, hash_hi % 65536 FROM halves
+        UNION ALL
+        SELECT doc_id, 3, hash_hi // 65536 FROM halves
+    )
+    SELECT CAST(band_idx AS INTEGER) AS band_idx,
+           CAST(band_val AS BIGINT) AS band_val,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_pairs
+    FROM bands
+    GROUP BY band_idx, band_val
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup candidate generation — the image-side
+    sibling of the MinHash/SimHash text tiers, over REAL pixels:
+    decode every fixture PNG, nearest-neighbor resize to 8x8
+    (png_thumbnails — the perceptual-hash standard), threshold each
+    pixel at the image mean (aHash: bit_i = v_i*64 >= Σv, integer
+    exact — no division), pack 64 bits into two 32-bit halves, split
+    into four 16-bit LSH bands, and report every band bucket holding
+    >= 2 images with its candidate-pair count. Banding IS the 100 TB
+    story: near-duplicate images collide in >= 1 band (hamming-bucket
+    LSH, same recall argument as SimHash), candidate volume is
+    profiled per bucket instead of materializing the quadratic pair
+    set, and the only exchange is the band groupBy. Hash math stays
+    NATIVE past the decode kernel: aggregate folds for Σv and the
+    bit-pack, shiftleft on zip_with indices, posexplode for bands."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_png(st.documents)
+    thumbs = multimodal.png_thumbnails(media, _THUMB, _THUMB)
+    s = F.aggregate(
+        "thumb",
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x.cast("bigint"),
+    )
+    t = thumbs.select("media_id", "thumb", s.alias("s"))
+
+    pow2 = F.array(
+        *[F.lit(1 << k).cast("bigint") for k in range(32)]
+    )
+
+    def packed_half(start: int):
+        bits = F.zip_with(
+            F.slice("thumb", start, 32),
+            pow2,
+            lambda v, p: F.when(
+                v.cast("bigint") * 64 >= F.col("s"), p
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
+
+    hashed = t.select(
+        "media_id",
+        packed_half(1).alias("hash_lo"),
+        packed_half(33).alias("hash_hi"),
+    )
+    bands = hashed.select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo") % 65536,
+                (F.col("hash_lo") / 65536).cast("bigint"),
+                F.col("hash_hi") % 65536,
+                (F.col("hash_hi") / 65536).cast("bigint"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        bands.groupBy(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            "band_val",
+        )
+        .agg(
+            n.alias("n_images"),
+            (n * (n - F.lit(1)) / F.lit(2)).cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
+@query(
     "media_gif_decode",
     oracle="""
     WITH geom AS (

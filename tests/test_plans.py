@@ -356,6 +356,9 @@ _PYTHON_OK = {
     # real LZW GIF decode (third image format; lossless => arbitrary
     # rasters on the hash)
     "media_gif_decode",
+    # perceptual-hash banding over the PNG decode+resize kernels; the
+    # aHash bit-pack and band groupBy are native
+    "dedup_image_phash",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
