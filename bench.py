@@ -127,6 +127,13 @@ HEADLINE = [
     "media_jpeg_decode",
     "media_wav_samples",
     "media_mjpeg_frames",
+    # round-7 closers: lossless LZW decode, the zero-extra-Python
+    # windowed audio features, perceptual-hash banding, and the
+    # metadata-only header parse across all three formats
+    "media_gif_decode",
+    "media_audio_features",
+    "dedup_image_phash",
+    "media_header_dimensions",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -1680,6 +1680,78 @@ def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_header_dimensions",
+    oracle="""
+    SELECT doc_id AS media_id, 'png' AS fmt,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + n_chars % 11 AS INTEGER) AS height
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'jpeg',
+           CAST(8 * (1 + doc_id % 3) AS INTEGER),
+           CAST(8 * (1 + n_chars % 3) AS INTEGER)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'gif',
+           CAST(5 + doc_id % 12 AS INTEGER),
+           CAST(4 + n_chars % 9 AS INTEGER)
+    FROM documents
+    """,
+)
+def media_header_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY image scan — the tier a 100 TB pipeline runs
+    BEFORE any decode: parse true pixel dimensions from container
+    headers alone (operators/multimodal.py:parse_image_dimensions —
+    PNG IHDR offsets, JPEG marker walk to the first SOF, GIF logical
+    screen descriptor) across a union of all three fixture formats.
+    Filtering or routing by geometry must not cost a decode: the
+    header parse reads tens of bytes per payload regardless of image
+    size, so this pass is I/O-bound where the decode tier is
+    CPU-bound. Puts the production parse_image_dimensions path
+    (previously unit-tier only) on the hash-checked surface for every
+    format at once — a wrong offset, endianness, or marker-walk skip
+    in any branch flips the hash."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    docs = st.documents
+
+    def parse_kernel(media: DataFrame, fmt: str) -> DataFrame:
+        def batches(it):
+            import pandas as pd
+
+            from sales_etl_spark.operators.multimodal import (
+                parse_image_dimensions,
+            )
+
+            for pdf in it:
+                rows = []
+                for media_id, payload in zip(
+                    pdf["media_id"], pdf["payload"]
+                ):
+                    dims = parse_image_dimensions(bytes(payload))
+                    if dims is None:
+                        raise ValueError(
+                            f"unparseable {fmt} header for {media_id}"
+                        )
+                    rows.append((media_id, fmt, dims[0], dims[1]))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "fmt", "width", "height"],
+                )
+
+        return media.mapInPandas(
+            batches,
+            schema="media_id long, fmt string, width int, height int",
+        )
+
+    png = parse_kernel(multimodal.documents_as_png(docs), "png")
+    jpeg = parse_kernel(multimodal.documents_as_jpeg(docs), "jpeg")
+    gif = parse_kernel(multimodal.documents_as_gif(docs), "gif")
+    return png.unionByName(jpeg).unionByName(gif)
+
+
+@query(
     "dedup_image_phash",
     oracle=f"""
     WITH geom AS (

@@ -359,6 +359,8 @@ _PYTHON_OK = {
     # perceptual-hash banding over the PNG decode+resize kernels; the
     # aHash bit-pack and band groupBy are native
     "dedup_image_phash",
+    # header-only dimension parse across all three fixture formats
+    "media_header_dimensions",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
