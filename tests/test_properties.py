@@ -948,3 +948,151 @@ def test_km_survival_curve_matches_single_node(spark, subjects):
         expected[day] = (n_risk, d, c, km)
         n_risk -= d + c
     assert got == expected
+
+
+# GIF LZW: lossless, so ANY raster must round-trip bit-exactly. The
+# value-distribution strategies deliberately stress the dictionary:
+# full-range random bytes (dict churn, KwKwK), tiny alphabets (deep
+# chains + code-width growth), and constant runs (maximal-length
+# phrases). Degenerate 1x1/1xN/Nx1 geometries included.
+_gif_dims = st.tuples(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(dims=_gif_dims, data=st.data())
+def test_gif_codec_roundtrip_property(dims, data):
+    from sales_etl_spark.operators.gif import decode_gif, encode_gif
+
+    w, h = dims
+    alphabet = data.draw(
+        st.sampled_from([(0, 255), (0, 3), (7, 7), (250, 255)])
+    )
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=alphabet[0], max_value=alphabet[1]),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    w2, h2, ch, rgb = decode_gif(encode_gif(px, w, h))
+    assert (w2, h2, ch) == (w, h, 3)
+    assert rgb == bytes(v for p in px for v in (p, p, p))
+
+
+# JPEG: two property tiers. (a) The exactness contract the driver
+# hash rides on — block-constant rasters with the all-ones table are
+# BIT-exact for any tile values and any tile grid. (b) The analytic
+# bound — arbitrary rasters (any geometry, incl. the padding path)
+# round-trip within +-1 per sample: the forward/inverse DCT pair is
+# orthonormal, so the only error is quantization rounding (<=0.5 per
+# coefficient, orthonormality preserves the L2 norm) plus the final
+# half-up rounding (<=0.5) — a max sample error strictly under 2, and
+# the integer grid makes it <=1 in practice.
+@settings(max_examples=60, deadline=None)
+@given(
+    tw=st.integers(min_value=1, max_value=4),
+    th=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_jpeg_constant_tile_exactness_property(tw, th, data):
+    from sales_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    tiles = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=tw * th,
+            max_size=tw * th,
+        )
+    )
+    w, h = 8 * tw, 8 * th
+    px = bytes(
+        tiles[(y // 8) * tw + (x // 8)]
+        for y in range(h)
+        for x in range(w)
+    )
+    assert decode_jpeg(encode_jpeg(px, w, h)) == (w, h, 1, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    data=st.data(),
+)
+def test_jpeg_lossless_table_error_bound_property(w, h, data):
+    from sales_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    w2, h2, ch, out = decode_jpeg(encode_jpeg(px, w, h))
+    assert (w2, h2, ch) == (w, h, 1)
+    assert all(abs(a - b) <= 1 for a, b in zip(out, px))
+
+
+# AVI container: frames of any content and any (odd/even) length must
+# survive the chunk walk byte-for-byte, in order — padding bytes,
+# idx1 offsets and LIST nesting all on the line.
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_avi_container_roundtrip_property(data):
+    from sales_etl_spark.operators.avi import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    frames = data.draw(
+        st.lists(
+            st.binary(min_size=1, max_size=300),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    fps = data.draw(st.integers(min_value=1, max_value=60))
+    avi = encode_avi_mjpeg(frames, 16, 8, fps=fps)
+    w, h, got_fps, got = parse_avi_mjpeg(avi)
+    assert (w, h, got_fps) == (16, 8, fps)
+    assert got == frames
+
+
+# PCM WAV: decode_wav_pcm must invert the stdlib wave writer for any
+# sample sequence, rate, and length — byte order and sign extension
+# across the full 16-bit range.
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    data=st.data(),
+)
+def test_wav_pcm_decode_property(rate, data):
+    import io
+    import struct
+    import wave
+
+    from sales_etl_spark.operators.multimodal import decode_wav_pcm
+
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=400,
+        )
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    got_rate, got_ch, got = decode_wav_pcm(buf.getvalue())
+    assert (got_rate, got_ch, got) == (rate, 1, samples)
