@@ -1680,6 +1680,108 @@ def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_pipeline_e2e",
+    oracle="""
+    WITH img AS (
+        SELECT g.doc_id,
+               CAST(g.w * g.h AS BIGINT) AS n_pixels,
+               CAST(MIN((g.doc_id * 31 + ty.y * 17 + tx.x * 7
+                         + g.n_chars) % 256) AS BIGINT) AS px_min,
+               CAST(MAX((g.doc_id * 31 + ty.y * 17 + tx.x * 7
+                         + g.n_chars) % 256) AS BIGINT) AS px_max
+        FROM (SELECT doc_id, n_chars,
+                     4 + doc_id % 13 AS w,
+                     3 + n_chars % 11 AS h
+              FROM documents) g,
+             unnest(generate_series(0, g.h - 1)) AS ty(y),
+             unnest(generate_series(0, g.w - 1)) AS tx(x)
+        GROUP BY g.doc_id, g.w, g.h
+    ),
+    aud AS (
+        SELECT g.doc_id,
+               CAST(MAX(ABS(((g.doc_id * 13 + i.i * 7 + g.n_chars)
+                             % 65536) - 32768)) AS BIGINT) AS peak
+        FROM (SELECT doc_id, n_chars, 100 + n_chars % 400 AS n
+              FROM documents) g,
+             unnest(generate_series(0, g.n - 1)) AS i(i)
+        GROUP BY g.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN img.px_max > img.px_min
+                          AND img.n_pixels >= 20
+                          AND aud.peak < 32700
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN img.px_max > img.px_min
+                          AND img.n_pixels >= 20
+                          AND aud.peak < 32700
+                         THEN img.n_pixels ELSE 0 END) AS BIGINT)
+               AS kept_pixels
+    FROM documents d
+    JOIN img ON img.doc_id = d.doc_id
+    JOIN aud ON aud.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def media_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL QUALITY GATE end-to-end — one lineage chaining
+    both real decode tiers into a keep/drop mart (the media sibling
+    of corpus_pipeline_e2e): decode every document's image (PNG
+    kernel) and audio (PCM kernel), extract per-item gate features
+    (pixel extrema + count; peak amplitude), join the two modality
+    frames at document grain, apply the gate (image not blank:
+    px_max > px_min; not a thumbnail stub: >= 20 pixels; audio not
+    clipping: peak < 32700), and roll kept counts + kept pixel volume
+    up to source grain. A defect anywhere in EITHER codec, the
+    feature math, the join, or the gate flips the hash — lineage
+    evidence the per-tier queries can't give individually. 100 TB
+    shape: the two decode passes are map-only scans; the
+    document-grain join co-partitions on doc_id (both sides
+    aggregate to that grain first, so the join moves feature rows,
+    never payloads); the rollup is a partial agg to |sources| rows."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    docs = st.documents
+    ipx = multimodal.png_pixels(
+        multimodal.documents_as_png(docs)
+    ).select("media_id", F.posexplode("pixels").alias("pos", "v"))
+    img = ipx.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
+        F.min("v").cast("bigint").alias("px_min"),
+        F.max("v").cast("bigint").alias("px_max"),
+    )
+    aud = (
+        multimodal.wav_pcm_samples(
+            multimodal.documents_as_pcm_wav(docs)
+        )
+        .select(
+            "media_id",
+            F.greatest(
+                F.array_max("samples"), -F.array_min("samples")
+            ).cast("bigint").alias("peak"),
+        )
+    )
+    joined = (
+        docs.select(F.col("doc_id").alias("media_id"), "source")
+        .join(img, "media_id")
+        .join(aud, "media_id")
+    )
+    keep = (
+        (F.col("px_max") > F.col("px_min"))
+        & (F.col("n_pixels") >= 20)
+        & (F.col("peak") < 32700)
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(keep.cast("bigint")).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(keep, F.col("n_pixels")).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_pixels"),
+    )
+
+
+@query(
     "media_header_dimensions",
     oracle="""
     SELECT doc_id AS media_id, 'png' AS fmt,

@@ -361,6 +361,9 @@ _PYTHON_OK = {
     "dedup_image_phash",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
+    # the multimodal quality gate chains both decode kernels into one
+    # lineage; join + gate + rollup stay native
+    "media_pipeline_e2e",
 }
 
 #: Declared ground-truth tiers allowed an all-pairs join at
