@@ -63,11 +63,14 @@ from pyspark.sql import DataFrame, SparkSession
 _DV_SINGLE_FILE_MAX_ROWS = 10_000_000
 
 
-def _stage_delete_vectors(matches: DataFrame, staging: Path) -> None:
+def _stage_delete_vectors(
+    matches: DataFrame, staging: Path, n: int
+) -> None:
     """Write a (__file, __pos) deletion-vector frame to ``staging``,
     single-file when small (bounded by _DV_SINGLE_FILE_MAX_ROWS),
-    naturally partitioned when not."""
-    n = matches.count()
+    naturally partitioned when not. ``n`` is the caller's row count —
+    callers already count to decide no-op vs commit, so taking it as
+    a parameter avoids a third execution of the matches lineage."""
     staged = (
         matches.coalesce(1) if n <= _DV_SINGLE_FILE_MAX_ROWS else matches
     )
@@ -626,12 +629,16 @@ def delete_where(
             )
             df = df.join(F.broadcast(old_dv), ["__file", "__pos"], "left_anti")
         matches = df.filter(F.expr(predicate)).select("__file", "__pos")
-        if matches.isEmpty():
+        # one count serves both the no-op check and the staging-size
+        # decision (an isEmpty here plus a count inside the stager
+        # would execute the matches lineage three times)
+        n_matches = matches.count()
+        if n_matches == 0:
             return None
         # stage the new delete files, then CAS-publish the manifest
         token = uuid.uuid4().hex[:12]
         staging = table / f"_staging-dv-{token}"
-        _stage_delete_vectors(matches, staging)
+        _stage_delete_vectors(matches, staging, n_matches)
         dv_dir = table / "deletes"
         dv_dir.mkdir(parents=True, exist_ok=True)
         new_dv = []
@@ -732,11 +739,13 @@ def merge_into(
             os.rename(part, data_dir / name)
             new_files.append(f"data/{name}")
         shutil.rmtree(staging, ignore_errors=True)
-        # stage deletion vectors for the replaced positions (if any)
+        # stage deletion vectors for the replaced positions (if any);
+        # count once — it decides both the skip and the staging size
         new_dv: list[str] = []
-        if not replaced.isEmpty():
+        n_replaced = replaced.count()
+        if n_replaced:
             dv_staging = table / f"_staging-dv-{token}"
-            _stage_delete_vectors(replaced, dv_staging)
+            _stage_delete_vectors(replaced, dv_staging, n_replaced)
             dv_dir = table / "deletes"
             dv_dir.mkdir(parents=True, exist_ok=True)
             for i, part in enumerate(sorted(dv_staging.glob("*.parquet"))):

@@ -91,6 +91,16 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         prefix = bytes([b])
     if prefix:
         emit(table[prefix], width)
+        # The decoder appends one table entry per code read (except
+        # the first after a CLEAR), INCLUDING this final flush code —
+        # which has no paired add on our side. Mirror that phantom
+        # add before choosing EOI's width, or the two sides desync
+        # exactly when the decoder's table lands on 2^width here
+        # (EOI written at w, read at w+1 — a truncated-stream error
+        # on a valid GIF).
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -103,8 +103,13 @@ _ZZ_NP = np.array(ZIGZAG)
 
 #: Built Huffman tables are memoized — the standard tables recur for
 #: every fixture payload, and rebuilding them dominated the encode
-#: profile (~25%) before caching.
+#: profile (~25%) before caching. BOUNDED: real-world corpora carry
+#: per-image optimized DHT tables, and an unbounded cache in a
+#: long-lived executor kernel is a slow leak — past the cap, tables
+#: build uncached (the standard tables that motivated the cache get
+#: in first and stay).
 _CODES_CACHE: dict = {}
+_CODES_CACHE_MAX = 64
 
 
 def _canonical_codes(bits, vals):
@@ -124,7 +129,8 @@ def _canonical_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    _CODES_CACHE[key] = table
+    if len(_CODES_CACHE) < _CODES_CACHE_MAX:
+        _CODES_CACHE[key] = table
     return table
 
 
@@ -138,7 +144,8 @@ def _encode_codes(bits, vals):
         sym: (code, length)
         for (length, code), sym in _canonical_codes(bits, vals).items()
     }
-    _CODES_CACHE[key] = table
+    if len(_CODES_CACHE) < _CODES_CACHE_MAX:
+        _CODES_CACHE[key] = table
     return table
 
 
@@ -367,7 +374,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     ``(width, height, channels, raster)`` — 8-bit samples, interleaved
     row-major; 3-component scans are converted JFIF YCbCr->RGB, single
     component stays grayscale. Progressive (SOF2) and arithmetic-coded
-    streams raise ValueError: out of baseline scope, fail loudly."""
+    streams raise ValueError: out of baseline scope, fail loudly —
+    and so does EVERY malformed stream (truncation mid-entropy-data,
+    undefined table ids, short segment headers): the low-level
+    IndexError/KeyError/struct.error those raise internally are
+    normalized to ValueError so quarantine tiers can classify on one
+    exception type."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -379,6 +400,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:

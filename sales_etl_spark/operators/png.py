@@ -117,11 +117,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     # (+1 to detect overflow) so a crafted PNG with a high-ratio
     # DEFLATE stream cannot allocate unbounded memory before the
     # length validation fires.
-    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
     if len(raw) != expected:
         raise ValueError(
             f"raster length {len(raw)} != {expected}"
         )
+    # the bounded call drops the full-stream validation zlib.decompress
+    # gave for free: when the cap was NOT hit, all input was consumed,
+    # so eof=False means a truncated stream (the zlib trailer with its
+    # Adler-32 checksum never arrived) — a corrupt file must not
+    # decode silently just because the byte count happens to match
+    if not dec.eof:
+        raise ValueError("IDAT deflate stream truncated (no trailer)")
     out = bytearray(stride * h)
     prev = bytes(stride)
     for y in range(h):

@@ -1403,6 +1403,39 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_array(
+    df: DataFrame,
+    keys: list,
+    array_col: str,
+    *,
+    count_alias: str | None,
+    sum_alias: str,
+    weighted_alias: str,
+    min_alias: str,
+    max_alias: str,
+) -> DataFrame:
+    """The media decode tier's shared NATIVE fingerprint: posexplode
+    the decoded int array and aggregate count / sum /
+    position-weighted sum (pos+1, matching the oracles' 1-based
+    ``pos1``) / min / max per key — all JVM-side, so the only Python
+    in any decode query is the codec kernel itself. One definition
+    keeps the fingerprint contract identical across formats; a change
+    here (e.g. the weighting) moves every media oracle in lockstep."""
+    px = df.select(*keys, F.posexplode(array_col).alias("pos", "v"))
+    aggs = []
+    if count_alias is not None:
+        aggs.append(F.count(F.lit(1)).cast("bigint").alias(count_alias))
+    aggs += [
+        F.sum("v").cast("bigint").alias(sum_alias),
+        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
+        .cast("bigint")
+        .alias(weighted_alias),
+        F.min("v").cast("int").alias(min_alias),
+        F.max("v").cast("int").alias(max_alias),
+    ]
+    return px.groupBy(*keys).agg(*aggs)
+
+
 @query(
     "media_png_decode",
     oracle="""
@@ -1452,22 +1485,15 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_png(st.documents)
-    dec = multimodal.png_pixels(media)
-    px = dec.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        F.posexplode("pixels").alias("pos", "v"),
-    )
-    return px.groupBy("media_id", "width", "height", "channels").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
-        F.sum("v").cast("bigint").alias("pixel_sum"),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias("pixel_weighted"),
-        F.min("v").cast("int").alias("px_min"),
-        F.max("v").cast("int").alias("px_max"),
+    return _fingerprint_array(
+        multimodal.png_pixels(media),
+        ["media_id", "width", "height", "channels"],
+        "pixels",
+        count_alias="n_pixels",
+        sum_alias="pixel_sum",
+        weighted_alias="pixel_weighted",
+        min_alias="px_min",
+        max_alias="px_max",
     )
 
 
@@ -1524,20 +1550,15 @@ def media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_png(st.documents)
-    thumbs = multimodal.png_thumbnails(media, _THUMB, _THUMB)
-    px = thumbs.select(
-        "media_id",
-        "src_w",
-        "src_h",
-        F.posexplode("thumb").alias("pos", "v"),
-    )
-    return px.groupBy("media_id", "src_w", "src_h").agg(
-        F.sum("v").cast("bigint").alias("thumb_sum"),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias("thumb_weighted"),
-        F.min("v").cast("int").alias("px_min"),
-        F.max("v").cast("int").alias("px_max"),
+    return _fingerprint_array(
+        multimodal.png_thumbnails(media, _THUMB, _THUMB),
+        ["media_id", "src_w", "src_h"],
+        "thumb",
+        count_alias=None,
+        sum_alias="thumb_sum",
+        weighted_alias="thumb_weighted",
+        min_alias="px_min",
+        max_alias="px_max",
     )
 
 
@@ -1596,24 +1617,15 @@ def media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_mjpeg(st.documents)
-    dec = multimodal.mjpeg_frame_pixels(media, every_n=2)
-    px = dec.select(
-        "media_id",
-        "frame_idx",
-        "n_frames",
-        "width",
-        "height",
-        F.posexplode("pixels").alias("pos", "v"),
-    )
-    return px.groupBy(
-        "media_id", "frame_idx", "n_frames", "width", "height"
-    ).agg(
-        F.sum("v").cast("bigint").alias("pixel_sum"),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias("pixel_weighted"),
-        F.min("v").cast("int").alias("px_min"),
-        F.max("v").cast("int").alias("px_max"),
+    return _fingerprint_array(
+        multimodal.mjpeg_frame_pixels(media, every_n=2),
+        ["media_id", "frame_idx", "n_frames", "width", "height"],
+        "pixels",
+        count_alias=None,
+        sum_alias="pixel_sum",
+        weighted_alias="pixel_weighted",
+        min_alias="px_min",
+        max_alias="px_max",
     )
 
 
@@ -1661,21 +1673,15 @@ def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_pcm_wav(st.documents)
-    dec = multimodal.wav_pcm_samples(media)
-    sx = dec.select(
-        "media_id",
-        "sample_rate",
-        "channels",
-        F.posexplode("samples").alias("pos", "v"),
-    )
-    return sx.groupBy("media_id", "sample_rate", "channels").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
-        F.sum("v").cast("bigint").alias("sample_sum"),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias("sample_weighted"),
-        F.min("v").cast("int").alias("s_min"),
-        F.max("v").cast("int").alias("s_max"),
+    return _fingerprint_array(
+        multimodal.wav_pcm_samples(media),
+        ["media_id", "sample_rate", "channels"],
+        "samples",
+        count_alias="n_samples",
+        sum_alias="sample_sum",
+        weighted_alias="sample_weighted",
+        min_alias="s_min",
+        max_alias="s_max",
     )
 
 
@@ -2028,21 +2034,15 @@ def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_gif(st.documents)
     dec = multimodal.gif_pixels(media)
-    px = dec.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        F.posexplode("pixels").alias("pos", "v"),
-    )
-    return px.groupBy("media_id", "width", "height", "channels").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_values"),
-        F.sum("v").cast("bigint").alias("pixel_sum"),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias("pixel_weighted"),
-        F.min("v").cast("int").alias("px_min"),
-        F.max("v").cast("int").alias("px_max"),
+    return _fingerprint_array(
+        dec,
+        ["media_id", "width", "height", "channels"],
+        "pixels",
+        count_alias="n_values",
+        sum_alias="pixel_sum",
+        weighted_alias="pixel_weighted",
+        min_alias="px_min",
+        max_alias="px_max",
     )
 
 
@@ -2204,22 +2204,15 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_jpeg(st.documents)
-    dec = multimodal.jpeg_pixels(media)
-    px = dec.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        F.posexplode("pixels").alias("pos", "v"),
-    )
-    return px.groupBy("media_id", "width", "height", "channels").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
-        F.sum("v").cast("bigint").alias("pixel_sum"),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias("pixel_weighted"),
-        F.min("v").cast("int").alias("px_min"),
-        F.max("v").cast("int").alias("px_max"),
+    return _fingerprint_array(
+        multimodal.jpeg_pixels(media),
+        ["media_id", "width", "height", "channels"],
+        "pixels",
+        count_alias="n_pixels",
+        sum_alias="pixel_sum",
+        weighted_alias="pixel_weighted",
+        min_alias="px_min",
+        max_alias="px_max",
     )
 
 

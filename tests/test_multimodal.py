@@ -690,3 +690,69 @@ def test_gif_decode_bounds_declared_rasters():
     overrun[at + 5 : at + 9] = struct.pack("<HH", 5, 4)
     with _pytest.raises(ValueError, match="exceeds declared|indices"):
         decode_gif(bytes(overrun))
+
+
+def test_jpeg_fill_bytes_and_corrupt_streams():
+    """(a) T.81 B.1.1.2: 0xFF fill bytes may pad before any marker —
+    a spec-valid stream with them must decode identically (some
+    encoders/camera firmware emit them). (b) Malformed streams —
+    truncation mid-entropy-data, a scan referencing an undefined
+    Huffman table, a short segment header — must raise the module's
+    documented ValueError, never leak IndexError/KeyError/
+    struct.error (quarantine tiers classify on one exception type)."""
+    from sales_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes(range(64))
+    good = encode_jpeg(px, 8, 8)
+    # inject fill bytes before the DQT marker (first marker after APP0)
+    at = good.index(b"\xff\xdb")
+    padded = good[:at] + b"\xff\xff\xff" + good[at:]
+    assert decode_jpeg(padded) == decode_jpeg(good) == (8, 8, 1, px)
+
+    for bad in [
+        good[: len(good) // 2],          # truncated mid-entropy-data
+        good[:20],                        # truncated mid-segment
+        good.replace(b"\xff\xc4", b"\xff\xfe", 1),  # DHT -> COM: no tables
+    ]:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_png_rejects_truncated_deflate_with_matching_length():
+    """The bounded-inflate change must NOT cost stream validation: an
+    IDAT whose deflate stream is cut right after emitting all raster
+    bytes (no final block / Adler-32 trailer) has the CORRECT output
+    length but is corrupt — it must raise, not decode silently into
+    the hash-checked tier."""
+    import struct
+    import zlib
+
+    from sales_etl_spark.operators.png import _SIG, _chunk, decode_png
+
+    w, h = 4, 3
+    raw = b"".join(
+        b"\x00" + bytes(range(y * w, y * w + w)) for y in range(h)
+    )
+    full = zlib.compress(raw)
+    # find the shortest prefix that still inflates to the full raster
+    # but has not reached the stream end (trailer missing)
+    cut = None
+    for k in range(4, len(full)):
+        d = zlib.decompressobj()
+        try:
+            out = d.decompress(full[:k], len(raw) + 1)
+        except zlib.error:
+            continue
+        if len(out) == len(raw) and not d.eof:
+            cut = full[:k]
+            break
+    assert cut is not None, "could not construct a trailerless prefix"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", cut)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_png(png)
