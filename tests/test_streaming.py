@@ -1136,3 +1136,59 @@ def test_session_close_stream_equals_batch_sessionization(
         .collect()
     }
     assert got == batch and len(got) >= 50
+
+
+def test_stream_media_decode_kernel_equals_batch(spark, tmp_path):
+    """The media decode kernels are STATELESS Arrow transforms, so
+    they must compose with Structured Streaming unchanged: the same
+    documents_as_png -> png_pixels chain over a file-source stream
+    (availableNow, memory sink) yields exactly the batch result —
+    the unified-model guarantee extended to the multimodal tier. At
+    100 TB this is the continuous-ingest shape: payloads decode as
+    micro-batches arrive, no replan, no separate streaming codepath."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.operators.multimodal import (
+        documents_as_png,
+        png_pixels,
+    )
+
+    docs = load_star(spark, SF_DIR).table("documents").limit(60)
+    path = str(tmp_path / "docs_stream")
+    docs.select("doc_id", "n_chars").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    def fingerprint(df):
+        dec = png_pixels(documents_as_png(df))
+        return dec.select(
+            "media_id",
+            "width",
+            "height",
+            F.aggregate(
+                "pixels",
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x.cast("bigint"),
+            ).alias("pixel_sum"),
+        )
+
+    batch = {
+        tuple(r) for r in fingerprint(spark.read.parquet(path)).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "doc_id long, n_chars long"
+    ).parquet(path)
+    q = (
+        fingerprint(stream)
+        .writeStream.format("memory")
+        .queryName("media_stream_fp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM media_stream_fp").collect()
+    }
+    assert got == batch and len(got) == 60
