@@ -1414,26 +1414,45 @@ def _fingerprint_array(
     min_alias: str,
     max_alias: str,
 ) -> DataFrame:
-    """The media decode tier's shared NATIVE fingerprint: posexplode
-    the decoded int array and aggregate count / sum /
-    position-weighted sum (pos+1, matching the oracles' 1-based
-    ``pos1``) / min / max per key — all JVM-side, so the only Python
-    in any decode query is the codec kernel itself. One definition
-    keeps the fingerprint contract identical across formats; a change
-    here (e.g. the weighting) moves every media oracle in lockstep."""
-    px = df.select(*keys, F.posexplode(array_col).alias("pos", "v"))
-    aggs = []
+    """The media decode tier's shared NATIVE fingerprint: count / sum
+    / position-weighted sum (1-based positions, matching the oracles'
+    ``pos1``) / min / max over the decoded int array — all JVM-side,
+    so the only Python in any decode query is the codec kernel
+    itself. MAP-ONLY by construction: each output row's grain equals
+    its input row (one fingerprint per image/frame), so the metrics
+    are higher-order-function folds over the in-row array — size,
+    aggregate, a struct-accumulator fold for the weighted sum,
+    array_min/max — and the plan carries ZERO exchanges (the earlier
+    posexplode + groupBy shape shuffled one partial row per image for
+    nothing; the plan audit caught it). One definition keeps the
+    fingerprint contract identical across formats; a change here
+    moves every media oracle in lockstep."""
+    a = F.col(array_col)
+    big = lambda c: c.cast("bigint")  # noqa: E731
+    weighted = F.aggregate(
+        a,
+        F.struct(
+            F.lit(0).cast("bigint").alias("s"),
+            F.lit(0).cast("bigint").alias("i"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] + (acc["i"] + 1) * big(x)).alias("s"),
+            (acc["i"] + 1).alias("i"),
+        ),
+        lambda acc: acc["s"],
+    )
+    cols = []
     if count_alias is not None:
-        aggs.append(F.count(F.lit(1)).cast("bigint").alias(count_alias))
-    aggs += [
-        F.sum("v").cast("bigint").alias(sum_alias),
-        F.sum((F.col("pos") + F.lit(1)).cast("bigint") * F.col("v"))
-        .cast("bigint")
-        .alias(weighted_alias),
-        F.min("v").cast("int").alias(min_alias),
-        F.max("v").cast("int").alias(max_alias),
+        cols.append(F.size(a).cast("bigint").alias(count_alias))
+    cols += [
+        F.aggregate(
+            a, F.lit(0).cast("bigint"), lambda acc, x: acc + big(x)
+        ).alias(sum_alias),
+        weighted.alias(weighted_alias),
+        F.array_min(a).cast("int").alias(min_alias),
+        F.array_max(a).cast("int").alias(max_alias),
     ]
-    return px.groupBy(*keys).agg(*aggs)
+    return df.select(*keys, *cols)
 
 
 @query(
@@ -1749,13 +1768,13 @@ def media_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     docs = st.documents
-    ipx = multimodal.png_pixels(
+    img = multimodal.png_pixels(
         multimodal.documents_as_png(docs)
-    ).select("media_id", F.posexplode("pixels").alias("pos", "v"))
-    img = ipx.groupBy("media_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
-        F.min("v").cast("bigint").alias("px_min"),
-        F.max("v").cast("bigint").alias("px_max"),
+    ).select(
+        "media_id",
+        F.size("pixels").cast("bigint").alias("n_pixels"),
+        F.array_min("pixels").cast("bigint").alias("px_min"),
+        F.array_max("pixels").cast("bigint").alias("px_max"),
     )
     aud = (
         multimodal.wav_pcm_samples(

@@ -829,3 +829,24 @@ def test_conformal_gate_caches_the_scored_split(spark):
     body = plan.split("== Physical Plan ==")[1]
     assert len(re.findall(r"InMemoryTableScan", body)) >= 2, body
     assert len(re.findall(r"\(\d+\) Scan parquet", body)) <= 1, body
+
+
+def test_media_fingerprints_are_map_only(spark):
+    """The media decode fingerprints return one row per image/frame —
+    input grain equals output grain — so the metrics are in-row
+    higher-order-function folds and the plan must carry ZERO
+    exchanges (the earlier posexplode+groupBy shape shuffled one
+    partial row per image for nothing; the plan audit caught it). At
+    1000 executors this is the difference between a pure map pass
+    over the payload column and a corpus-wide shuffle."""
+    for name in (
+        "media_png_decode",
+        "media_jpeg_decode",
+        "media_gif_decode",
+        "media_wav_samples",
+        "media_mjpeg_frames",
+        "media_audio_features",
+    ):
+        plan = _formatted(_build(spark, name))
+        body = plan.split("== Physical Plan ==")[1]
+        assert not re.search(r"\(\d+\) Exchange", body), (name, body)
