@@ -104,14 +104,29 @@ def parse_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     ``(width, height, fps, frame_payloads)`` — each payload a complete
     JPEG stream from a ``00dc``/``00db`` chunk in capture order. The
     walk trusts chunk sizes (bounded by the buffer), recurses only
-    into the LIST types it needs, and raises on anything that is not
-    an MJPEG video stream — the decode tier fails loudly."""
+    into the LIST types it needs (depth-capped — a crafted
+    deep-nested LIST tower must not blow the kernel's stack), and
+    raises ValueError on anything that is not an MJPEG video stream
+    OR on any malformed structure (truncated chunk headers normalize
+    from struct.error/IndexError) — the decode tier's shared
+    fail-loud contract."""
+    try:
+        return _parse_avi_mjpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(
+            f"corrupt AVI stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _parse_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     geom: list = [None, None, None]  # width, height, fps
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        if depth > 8:  # hdrl/strl/movi/rec never nest this deep
+            raise ValueError("LIST nesting exceeds AVI structure depth")
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
@@ -119,7 +134,7 @@ def parse_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
             if cid == b"LIST":
                 ltype = data[pos + 8 : pos + 12]
                 if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
-                    walk(pos + 12, body_end)
+                    walk(pos + 12, body_end, depth + 1)
             elif cid == b"avih" and size >= 40:
                 (geom[0], geom[1]) = struct.unpack(
                     "<2I", data[pos + 40 : pos + 48]

@@ -208,7 +208,20 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a global-color-table GIF87a/89a stream: LZW-expand the
     first image, apply the palette, return
     ``(width, height, 3, rgb_raster)``. 89a extension blocks are
-    skipped; interlaced images and local color tables raise."""
+    skipped; interlaced images and local color tables raise — and so
+    does EVERY malformed stream (truncation mid-header or
+    mid-sub-block): low-level IndexError/struct.error are normalized
+    to ValueError so quarantine tiers classify on one exception
+    type (the decode tier's shared contract)."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(
+            f"corrupt GIF stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])

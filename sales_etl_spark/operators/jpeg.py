@@ -268,7 +268,11 @@ _STD_DHT_SEG = _seg(
 )
 _SOS_SEG = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
+#: Bounded like _CODES_CACHE and for the same reason: per-image
+#: quantization tables on a real corpus would otherwise grow the
+#: executor's dict without bound.
 _QUANT_CACHE: dict = {}
+_QUANT_CACHE_MAX = 64
 
 
 def _quant_prep(qtable: tuple):
@@ -284,7 +288,8 @@ def _quant_prep(qtable: tuple):
     dqt = _seg(
         0xDB, bytes([0]) + bytes(int(v) for v in qz8.ravel()[_ZZ_NP])
     )
-    _QUANT_CACHE[qtable] = (q, dqt)
+    if len(_QUANT_CACHE) < _QUANT_CACHE_MAX:
+        _QUANT_CACHE[qtable] = (q, dqt)
     return q, dqt
 
 
@@ -479,6 +484,15 @@ def _decode_scan(data, pos, frame, sos, quant, huff, restart):
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for cid, hi, vi, _tq in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            # T.81 allows e.g. 3:2 ratios; our replication upsampler
+            # handles only integral ones — mis-decoding silently on
+            # the wrong chroma grid is worse than refusing
+            raise ValueError(
+                f"unsupported non-integral sampling ratio for "
+                f"component {cid}: {hi}x{vi} vs max {hmax}x{vmax}"
+            )
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 

@@ -463,26 +463,38 @@ def documents_as_pcm_wav(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_wav_pcm(data: bytes) -> tuple[int, int, list[int]]:
-    """Real PCM decode, independent of the stdlib ``wave`` encoder:
-    RIFF chunk walk (the parse_wav_metadata loop) to locate ``fmt ``
-    and ``data``, then little-endian signed-16 unpack of the sample
-    stream. Returns (sample_rate, channels, samples). 16-bit PCM only
-    — anything else raises, the fail-loud contract of the decode
-    tier."""
-    import struct
-
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, payload = 12, None, None
+def _riff_chunks(data: bytes, form: bytes):
+    """Shared RIFF chunk walk (WAVE here; avi.py carries its own
+    nested-LIST variant): validates the container signature, then
+    yields ``(chunk_id, body)`` honoring word alignment. One
+    definition so an alignment or truncation fix serves every RIFF
+    consumer in this module."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != form:
+        raise ValueError(f"not a RIFF/{form.decode().strip()} stream")
+    pos = 12
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield cid, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_wav_pcm(data: bytes) -> tuple[int, int, list[int]]:
+    """Real PCM decode, independent of the stdlib ``wave`` encoder:
+    RIFF chunk walk to locate ``fmt `` and ``data``, then
+    little-endian signed-16 unpack of the sample stream. Returns
+    (sample_rate, channels, samples). 16-bit PCM only — anything
+    else raises, the fail-loud contract of the decode tier,
+    INCLUDING an odd-length data chunk (a stream truncated
+    mid-sample must not decode into a plausible shorter list)."""
+    import struct
+
+    fmt, payload = None, None
+    for cid, body in _riff_chunks(data, b"WAVE"):
         if cid == b"fmt ":
-            fmt = data[pos + 8 : pos + 8 + size]
+            fmt = body
         elif cid == b"data":
-            payload = data[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size & 1)
+            payload = body
     if fmt is None or len(fmt) < 16 or payload is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt = int.from_bytes(fmt[0:2], "little")
@@ -493,8 +505,12 @@ def decode_wav_pcm(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(
             f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})"
         )
+    if len(payload) & 1:
+        raise ValueError(
+            f"data chunk truncated mid-sample ({len(payload)} bytes)"
+        )
     n = len(payload) // 2
-    return rate, channels, list(struct.unpack(f"<{n}h", payload[: n * 2]))
+    return rate, channels, list(struct.unpack(f"<{n}h", payload))
 
 
 def wav_pcm_samples(media: DataFrame) -> DataFrame:
@@ -737,17 +753,15 @@ def parse_wav_metadata(
     tier of multimodal ingestion is pure byte-structure work and is
     implemented for real; only sample DECODING (libav/soundfile)
     remains stubbed."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        return None
-    pos, fmt, data_size = 12, None, None
-    while pos + 8 <= len(data):
-        cid = data[pos : pos + 4]
-        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
-        if cid == b"fmt ":
-            fmt = data[pos + 8 : pos + 8 + size]
-        elif cid == b"data":
-            data_size = size
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    fmt, data_size = None, None
+    try:
+        for cid, body in _riff_chunks(data, b"WAVE"):
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data_size = len(body)
+    except ValueError:
+        return None  # metadata tier: non-WAV yields None, not an error
     if fmt is None or len(fmt) < 16 or data_size is None:
         return None
     channels = int.from_bytes(fmt[2:4], "little")

@@ -544,8 +544,6 @@ def test_avi_mjpeg_container_roundtrip_and_strictness():
             for x in range(w)
         )
         frames.append(encode_jpeg(px, w, h))
-    # force at least one odd-length payload onto the padding path
-    assert any(len(f) & 1 for f in frames) or True
     avi = encode_avi_mjpeg(frames, 16, 8, fps=25)
     w2, h2, fps, got = parse_avi_mjpeg(avi)
     assert (w2, h2, fps) == (16, 8, 25)
@@ -553,6 +551,11 @@ def test_avi_mjpeg_container_roundtrip_and_strictness():
     for payload in got:
         fw, fh, ch, _ = decode_jpeg(payload)
         assert (fw, fh, ch) == (16, 8, 1)
+
+    # word-alignment padding path, GUARANTEED exercised: raw payloads
+    # of every parity (the container is content-agnostic)
+    mixed = [b"x" * n for n in (1, 2, 253, 254, 255, 256, 257)]
+    assert parse_avi_mjpeg(encode_avi_mjpeg(mixed, 4, 4))[3] == mixed
 
     with pytest.raises(ValueError, match="RIFF/AVI"):
         parse_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
@@ -756,3 +759,92 @@ def test_png_rejects_truncated_deflate_with_matching_length():
     )
     with pytest.raises(ValueError, match="truncated|corrupt"):
         decode_png(png)
+
+
+def test_decode_tier_exception_contract_is_valueerror():
+    """Every decoder in the tier normalizes malformed-stream failures
+    to ValueError (quarantine tiers classify on one exception type):
+    truncated GIF headers/sub-blocks, truncated AVI chunk headers, a
+    crafted deep-nested LIST tower (stack bomb), and a WAV data chunk
+    cut mid-sample must all raise ValueError — never leak
+    struct.error/IndexError/RecursionError."""
+    import struct
+
+    from sales_etl_spark.operators.avi import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+    from sales_etl_spark.operators.gif import decode_gif, encode_gif
+    from sales_etl_spark.operators.multimodal import decode_wav_pcm
+
+    gif = encode_gif(bytes(20), 5, 4)
+    for cut in (8, len(gif) - 3):
+        with pytest.raises(ValueError):
+            decode_gif(gif[:cut])
+
+    avi = encode_avi_mjpeg([b"frame"], 4, 4)
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(avi[:40])
+    # LIST tower: 1000 nested movi LISTs must hit the depth cap, not
+    # the Python recursion limit
+    inner = b""
+    for _ in range(1000):
+        inner = (
+            b"LIST" + struct.pack("<I", len(inner) + 4) + b"movi" + inner
+        )
+    bomb = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting|avih"):
+        parse_avi_mjpeg(bomb)
+
+    # WAV data chunk with an odd byte count: fail loud, don't decode
+    # a plausible shorter sample list
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    wav = bytearray(buf.getvalue())
+    at = bytes(wav).index(b"data")
+    size = int.from_bytes(wav[at + 4 : at + 8], "little")
+    wav[at + 4 : at + 8] = (size - 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="mid-sample"):
+        decode_wav_pcm(bytes(wav[:-1]))
+
+
+def test_jpeg_rejects_non_integral_sampling_ratio():
+    """T.81 permits e.g. 3:2 luma:chroma sampling; the replication
+    upsampler handles only integral ratios — it must REFUSE such a
+    stream rather than silently decode chroma on the wrong grid."""
+    import struct
+
+    from sales_etl_spark.operators.jpeg import (
+        STD_AC_BITS,
+        STD_AC_VALS,
+        STD_DC_BITS,
+        STD_DC_VALS,
+    )
+    from sales_etl_spark.operators.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 2)
+        + bytes([1, 0x33, 0])  # component 1: 3x3
+        + bytes([2, 0x22, 0]),  # component 2: 2x2 -> ratio 3/2
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_BITS) + bytes(STD_DC_VALS)
+        + bytes([0x10]) + bytes(STD_AC_BITS) + bytes(STD_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+    stream = b"\xff\xd8" + dqt + sof + dht + sos + b"\x00" * 8 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="sampling ratio"):
+        decode_jpeg(stream)

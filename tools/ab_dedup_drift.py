@@ -32,18 +32,38 @@ QUERIES = [
 ]
 
 
+_ACTIVE_ROOT: list = [None]
+
+
 def load_registry(root: Path):
     """Import sales_etl_spark fresh from ``root``, returning its
     QUERY_REGISTRY. Purges prior imports so HEAD and r5 can share the
-    process despite the identical package name."""
+    process despite the identical package name.
+
+    CAVEAT: builders hold their def-time module globals, but a
+    builder that LAZY-imports sales_etl_spark.* at call time would
+    resolve against whichever version is resident in sys.modules —
+    silently mixing code across phases. activate() re-purges and
+    re-imports before each phase switch so resident modules always
+    match the registry being timed."""
     for mod in [m for m in sys.modules if m.startswith("sales_etl_spark")]:
         del sys.modules[mod]
     sys.path.insert(0, str(root))
     try:
         from sales_etl_spark.plans import QUERY_REGISTRY
+        _ACTIVE_ROOT[0] = root
         return dict(QUERY_REGISTRY)
     finally:
         sys.path.remove(str(root))
+
+
+def activate(root: Path, registries: dict) -> dict:
+    """Return ``root``'s registry, re-importing iff another root's
+    modules are currently resident (keeps lazy imports honest while
+    amortizing the reload across consecutive same-root runs)."""
+    if _ACTIVE_ROOT[0] != root:
+        registries[root] = load_registry(root)
+    return registries[root]
 
 
 def main() -> None:
@@ -56,8 +76,8 @@ def main() -> None:
     import bench
     from sales_etl_spark.session import get_spark
 
-    reg_head = load_registry(REPO)
-    reg_r5 = load_registry(R5)
+    registries: dict = {}
+    registries[REPO] = load_registry(REPO)
 
     spark = get_spark("ab-dedup", master="local[32]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,7 +86,8 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     cal = bench.calibrate(spark)
 
-    def run_one(reg, name) -> float:
+    def run_one(root, name) -> float:
+        reg = activate(root, registries)
         t0 = time.perf_counter()
         reg[name].builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -80,12 +101,12 @@ def main() -> None:
     }
     # JIT warmup pass (uncounted), then interleaved measured rounds
     for q in QUERIES:
-        run_one(reg_head, q)
-        run_one(reg_r5, q)
+        run_one(REPO, q)
+        run_one(R5, q)
     for _ in range(rounds):
         for q in QUERIES:
-            times[q]["head"].append(round(run_one(reg_head, q), 3))
-            times[q]["r5"].append(round(run_one(reg_r5, q), 3))
+            times[q]["head"].append(round(run_one(REPO, q), 3))
+            times[q]["r5"].append(round(run_one(R5, q), 3))
 
     out = {"calibration": cal, "sf_dir": sf_dir, "queries": {}}
     for q in QUERIES:
