@@ -70,3 +70,47 @@ def test_survey_section2_driver_keys_exist_in_registry():
     }
     missing = sorted(k for k in claimed if k not in QUERY_REGISTRY)
     assert not missing, f"SURVEY §2 names unknown query keys: {missing}"
+
+
+def test_every_registry_key_is_driver_checked_or_inside_sweep_window():
+    """Coverage ledger (round-7 verdict ask #2): every registry key
+    must either already hold a driver CORRECTNESS row (green in some
+    tracked CORRECTNESS_r*.json) or sit inside the driver's 50-slot
+    sweep window (the first 50 entries of ``queries()``).  Round 7
+    shipped 8 queries that the driver never checked because the window
+    was not rotated; this test makes that failure mode a red build:
+    registering a query without window placement fails here by name.
+    """
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    green: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            checks = [
+                v for k, v in row.items()
+                if k in ("rows_match", "schema_match", "hash_match")
+                and v is not None
+            ]
+            if checks and all(checks):
+                green.add(name)
+            elif (
+                not checks
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                # rows-only key (no SQL-expressible oracle): the
+                # driver's weaker check ran and produced a row count.
+                green.add(name)
+
+    window = list(entry_mod.queries())[:50]
+    uncovered = sorted(
+        k for k in QUERY_REGISTRY if k not in green and k not in window
+    )
+    assert not uncovered, (
+        "registry keys with no driver CORRECTNESS row and no sweep-window "
+        f"slot (rotate _SWEEP_FIRST in __spark_entry__.py): {uncovered}"
+    )
