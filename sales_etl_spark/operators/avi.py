@@ -123,6 +123,11 @@ def _parse_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("not a RIFF/AVI stream")
     geom: list = [None, None, None]  # width, height, fps
     frames: list[bytes] = []
+    # Stream indices are positional: the Nth strh inside hdrl owns the
+    # movi chunks prefixed NN. Record which index is the MJPG vids
+    # stream so a multi-stream file (e.g. video+audio) cannot
+    # interleave foreign NNdc/NNdb chunks into the frame list.
+    streams: list = [0, None]  # [strh count seen, MJPG stream index]
 
     def walk(pos: int, end: int, depth: int = 0) -> None:
         if depth > 8:  # hdrl/strl/movi/rec never nest this deep
@@ -140,17 +145,24 @@ def _parse_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                     "<2I", data[pos + 40 : pos + 48]
                 )
             elif cid == b"strh" and size >= 56:
+                stream_idx = streams[0]
+                streams[0] += 1
                 if data[pos + 8 : pos + 12] != b"vids":
                     pass  # non-video stream headers are fine to skip
                 elif data[pos + 12 : pos + 16] != b"MJPG":
                     raise ValueError("video stream is not MJPG")
+                elif streams[1] is not None:
+                    raise ValueError("multiple video streams in AVI")
                 else:
+                    streams[1] = stream_idx
                     scale, rate = struct.unpack(
                         "<2I", data[pos + 28 : pos + 36]
                     )
                     geom[2] = rate // scale if scale else None
             elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
-                frames.append(data[pos + 8 : pos + 8 + size])
+                # collect only the validated MJPG stream's chunks
+                if streams[1] is not None and int(cid[:2]) == streams[1]:
+                    frames.append(data[pos + 8 : pos + 8 + size])
             pos += 8 + size + (size & 1)
 
     walk(12, len(data))

@@ -360,8 +360,9 @@ def png_pixels(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL PNG decode: inflate + unfilter every payload
     (operators/png.py:decode_png) and emit the raster as an int array
     alongside the decoded geometry. Downstream fingerprinting stays
-    NATIVE (posexplode + JVM aggregation) — Python's only job is the
-    byte-level codec work Spark has no builtin for."""
+    JVM-side as a map-only in-row F.aggregate fold (no posexplode) —
+    Python's only job is the byte-level codec work Spark has no
+    builtin for."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sales_etl_spark.operators.png import decode_png

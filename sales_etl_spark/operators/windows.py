@@ -81,6 +81,9 @@ def global_row_number(
     counts = df.groupBy(bucket.alias("__bkt")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # Unpartitioned window ON THE COUNTS FRAME ONLY (~|buckets| rows,
+    # thousands at most — never the data). The executor's WindowExec
+    # "No Partition Defined" warning here is expected and benign.
     w_off = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -122,6 +125,9 @@ def global_prefix_sum(
         F.sum(value_col).alias("__bsum"),
         F.count(F.lit(1)).alias("__bn"),
     )
+    # Unpartitioned window on the per-bucket subtotal frame only
+    # (~|buckets| rows) — the expected WindowExec warning is benign,
+    # same bounded-frame contract as global_row_number above.
     w_off = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -1494,8 +1494,9 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-stdlib decoder (operators/png.py: chunk walk, CRC checks,
     zlib inflate, scanline unfiltering) over the binary column via
     Arrow-batched mapInPandas, then fingerprint the decoded raster
-    NATIVELY — posexplode + JVM aggregation of count/sum/
-    position-weighted sum/min/max per image. The oracle predicts all
+    MAP-ONLY — an in-row higher-order F.aggregate fold of count/sum/
+    position-weighted sum/min/max per image (no posexplode shuffle;
+    plan-locked map-only). The oracle predicts all
     of it closed-form, so a single wrong Paeth inverse or misread CRC
     flips the hash. The decode tier the r5 verdict asked to make
     executable-everywhere (PIL stays the wider-format tier; this one
@@ -2147,8 +2148,9 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wslice = F.slice("samples", F.col("win_idx") * W + 1, W)
-    # pairs fully inside the window: pair indices w*W+1 .. w*W+W-1
-    # (1-based slice start w*W+2 on the flags array shifted by one)
+    # flags[j] compares samples j-1 and j, so the W-1 pairs whose
+    # SECOND sample lies inside window w start at 1-based flag index
+    # win_idx*W+1 (flag win_idx*W would pair across the boundary).
     fslice = F.slice("flags", F.col("win_idx") * W + 1, W - 1)
     return win.select(
         "media_id",
@@ -2207,8 +2209,11 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure Python+NumPy decoder (operators/jpeg.py: marker walk,
     canonical-Huffman entropy decode, dequantize, separable IDCT)
     over the binary column via Arrow-batched mapInPandas, then
-    fingerprint the decoded raster NATIVELY (posexplode + JVM
-    count/sum/position-weighted sum/min/max per image). Hash-exact
+    fingerprint the decoded raster MAP-ONLY (in-row higher-order
+    F.aggregate fold of count/sum/position-weighted sum/min/max per
+    image — no posexplode, zero exchanges; plan-locked by
+    tests/test_plans.py test_media_fingerprints_are_map_only).
+    Hash-exact
     despite JPEG being lossy: constant 8x8 tiles with the all-ones
     quantization table survive the DCT round-trip bit-for-bit (the
     forward transform is a lone exact DC coefficient), so the oracle

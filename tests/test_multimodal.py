@@ -848,3 +848,63 @@ def test_jpeg_rejects_non_integral_sampling_ratio():
     stream = b"\xff\xd8" + dqt + sof + dht + sos + b"\x00" * 8 + b"\xff\xd9"
     with pytest.raises(ValueError, match="sampling ratio"):
         decode_jpeg(stream)
+
+
+def test_avi_multi_stream_frame_isolation_and_second_vids_rejected():
+    """A two-stream AVI (audio stream 0 + MJPG video stream 1) must
+    collect ONLY the video stream's 01dc chunks — a foreign 00dc
+    chunk in movi is ignored, not interleaved. A file declaring TWO
+    vids streams raises (the parser owns exactly one video stream)."""
+    import struct
+
+    from sales_etl_spark.operators.avi import (
+        _chunk,
+        _list,
+        parse_avi_mjpeg,
+    )
+
+    def strh(fcc_type: bytes, handler: bytes) -> bytes:
+        return _chunk(
+            b"strh",
+            fcc_type
+            + handler
+            + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,
+                1, 25,  # scale, rate
+                0, 2, 64, 0xFFFFFFFF, 0, 0, 0, 16, 8,
+            ),
+        )
+
+    avih = struct.pack(
+        "<14I", 40_000, 64 * 25, 0, 0x10, 2, 0, 2, 64, 16, 8, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", strh(b"auds", b"\x00\x00\x00\x00"))
+        + _list(b"strl", strh(b"vids", b"MJPG")),
+    )
+    video = [b"frameA", b"frameB"]
+    movi = _list(
+        b"movi",
+        _chunk(b"00wb", b"pcm-bytes")  # audio data, ignored by suffix
+        + _chunk(b"01dc", video[0])
+        + _chunk(b"00dc", b"NOT-A-FRAME")  # foreign dc chunk, stream 0
+        + _chunk(b"01dc", video[1]),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    w, h, fps, frames = parse_avi_mjpeg(avi)
+    assert (w, h, fps) == (16, 8, 25)
+    assert frames == video  # 00dc excluded, order preserved
+
+    two_vids = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", strh(b"vids", b"MJPG"))
+        + _list(b"strl", strh(b"vids", b"MJPG")),
+    )
+    body2 = b"AVI " + two_vids + movi
+    with pytest.raises(ValueError, match="multiple video streams"):
+        parse_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body2)) + body2)
