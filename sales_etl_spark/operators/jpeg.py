@@ -180,67 +180,80 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
-
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                # restart marker reached mid-read: only sync_restart
-                # may consume it
-                raise ValueError("hit restart marker inside a symbol")
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} in entropy data"
-                )
-        else:
-            self.pos += 1
-        self._acc = (self._acc << 8) | b
-        self._n += 8
-
-    def read(self, nbits: int) -> int:
-        while self._n < nbits:
-            self._fill()
-        self._n -= nbits
-        v = (self._acc >> self._n) & ((1 << nbits) - 1)
-        self._acc &= (1 << self._n) - 1
-        return v
-
-    def decode_symbol(self, table) -> int:
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | self.read(1)
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy data")
-
-    def sync_restart(self, n: int) -> None:
-        """Byte-align and consume the RSTn marker (T.81 E.2.4)."""
-        self._acc = 0
-        self._n = 0
-        if (
-            self.data[self.pos] != 0xFF
-            or self.data[self.pos + 1] != 0xD0 + (n & 7)
-        ):
-            raise ValueError("expected restart marker")
-        self.pos += 2
+#: 16-bit table-driven Huffman decode (the classic libjpeg lookahead,
+#: here full-width): entry i = (symbol, code length) for the code that
+#: prefixes the 16-bit window i; length 0 marks an invalid prefix.
+#: Built once per DHT table and memoized — plain Python lists because
+#: scalar list indexing beats scalar ndarray indexing ~3x in the
+#: per-symbol loop. BOUNDED for the same executor-leak reason as
+#: _CODES_CACHE (each entry is ~1 MiB of pointers).
+_LUT_CACHE: dict = {}
+_LUT_CACHE_MAX = 16
 
 
-def _extend(v: int, t: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map the t received bits to a signed
-    amplitude."""
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+def _decode_lut(bits, vals) -> tuple[list, list]:
+    """(symbols, lengths) flat 65536-entry decode tables for a DHT
+    (BITS, HUFFVAL) pair — every 16-bit window starting with a valid
+    canonical code maps to that code's symbol and length."""
+    key = (bytes(bits), bytes(vals))
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sym = np.zeros(65536, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
+    for (length, code), s in _canonical_codes(bits, vals).items():
+        base = code << (16 - length)
+        span = 1 << (16 - length)
+        sym[base : base + span] = s
+        ln[base : base + span] = length
+    built = (sym.tolist(), ln.tolist())
+    if len(_LUT_CACHE) < _LUT_CACHE_MAX:
+        _LUT_CACHE[key] = built
+    return built
+
+
+#: Parsed DQT segments memoized by raw bytes — a corpus reuses a
+#: handful of quantization tables across millions of images, and the
+#: per-image unzigzag showed up in the decode profile. Bounded like
+#: every other codec cache.
+_DQT_CACHE: dict = {}
+_DQT_CACHE_MAX = 64
+
+
+def _dqt_table(raw: bytes, pq: int) -> np.ndarray:
+    """Natural-order flat float64 quantization table from a DQT
+    payload (zig-zag order, 8- or 16-bit precision per ``pq``)."""
+    key = (pq, raw)
+    cached = _DQT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    vals = np.frombuffer(raw, dtype=">u2" if pq else np.uint8)
+    if vals.shape[0] != 64:
+        raise ValueError("short DQT segment")
+    tbl = np.zeros(64, dtype=np.float64)
+    tbl[_ZZ_NP] = vals
+    if len(_DQT_CACHE) < _DQT_CACHE_MAX:
+        _DQT_CACHE[key] = tbl
+    return tbl
+
+
+def _destuff_interval(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Extract one entropy-coded interval starting at ``pos``: scan to
+    the next REAL marker (any 0xFF not followed by a stuffed 0x00),
+    return (interval bytes with T.81 B.1.1.5 stuffing removed, offset
+    of the terminating marker's 0xFF). One C-speed ``bytes.replace``
+    does the destuffing instead of a per-byte Python check."""
+    i = pos
+    while True:
+        j = data.find(0xFF, i)
+        if j == -1:
+            raise ValueError("truncated entropy data (no marker)")
+        # data[j + 1] IndexError on a trailing 0xFF normalizes to
+        # ValueError in decode_jpeg's wrapper
+        if data[j + 1] == 0x00:
+            i = j + 2
+            continue
+        return data[pos:j].replace(b"\xff\x00", b"\xff"), j
 
 
 def _category(v: int) -> int:
@@ -321,41 +334,48 @@ def encode_jpeg(
 
     dc_codes = _encode_codes(STD_DC_BITS, STD_DC_VALS)
     ac_codes = _encode_codes(STD_AC_BITS, STD_AC_VALS)
+    # Forward DCT + quantize + zig-zag for EVERY block in one numpy
+    # batch (blocks in my, mx raster order via the reshape/transpose);
+    # only the serial bit-writing walks block-by-block.
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = _DCT_M @ blocks @ _DCT_M.T
+    qz = np.rint(coefs / q).astype(np.int64)
+    zz_all = qz.reshape(-1, 64)[:, _ZZ_NP].tolist()
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coefs = _DCT_M @ block @ _DCT_M.T
-            qz = np.rint(coefs / q).astype(np.int64)
-            zz = qz.ravel()[_ZZ_NP].tolist()
-            # DC: differential category + amplitude bits
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            t = _category(diff)
-            code, ln = dc_codes[t]
+    for zz in zz_all:
+        # DC: differential category + amplitude bits
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        # AC: run/size with ZRL and EOB
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            t = _category(v)
+            code, ln = ac_codes[(run << 4) | t]
             bw.write(code, ln)
-            if t:
-                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            # AC: run/size with ZRL and EOB
+            bw.write(v if v >= 0 else v + (1 << t) - 1, t)
             run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                t = _category(v)
-                code, ln = ac_codes[(run << 4) | t]
-                bw.write(code, ln)
-                bw.write(v if v >= 0 else v + (1 << t) - 1, t)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
 
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     return (
@@ -413,7 +433,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 4 > len(data):
+            raise ValueError("truncated segment header")
+        ln = (data[pos + 2] << 8) | data[pos + 3]
         body = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
             i = 0
@@ -421,14 +443,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 pq, tq = body[i] >> 4, body[i] & 15
                 i += 1
                 n = 64 * (2 if pq else 1)
-                raw = body[i : i + n]
-                vals = (
-                    struct.unpack(f">{64}H", raw) if pq else tuple(raw)
-                )
-                tbl = np.zeros(64, dtype=np.float64)
-                for k in range(64):
-                    tbl[ZIGZAG[k]] = vals[k]
-                quant[tq] = tbl.reshape(8, 8)
+                quant[tq] = _dqt_table(body[i : i + n], pq)
                 i += n
         elif marker == 0xC4:  # DHT
             i = 0
@@ -437,10 +452,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 bits = body[i + 1 : i + 17]
                 nvals = sum(bits)
                 vals = body[i + 17 : i + 17 + nvals]
-                huff[(tc, th)] = _canonical_codes(bits, vals)
+                huff[(tc, th)] = _decode_lut(bits, vals)
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
-            (restart,) = struct.unpack(">H", body[:2])
+            restart = (body[0] << 8) | body[1]
         elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. seq.
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -496,54 +511,144 @@ def _decode_scan(data, pos, frame, sos, quant, huff, restart):
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
-    planes = []
+    # Per-component decode tables and sparse-coefficient accumulators.
+    # The entropy decode is inherently serial (variable-length codes +
+    # the DC prediction chain), so the per-symbol loop stays Python —
+    # but table-driven: ONE 16-bit-window list lookup per Huffman
+    # symbol (vs walking the code bit-by-bit through a dict), raw
+    # value bits sliced straight off the accumulator, and NO per-block
+    # numpy work. Coefficients collect as (block, slot, value)
+    # triplets; dequantize + IDCT + plane placement happen ONCE per
+    # component as batched numpy below — this loop was the profile's
+    # whole cost (r7 verdict ask #4).
+    tabs = []
     for cid, hi, vi, tq in comps:
-        planes.append(
-            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
-        )
+        dc_sym, dc_len = huff[(0, scan_tbl[cid][0])]
+        ac_sym, ac_len = huff[(1, scan_tbl[cid][1])]
+        tabs.append((dc_sym, dc_len, ac_sym, ac_len, hi * vi))
+    b_idx: list[list] = [[] for _ in range(nc)]  # block ordinal
+    b_pos: list[list] = [[] for _ in range(nc)]  # natural 0..63 slot
+    b_val: list[list] = [[] for _ in range(nc)]  # signed amplitude
+    nblk = [0] * nc
 
-    br = _BitReader(data, pos)
-    pred = [0] * nc
+    total_mcus = mcus_x * mcus_y
+    interval = restart if restart else total_mcus
+    mcu_done = 0
     rst_n = 0
-    since_restart = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and since_restart == restart:
-                br.sync_restart(rst_n)
-                rst_n = (rst_n + 1) & 7
-                pred = [0] * nc
-                since_restart = 0
-            since_restart += 1
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                dc_tbl = huff[(0, scan_tbl[cid][0])]
-                ac_tbl = huff[(1, scan_tbl[cid][1])]
-                q = quant[tq]
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = br.decode_symbol(dc_tbl)
-                        diff = _extend(br.read(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_symbol(ac_tbl)
-                            r, t = rs >> 4, rs & 15
-                            if t == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[ZIGZAG[k]] = _extend(br.read(t), t)
-                            k += 1
-                        coefs = zz.reshape(8, 8) * q
-                        block = _DCT_M.T @ coefs @ _DCT_M
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    br_pos = pos
+    zigzag = ZIGZAG
+    while mcu_done < total_mcus:
+        if mcu_done:  # a fresh interval begins at an RSTn marker
+            mpos = br_pos
+            while data[mpos + 1] == 0xFF:  # fill bytes (B.1.1.2)
+                mpos += 1
+            if data[mpos] != 0xFF or data[mpos + 1] != 0xD0 + (rst_n & 7):
+                raise ValueError("expected restart marker")
+            rst_n = (rst_n + 1) & 7
+            br_pos = mpos + 2
+        buf, br_pos = _destuff_interval(data, br_pos)
+        L = len(buf)
+        acc = n = p = padded = 0
+        pred = [0] * nc
+        n_int = min(interval, total_mcus - mcu_done)
+        for _ in range(n_int):
+            for ci in range(nc):
+                dc_sym, dc_len, ac_sym, ac_len, bpm = tabs[ci]
+                pred_c = pred[ci]
+                idx = b_idx[ci]
+                pos_l = b_pos[ci]
+                val = b_val[ci]
+                blk = nblk[ci]
+                for _b in range(bpm):
+                    # DC: one LUT hit + the category's raw bits
+                    if n < 32:
+                        acc &= (1 << n) - 1
+                        while n < 32:
+                            if p < L:
+                                acc = (acc << 8) | buf[p]
+                                p += 1
+                            else:
+                                acc <<= 8  # virtual zeros past the end
+                                padded += 8
+                            n += 8
+                    win = (acc >> (n - 16)) & 0xFFFF
+                    t = dc_len[win]
+                    if t == 0:
+                        raise ValueError(
+                            "invalid Huffman code in entropy data"
+                        )
+                    n -= t
+                    s = dc_sym[win]
+                    if s:
+                        n -= s
+                        v = (acc >> n) & ((1 << s) - 1)
+                        if v < (1 << (s - 1)):  # T.81 F.2.2.1 EXTEND
+                            v += (-1 << s) + 1
+                        pred_c += v
+                    idx.append(blk)
+                    pos_l.append(0)
+                    val.append(pred_c)
+                    k = 1
+                    while k < 64:
+                        if n < 32:
+                            acc &= (1 << n) - 1
+                            while n < 32:
+                                if p < L:
+                                    acc = (acc << 8) | buf[p]
+                                    p += 1
+                                else:
+                                    acc <<= 8
+                                    padded += 8
+                                n += 8
+                        win = (acc >> (n - 16)) & 0xFFFF
+                        t = ac_len[win]
+                        if t == 0:
+                            raise ValueError(
+                                "invalid Huffman code in entropy data"
+                            )
+                        n -= t
+                        rs = ac_sym[win]
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        n -= s
+                        v = (acc >> n) & ((1 << s) - 1)
+                        if v < (1 << (s - 1)):
+                            v += (-1 << s) + 1
+                        idx.append(blk)
+                        pos_l.append(zigzag[k])
+                        val.append(v)
+                        k += 1
+                    blk += 1
+                pred[ci] = pred_c
+                nblk[ci] = blk
+        # every consumed bit must have been real: bits are FIFO, so
+        # consuming into the virtual zero padding == truncated stream
+        if (8 * p + padded) - n > 8 * L:
+            raise ValueError("truncated entropy data")
+        mcu_done += n_int
+
+    # Batched math: scatter the sparse coefficients, dequantize,
+    # IDCT all blocks of a component in one broadcast matmul, then
+    # reassemble the plane with a reshape/transpose (no Python loop
+    # touches pixels).
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        coef = np.zeros((nblk[ci], 64), dtype=np.float64)
+        coef[b_idx[ci], b_pos[ci]] = b_val[ci]
+        coef *= quant[tq]  # flat natural-order table
+        blocks = _DCT_M.T @ coef.reshape(-1, 8, 8) @ _DCT_M
+        planes.append(
+            blocks.reshape(mcus_y, mcus_x, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vi * 8, mcus_x * hi * 8)
+        )
     out_planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         p = np.clip(np.floor(planes[ci] + 128.5), 0, 255)

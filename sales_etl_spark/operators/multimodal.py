@@ -31,6 +31,34 @@ MEDIA_FEATURES_SCHEMA = (
 )
 
 
+def _spread_fixture_input(narrow: DataFrame) -> DataFrame:
+    """Spread a fixture synthesizer's NARROW input (doc_id + one or
+    two small ints — never payloads) across the cluster's cores when
+    it arrives under-partitioned.
+
+    Why this exchange is scale-safe where repartitioning media would
+    not be: the frames entering the encode kernels are a few bytes per
+    row, so the shuffle is O(KB) even for millions of docs, while the
+    CPU behind each row (a real codec encode+decode) is the actual
+    cost. The local testdata is one parquet row group — unsplittable,
+    so without this the whole media tier serializes onto ONE core of
+    32. In production ingest the PAYLOAD column arrives from
+    splittable storage with real parallelism and the decode tier
+    (jpeg_pixels etc.) stays map-only; only the synthetic-fixture half
+    ever takes this exchange. No-op when the input is already at
+    least core-parallel (a well-partitioned upstream keeps its
+    partitioning)."""
+    sc = narrow.sparkSession.sparkContext
+    # A fraction of the cores is enough: the codec kernels cost
+    # ~100 us/row, so even at 8-way spread the per-partition Python
+    # work dwarfs scheduling, while composed plans (media_pipeline_e2e
+    # runs three modality synths) don't pay 32 tiny tasks per stage.
+    target = max(2, sc.defaultParallelism // 4)
+    if narrow.rdd.getNumPartitions() >= target:
+        return narrow
+    return narrow.repartition(target)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: wrap the documents table as a media table (payload =
     UTF-8 bytes of text) so the binary plumbing runs on real testdata.
@@ -351,7 +379,9 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -459,7 +489,9 @@ def documents_as_pcm_wav(docs: DataFrame) -> DataFrame:
                 rows.append((d, bytearray(buf.getvalue())))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -569,7 +601,9 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
                 rows.append((d, bytearray(encode_jpeg(px, w, h))))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -629,7 +663,9 @@ def documents_as_gif(docs: DataFrame) -> DataFrame:
                 rows.append((d, bytearray(encode_gif(px, w, h))))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -697,7 +733,9 @@ def documents_as_mjpeg(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -846,6 +884,8 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
                 rows.append((int(doc_id), bytearray(buf.getvalue())))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
