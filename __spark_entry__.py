@@ -69,7 +69,7 @@ _SWEEP_FIRST = [
     "media_header_dimensions",
     "media_pipeline_e2e",
     # -- new in round 8 (no driver row yet for the new code) ----------
-    # (appended below as round-8 queries are registered)
+    "dedup_audio_fingerprint",
     # -- re-checks: queries whose internals round 8 touches ----------
     "ann_ivfpq_topk",  # r7 drift flag; one-process A/B + re-check
     "agg_sales_summary",  # flagship, exercised by entry()

@@ -134,6 +134,8 @@ HEADLINE = [
     "media_audio_features",
     "dedup_image_phash",
     "media_header_dimensions",
+    # round-8: perceptual audio dedup (energy-envelope aHash bands)
+    "dedup_audio_fingerprint",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -496,6 +496,49 @@ def documents_as_pcm_wav(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_chirp_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture stream with CHIRP-like PCM for the
+    perceptual-audio-dedup tier: one 16-bit mono WAV per document,
+    sample(i) = ((doc_id·13 + 7·i² + n_chars) % 65536) − 32768 —
+    the QUADRATIC phase wraps mod 65536 many times per clip, so
+    per-window energies vary like real program material (the linear
+    ramp of documents_as_pcm_wav is too smooth: every clip's energy
+    profile thresholds identically and the fingerprint degenerates
+    to two values — measured before this synthesizer was added).
+    Same rate/length closed forms as documents_as_pcm_wav so the SQL
+    oracle predicts every sample; identical (doc_id·13 + n_chars)
+    residues with equal lengths produce identical clips, which is
+    exactly the duplicate structure the fingerprint must catch."""
+    import io
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                rate = 8000 + (d % 4) * 4000
+                n = 100 + nc % 400
+                i = np.arange(n, dtype=np.int64)
+                pcm = (
+                    ((d * 13 + nc) + 7 * i * i) % 65536 - 32768
+                ).astype("<i2").tobytes()
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm)
+                rows.append((d, bytearray(buf.getvalue())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def _riff_chunks(data: bytes, form: bytes):
     """Shared RIFF chunk walk (WAVE here; avi.py carries its own
     nested-LIST variant): validates the container signature, then

@@ -2005,6 +2005,149 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Perceptual-audio fingerprint geometry: 64 equal-index-share energy
+#: windows -> 64 mean-threshold bits -> four 16-bit LSH bands.
+_AFP_W = 64
+
+
+@query(
+    "dedup_audio_fingerprint",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id, n_chars, 100 + n_chars % 400 AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT g.doc_id, g.n,
+               ((g.doc_id * 13 + 7 * i.i * i.i + g.n_chars) % 65536)
+                   - 32768 AS v,
+               ({_AFP_W} * (i.i + 1) - 1) // g.n AS w
+        FROM geom g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    ),
+    energies AS (
+        SELECT doc_id, n, w, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+        FROM s GROUP BY doc_id, n, w
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(e) AS BIGINT) AS te,
+               CAST(SUM(cnt) AS BIGINT) AS tc
+        FROM energies GROUP BY doc_id
+    ),
+    halves AS (
+        SELECT en.doc_id,
+               CAST(SUM(CASE WHEN en.w < 32
+                    AND en.e * t.tc > t.te * en.cnt
+                    THEN CAST(1 AS BIGINT) << en.w ELSE 0 END)
+                    AS BIGINT) AS hash_lo,
+               CAST(SUM(CASE WHEN en.w >= 32
+                    AND en.e * t.tc > t.te * en.cnt
+                    THEN CAST(1 AS BIGINT) << (en.w - 32) ELSE 0 END)
+                    AS BIGINT) AS hash_hi
+        FROM energies en JOIN totals t USING (doc_id)
+        GROUP BY en.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, hash_lo % 65536 AS band_val
+        FROM halves
+        UNION ALL SELECT doc_id, 1, hash_lo // 65536 FROM halves
+        UNION ALL SELECT doc_id, 2, hash_hi % 65536 FROM halves
+        UNION ALL SELECT doc_id, 3, hash_hi // 65536 FROM halves
+    )
+    SELECT CAST(band_idx AS INTEGER) AS band_idx,
+           CAST(band_val AS BIGINT) AS band_val,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_pairs
+    FROM bands GROUP BY band_idx, band_val
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio dedup candidate generation — the audio-side
+    sibling of dedup_image_phash, over REAL decoded PCM: decode every
+    chirp-fixture WAV (documents_as_chirp_wav + the independent
+    decode_wav_pcm RIFF walk), split the sample stream into 64
+    equal-index-share windows, take per-window energy Σv² (bigint
+    exact), threshold each window's MEAN energy against the clip's
+    global mean via cross-multiplication (e·tc > te·cnt — integer
+    exact, no division: the aHash construction applied to the energy
+    envelope, a public Shazam-style constellation lite), pack the 64
+    sign bits into two 32-bit halves, split into four 16-bit LSH
+    bands, and report every band bucket holding >= 2 clips with its
+    candidate-pair count. Same 100 TB shape as the image tier:
+    near-duplicate audio collides in >= 1 band, candidate volume is
+    profiled per bucket (never materialized quadratically), the band
+    groupBy is the only media-data exchange, and everything past the
+    Arrow decode kernel is native higher-order-function folds."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_chirp_wav(st.documents)
+    pcm = multimodal.wav_pcm_samples(media)
+    W = _AFP_W
+    ener = F.expr(f"""
+        transform(sequence(0, {W - 1}), w -> aggregate(
+            slice(samples, CAST((w * size(samples)) DIV {W} AS INT) + 1,
+                  CAST(((w + 1) * size(samples)) DIV {W} AS INT)
+                  - CAST((w * size(samples)) DIV {W} AS INT)),
+            CAST(0 AS BIGINT),
+            (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+    """).alias("e")
+    cnt = F.expr(f"""
+        transform(sequence(0, {W - 1}), w ->
+            CAST(((w + 1) * size(samples)) DIV {W} AS BIGINT)
+            - CAST((w * size(samples)) DIV {W} AS BIGINT))
+    """).alias("cnt")
+    t = pcm.select(
+        "media_id",
+        ener,
+        cnt,
+        F.expr(
+            "aggregate(samples, CAST(0 AS BIGINT), "
+            "(a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("te"),
+        F.size("samples").cast("bigint").alias("tc"),
+    )
+
+    def packed_half(lo_bit: int) -> F.Column:
+        return F.expr(f"""
+            aggregate(sequence({lo_bit}, {lo_bit + 31}),
+                CAST(0 AS BIGINT), (a, w) ->
+                a + IF(e[w] * tc > te * cnt[w],
+                       shiftleft(CAST(1 AS BIGINT), w - {lo_bit}),
+                       CAST(0 AS BIGINT)))
+        """)
+
+    hashed = t.select(
+        "media_id",
+        packed_half(0).alias("hash_lo"),
+        packed_half(32).alias("hash_hi"),
+    )
+    bands = hashed.select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo") % 65536,
+                (F.col("hash_lo") / 65536).cast("bigint"),
+                F.col("hash_hi") % 65536,
+                (F.col("hash_hi") / 65536).cast("bigint"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        bands.groupBy(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            "band_val",
+        )
+        .agg(
+            n.alias("n_clips"),
+            (n * (n - F.lit(1)) / F.lit(2)).cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("n_clips") >= 2)
+    )
+
+
 @query(
     "media_gif_decode",
     oracle="""

@@ -908,3 +908,66 @@ def test_avi_multi_stream_frame_isolation_and_second_vids_rejected():
     body2 = b"AVI " + two_vids + movi
     with pytest.raises(ValueError, match="multiple video streams"):
         parse_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_chirp_wav_fixture_and_audio_fingerprint_semantics(spark):
+    """The perceptual-audio tier: (a) the chirp fixture round-trips
+    through the independent decode_wav_pcm walk with the documented
+    closed-form samples; (b) identical clips (equal (13d+nc) % 65536
+    residue AND equal length) receive identical 64-bit fingerprints,
+    so they collide in all four LSH bands — the duplicate-catching
+    contract; (c) every reported bucket's n_pairs is C(n_clips, 2)."""
+    import numpy as np
+
+    from sales_etl_spark.operators.multimodal import (
+        decode_wav_pcm,
+        documents_as_chirp_wav,
+    )
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    # (a) closed-form round-trip on a 2-row frame
+    docs = spark.createDataFrame(
+        [(7, "x" * 123), (12, "y" * 223)], "doc_id long, text string"
+    ).selectExpr("doc_id", "length(text) AS n_chars")
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in documents_as_chirp_wav(docs).collect()
+    }
+    for d, nc in ((7, 123), (12, 223)):
+        rate, ch, samples = decode_wav_pcm(out[d])
+        assert (rate, ch) == (8000 + (d % 4) * 4000, 1)
+        n = 100 + nc % 400
+        i = np.arange(n, dtype=np.int64)
+        want = (((d * 13 + nc) + 7 * i * i) % 65536 - 32768).tolist()
+        assert samples == want
+
+    # (b)+(c) on the real fixture corpus
+    res = QUERY_REGISTRY["dedup_audio_fingerprint"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert res, "no candidate buckets at sf0.001"
+    for r in res:
+        assert r["n_pairs"] == r["n_clips"] * (r["n_clips"] - 1) // 2
+        assert 0 <= r["band_val"] < 65536 and 0 <= r["band_idx"] < 4
+
+    # exact duplicates in fixture space: clips with equal residue and
+    # equal n are byte-identical, so each duplicate group of size g
+    # contributes >= 1 bucket with n_clips >= g in EVERY band
+    import duckdb
+
+    con = duckdb.connect()
+    groups = con.execute(
+        """
+        SELECT ((doc_id * 13 + n_chars) % 65536) AS res,
+               (100 + n_chars % 400) AS n, COUNT(*) AS g
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY g DESC LIMIT 1
+        """
+    ).fetchone()
+    if groups is not None:
+        g = groups[2]
+        by_band = {}
+        for r in res:
+            by_band.setdefault(r["band_idx"], []).append(r["n_clips"])
+        for band in range(4):
+            assert max(by_band.get(band, [0])) >= g, (band, g)

@@ -359,6 +359,9 @@ _PYTHON_OK = {
     # perceptual-hash banding over the PNG decode+resize kernels; the
     # aHash bit-pack and band groupBy are native
     "dedup_image_phash",
+    # audio sibling: PCM decode kernel; window energies, the
+    # energy-envelope aHash bit-pack and band groupBy are native
+    "dedup_audio_fingerprint",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
