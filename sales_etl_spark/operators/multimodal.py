@@ -48,6 +48,10 @@ def _spread_fixture_input(narrow: DataFrame) -> DataFrame:
     ever takes this exchange. No-op when the input is already at
     least core-parallel (a well-partitioned upstream keeps its
     partitioning)."""
+    if narrow.isStreaming:
+        # micro-batches inherit the source's partitioning; .rdd is
+        # not defined for a streaming frame anyway
+        return narrow
     sc = narrow.sparkSession.sparkContext
     # A fraction of the cores is enough: the codec kernels cost
     # ~100 us/row, so even at 8-way spread the per-partition Python

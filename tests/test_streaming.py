@@ -1192,3 +1192,79 @@ def test_stream_media_decode_kernel_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM media_stream_fp").collect()
     }
     assert got == batch and len(got) == 60
+
+
+def test_stream_audio_fingerprint_kernel_equals_batch(spark, tmp_path):
+    """The perceptual-audio tier's stateless prefix — chirp WAV
+    synthesis -> PCM decode -> window energies -> 64-bit fingerprint
+    halves — must yield identical hashes over a file-source stream
+    (availableNow) as over the batch read: the unified-model
+    guarantee extended to the round-8 dedup tier. Only the band
+    PROFILE (a global groupBy) is batch-shaped; candidate hashing is
+    pure map and streams unchanged."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.operators.multimodal import (
+        documents_as_chirp_wav,
+        wav_pcm_samples,
+    )
+
+    docs = load_star(spark, SF_DIR).table("documents").limit(50)
+    path = str(tmp_path / "docs_afp_stream")
+    docs.select("doc_id", "n_chars").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    def hashes(df):
+        pcm = wav_pcm_samples(documents_as_chirp_wav(df))
+        t = pcm.select(
+            "media_id",
+            F.expr("""
+                transform(sequence(0, 63), w -> aggregate(
+                    slice(samples,
+                          CAST((w * size(samples)) DIV 64 AS INT) + 1,
+                          CAST(((w + 1) * size(samples)) DIV 64 AS INT)
+                          - CAST((w * size(samples)) DIV 64 AS INT)),
+                    CAST(0 AS BIGINT),
+                    (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+            """).alias("e"),
+            F.expr("""
+                transform(sequence(0, 63), w ->
+                    CAST(((w + 1) * size(samples)) DIV 64 AS BIGINT)
+                    - CAST((w * size(samples)) DIV 64 AS BIGINT))
+            """).alias("cnt"),
+            F.expr(
+                "aggregate(samples, CAST(0 AS BIGINT), "
+                "(a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+            ).alias("te"),
+            F.size("samples").cast("bigint").alias("tc"),
+        )
+        half = lambda lo: F.expr(f"""
+            aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT),
+                (a, w) -> a + IF(e[w] * tc > te * cnt[w],
+                    shiftleft(CAST(1 AS BIGINT), w - {lo}),
+                    CAST(0 AS BIGINT)))
+        """)
+        return t.select(
+            "media_id",
+            half(0).alias("hash_lo"),
+            half(32).alias("hash_hi"),
+        )
+
+    batch = {tuple(r) for r in hashes(spark.read.parquet(path)).collect()}
+
+    stream = spark.readStream.schema(
+        "doc_id long, n_chars long"
+    ).parquet(path)
+    q = (
+        hashes(stream)
+        .writeStream.format("memory")
+        .queryName("afp_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM afp_stream").collect()
+    }
+    assert got == batch and len(got) == 50
