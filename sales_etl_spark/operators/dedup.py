@@ -31,6 +31,19 @@ from sales_etl_spark.functions.text import (
 )
 
 
+def _spread_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Narrow (id, text) projection, spread across cores when it
+    arrives under-partitioned (operators/skew.py:spread_narrow_input):
+    the tokenize + gram folds behind it are the text tier's CPU, and
+    the local single-row-group testdata would otherwise run them on
+    one core. No-op on split storage; partition-independent consumers
+    only (exact thresholds — the oracle's bit-exact-under-any-
+    parallelism contract is the guard)."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    return spread_narrow_input(df.select(id_col, text_col))
+
+
 def _exploded_shingles(
     df: DataFrame,
     id_col: str,
@@ -66,7 +79,9 @@ def _exploded_shingles(
         # exchange, which grows with data while the local delta
         # doesn't).
         toks = tokens(F.lower(F.col(text_col)), WORD_RE)
-        base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+        base = _spread_text(df, id_col, text_col).select(
+            F.col(id_col).alias("doc"), toks.alias("__toks")
+        )
         return base.select(
             "doc",
             F.explode(
@@ -74,7 +89,7 @@ def _exploded_shingles(
             ).alias("shingle"),
         )
     toks = tokens(F.lower(F.col(text_col)), WORD_RE)
-    out = df.select(
+    out = _spread_text(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), toks.alias("__toks")
     ).select(
         "doc",
@@ -97,7 +112,9 @@ def _hashed_gram_stream(
     doc shorter than n words hashes its whole token list — the same
     "one shingle of the whole doc" contract as the string path."""
     toks = tokens(F.lower(F.col(text_col)), WORD_RE)
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+    base = _spread_text(df, id_col, text_col).select(
+        F.col(id_col).alias("doc"), toks.alias("__toks")
+    )
     return base.select(
         "doc", F.explode(_hashed_gram_array(n)).alias("shingle")
     )
@@ -616,10 +633,19 @@ def substring_span_pairs(
     the inverted-index self-join is pair-quadratic only within capped
     gram buckets. The normalize + gram fold is staged into its own
     projections so the interpreted HOF evaluates once per row."""
-    norm = df.select(
-        F.col(id_col).alias("doc"),
-        normalize_text(text_col).alias("__norm"),
-    ).filter(F.length("__norm") >= window)
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    # The every-position gram fold below is the costliest per-row
+    # transform in the text tier (window chars hashed per position);
+    # spread the (doc, text) frame when it arrives under-partitioned
+    # (single local row group) so it never serializes on one core —
+    # no-op wherever storage already splits the corpus.
+    norm = spread_narrow_input(
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalize_text(text_col).alias("__norm"),
+        ).filter(F.length("__norm") >= window)
+    )
     grams = norm.select(
         "doc",
         F.array_distinct(

@@ -48,19 +48,9 @@ def _spread_fixture_input(narrow: DataFrame) -> DataFrame:
     ever takes this exchange. No-op when the input is already at
     least core-parallel (a well-partitioned upstream keeps its
     partitioning)."""
-    if narrow.isStreaming:
-        # micro-batches inherit the source's partitioning; .rdd is
-        # not defined for a streaming frame anyway
-        return narrow
-    sc = narrow.sparkSession.sparkContext
-    # A fraction of the cores is enough: the codec kernels cost
-    # ~100 us/row, so even at 8-way spread the per-partition Python
-    # work dwarfs scheduling, while composed plans (media_pipeline_e2e
-    # runs three modality synths) don't pay 32 tiny tasks per stage.
-    target = max(2, sc.defaultParallelism // 4)
-    if narrow.rdd.getNumPartitions() >= target:
-        return narrow
-    return narrow.repartition(target)
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    return spread_narrow_input(narrow)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

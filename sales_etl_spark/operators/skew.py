@@ -118,3 +118,40 @@ def salted_join(
     return big.join(
         replicated.hint("SHUFFLE_MERGE"), on + ["__salt"], how
     ).drop("__salt")
+
+
+def spread_narrow_input(
+    df: DataFrame, denom: int = 4, min_target: int = 2
+) -> DataFrame:
+    """Repartition a NARROW frame that feeds an expensive per-row
+    transform (codec kernel, every-position gram expansion) when it
+    arrives with fewer partitions than the cluster can use — the
+    classic "repartition before a CPU-heavy narrow stage" pattern,
+    made conditional so it is a no-op wherever storage already
+    provides parallelism.
+
+    Scale rationale: at 100 TB inputs arrive in thousands of splits
+    and this never fires; the local testdata is ONE parquet row group
+    (unsplittable), which silently serializes every downstream map on
+    one core of 32. The spread is only legitimate for frames whose
+    per-row payload is small relative to the per-row CPU (doc ids +
+    text, never decoded rasters) — the exchange is O(input bytes)
+    while the stage behind it is the actual cost. Streaming frames
+    pass through (micro-batches inherit source partitioning; .rdd is
+    undefined for them). ``denom`` trades per-stage task count
+    against scheduling overhead: a fraction of the cores is enough
+    when per-row work is ~100 us (measured: 8-way ~= 32-way for the
+    media kernels, and composed plans avoid 32 tiny tasks per stage).
+
+    Determinism: callers must only feed this into partition-
+    independent logic (per-row transforms + exact-threshold
+    aggregations) — the oracle tier's bit-exact-under-any-parallelism
+    contract (tools/check_oracle.py stress knobs) is the regression
+    guard."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = max(min_target, sc.defaultParallelism // denom)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
