@@ -126,8 +126,12 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by its 128-bit fingerprint (xxhash64/md5 — same plan,
     narrower rows) and the dup table above a DF cap is tiny, exactly
     the hot-shingle treatment dedup_ngram_jaccard applies."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
     st = _star(spark, sf_dir)
-    w = st.documents.select(
+    # normalize+tokenize+chunk is the CPU; spread the narrow
+    # (doc_id, text) frame when it arrives as one local row group
+    w = spread_narrow_input(st.documents.select("doc_id", "text")).select(
         "doc_id", TX.tokens(TX.normalize_text("text")).alias("t")
     )
     nch = F.ceil(F.size("t") / F.lit(float(_CHUNK_W))).cast("int")

@@ -718,6 +718,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_score_with_vec,
     )
 
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
     st = _star(spark, sf_dir)
     e = st.embeddings
     seeds = _collect_centroids(
@@ -726,8 +728,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("cv"),
         )
     )
+    # the K-distance argmin fold runs twice (both anti-join legs) —
+    # spread the narrow (vec_id, embedding) frame so the local
+    # single-row-group table doesn't serialize it on one core
     assigned = _kmeans_score_with_vec(
-        e.select("vec_id", "embedding"), seeds
+        spread_narrow_input(e.select("vec_id", "embedding")), seeds
     )
     b = assigned.select(
         F.col("vec_id").alias("b_vec_id"),
