@@ -594,8 +594,15 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms):
     """Shared BM25 pipeline: (doc_id, bm25_micro) for every document
     matching ≥1 query term. ``query_terms`` is either a literal tuple
     of terms or a 1-column DataFrame of distinct terms (broadcast)."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
     st = _star(spark, sf_dir)
-    toks = st.documents.select(
+    # normalize+tokenize+explode is the corpus-scan CPU shared by the
+    # BM25/RRF/nDCG tier; spread the narrow (doc_id, text) frame when
+    # it arrives as one local row group
+    toks = spread_narrow_input(
+        st.documents.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(TX.tokens(TX.normalize_text("text"))).alias("term"),
     )
