@@ -649,8 +649,8 @@ def jpeg_pixels(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL baseline-JPEG decode: marker walk, Huffman
     entropy decode, dequantize + IDCT (operators/jpeg.py:decode_jpeg)
     and emit the raster as an int array alongside the decoded
-    geometry. Downstream fingerprinting stays NATIVE (posexplode +
-    JVM aggregation) — the same contract as png_pixels."""
+    geometry. Downstream fingerprinting stays JVM-side as a map-only
+    in-row F.aggregate fold — the same contract as png_pixels."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sales_etl_spark.operators.jpeg import decode_jpeg

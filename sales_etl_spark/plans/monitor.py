@@ -1683,8 +1683,9 @@ def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.py:documents_as_pcm_wav), decode the sample stream via
     an independent RIFF walk + signed-16 unpack (decode_wav_pcm, not
     the stdlib wave module that wrote it) in Arrow-batched
-    mapInPandas, then fingerprint the samples NATIVELY (posexplode +
-    JVM sum / position-weighted sum / min / max). The oracle predicts
+    mapInPandas, then fingerprint the samples NATIVELY (map-only
+    in-row F.aggregate folds of sum / position-weighted sum / min /
+    max — no posexplode shuffle). The oracle predicts
     every sample closed-form, so a wrong byte order, sign extension,
     chunk-alignment skip, or off-by-one in the data-chunk walk flips
     the hash. Completes the real-decode tier across all three
