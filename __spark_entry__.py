@@ -70,6 +70,8 @@ _SWEEP_FIRST = [
     "media_pipeline_e2e",
     # -- new in round 8 (no driver row yet for the new code) ----------
     "dedup_audio_fingerprint",
+    "text_bpe_train",
+    "text_bpe_segment",
     # -- re-checks: queries whose internals round 8 touches ----------
     "ann_ivfpq_topk",  # r7 drift flag; one-process A/B + re-check
     "agg_sales_summary",  # flagship, exercised by entry()

@@ -136,6 +136,9 @@ HEADLINE = [
     "media_header_dimensions",
     # round-8: perceptual audio dedup (energy-envelope aHash bands)
     "dedup_audio_fingerprint",
+    # round-8: distributed BPE tokenizer training (iterative,
+    # vocabulary-grain rounds, bounded driver state)
+    "text_bpe_train",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).

@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training — the tokenizer-learning step
+of an LLM data pipeline, Spark-first.
+
+Byte-pair encoding (Sennrich et al. 2016, public): start from the
+character segmentation of every word, then repeatedly merge the
+most-frequent adjacent symbol pair (corpus-frequency weighted) into a
+new symbol. The merge TABLE is the trained tokenizer; applying the
+merges in order segments any text.
+
+Spark-first shape — the Lloyd/bounded-driver-state pattern the
+embedding tier already uses (operators/similarity.py, kmeans):
+
+- The corpus collapses ONCE to the (word, freq) vocabulary — the only
+  corpus-wide exchange. Everything after runs on vocabulary grain,
+  which is orders of magnitude smaller than the corpus at 100 TB (the
+  classic BPE-training trick).
+- Each merge round is: one vocabulary-grain pair-count aggregation
+  (adjacent symbol pairs from in-row array slices — map-side partial
+  aggregation applies), ONE 1-row argmax collect (deterministic
+  tiebreak: count DESC, then lexicographic pair), and a map-only
+  in-row fold that applies the merge to every word's symbol array.
+  Driver state is the merge table — ``n_merges`` rows, bounded.
+- Merge application is the standard single-pass left-to-right
+  non-overlapping rule (re.sub semantics in the reference
+  implementation). The in-row fold reproduces it exactly: a merge
+  fires when the accumulator's LAST symbol is ``a`` and the incoming
+  symbol is ``b`` — after a fire the tail becomes ``ab`` (never equal
+  to ``a``, since ``b`` is non-empty), so a run "a a a a" merges at
+  positions 1 and 3 exactly like the reference
+  (tests/test_corpus_ops.py pins the run semantics).
+
+Cross-engine exactness: counts are exact integers, the tiebreak is
+total, and symbols are ``\\w`` characters (no quoting hazards), so the
+DuckDB oracle — the same rounds unrolled as MATERIALIZED CTEs with a
+recursive position-walk for merge application — matches bit-for-bit.
+
+Reference parity: the reference pipeline has no tokenizer tier (its
+etl/ is tabular); this extends the text-analysis family the
+training-data brief requires (token counting under a LEARNED
+segmentation instead of the fixed BPE_RE regex heuristic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq, s) vocabulary: lowercase ``\\w+`` words with corpus
+    frequencies and their character segmentation — the one corpus-wide
+    aggregation of BPE training. The narrow (text) input spreads when
+    it arrives under-partitioned (single local row group)."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    words = spread_narrow_input(docs.select(text_col)).select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    return vocab.select(
+        "w",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    )
+
+
+def _merge_fold_sql(a: str, b: str) -> str:
+    """In-row merge application (see module docstring for the proof it
+    equals the reference's single-pass re.sub rule). Symbols are
+    ``\\w`` chars — assert so an exotic corpus cannot inject SQL."""
+    for sym in (a, b):
+        if "'" in sym or "\\" in sym:
+            raise ValueError(f"unexpected quote in BPE symbol {sym!r}")
+    ab = a + b
+    return (
+        "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
+        f"AND x = '{b}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[list[tuple], DataFrame]:
+    """Train ``n_merges`` BPE merge rules over the corpus. Returns
+    ``(merges, final_vocab)``: ``merges`` is the learned rule table
+    [(merge_idx, sym_a, sym_b, merged, pair_count), ...] (bounded
+    driver state), ``final_vocab`` the (w, freq, s) vocabulary
+    re-segmented under every learned rule."""
+    vocab = word_vocabulary(docs, text_col).cache()
+    merges: list[tuple] = []
+    try:
+        for k in range(n_merges):
+            pairs = vocab.filter(F.size("s") >= 2).select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i -> "
+                        "struct(element_at(s, i) AS a, "
+                        "element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            ).select("freq", "p.a", "p.b")
+            top = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # corpus exhausted (every word one symbol)
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((k, a, b, a + b, int(top[0]["cnt"])))
+            nxt = vocab.select(
+                "w", "freq", F.expr(_merge_fold_sql(a, b)).alias("s")
+            ).cache()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+        return merges, vocab
+    except Exception:
+        vocab.unpersist()
+        raise
+
+
+def bpe_merge_table(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """The trained merge table as a DataFrame (the tokenizer
+    artifact a pipeline persists)."""
+    merges, vocab = bpe_train(docs, text_col, n_merges)
+    vocab.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_idx int, sym_a string, sym_b string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_segmented_vocab(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Every vocabulary word segmented under the learned merges:
+    (w, freq, n_syms, seg) with the segmentation joined as a
+    space-separated string — the apply half of the tokenizer, stated
+    at vocabulary grain (token counts per document follow by joining
+    words back to docs)."""
+    merges, vocab = bpe_train(docs, text_col, n_merges)
+    out = vocab.select(
+        "w",
+        "freq",
+        F.size("s").cast("int").alias("n_syms"),
+        F.array_join("s", " ").alias("seg"),
+    )
+    # the result frame still reads from the cached vocab; let the
+    # cache live — it is vocabulary-sized and session-scoped
+    return out

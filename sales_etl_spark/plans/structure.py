@@ -2701,3 +2701,116 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (round 8) — operators/tokenize.py
+# --------------------------------------------------------------------------
+
+_BPE_N = 8  #: merge rounds learned by the text_bpe_* queries
+
+
+def _bpe_oracle_sql(n: int, final: str) -> str:
+    """Generate the DuckDB twin of operators/tokenize.py:bpe_train —
+    the n merge rounds UNROLLED, each round a pair-count argmax
+    (identical tiebreak) plus a recursive position-walk applying the
+    merge to every vocabulary word. Round CTEs are MATERIALIZED:
+    chained recursive CTEs otherwise re-inline exponentially (measured
+    as a hang at n=6). ``final`` selects either the merge table or the
+    segmented vocabulary from the shared pipeline."""
+    parts = [
+        """WITH RECURSIVE words AS (
+        SELECT lower(unnest(regexp_extract_all(text, '\\w+'))) AS w
+        FROM documents
+    ),
+    v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w),
+    s0 AS MATERIALIZED (
+        SELECT w, freq,
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)) AS s
+        FROM v
+    )"""
+    ]
+    for k in range(n):
+        parts.append(f""",
+    p{k} AS (
+        SELECT s[i.i] AS a, s[i.i + 1] AS b,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM s{k}, unnest(generate_series(1, len(s) - 1)) AS i(i)
+        GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    r{k}(w, freq, n, pos, acc) AS (
+        SELECT w, freq, len(s), 1, CAST([] AS VARCHAR[]) FROM s{k}
+        UNION ALL
+        SELECT r.w, r.freq, r.n,
+               CASE WHEN r.pos < r.n AND s.s[r.pos] = m.a
+                         AND s.s[r.pos + 1] = m.b
+                    THEN r.pos + 2 ELSE r.pos + 1 END,
+               list_append(r.acc,
+                   CASE WHEN r.pos < r.n AND s.s[r.pos] = m.a
+                             AND s.s[r.pos + 1] = m.b
+                        THEN m.a || m.b ELSE s.s[r.pos] END)
+        FROM r{k} r JOIN s{k} s USING (w) CROSS JOIN m{k} m
+        WHERE r.pos <= r.n
+    ),
+    s{k + 1} AS MATERIALIZED (
+        SELECT w, freq, acc AS s FROM r{k} WHERE pos = n + 1
+    )""")
+    parts.append("\n    " + final.format(n=n))
+    return "".join(parts)
+
+
+_BPE_TRAIN_FINAL = "\n    UNION ALL ".join(
+    f"SELECT {k} AS merge_idx, a AS sym_a, b AS sym_b, a || b AS merged,"
+    f" cnt AS pair_count FROM m{k}"
+    for k in range(_BPE_N)
+)
+
+
+@query(
+    "text_bpe_train",
+    oracle=_bpe_oracle_sql(_BPE_N, _BPE_TRAIN_FINAL),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus: the 8 most-frequent
+    adjacent-symbol merges, learned iteratively (each round counts
+    corpus-frequency-weighted adjacent symbol pairs over the
+    vocabulary, picks the argmax with a total tiebreak, and re-segments
+    every word under the new rule). The merge table IS the tokenizer
+    artifact an LLM data pipeline persists. Spark-first shape in
+    operators/tokenize.py: the corpus collapses once to (word, freq);
+    every round is vocabulary-grain (one bounded exchange + a 1-row
+    collect + a map-only in-row fold); driver state is 8 rows. The
+    oracle unrolls the same rounds as recursive DuckDB CTEs — a wrong
+    tiebreak, a fold that mishandles same-symbol runs, or an off-by-one
+    in the pair window flips the hash."""
+    from sales_etl_spark.operators.tokenize import bpe_merge_table
+
+    st = _star(spark, sf_dir)
+    return bpe_merge_table(st.documents, "text", _BPE_N)
+
+
+@query(
+    "text_bpe_segment",
+    oracle=_bpe_oracle_sql(
+        _BPE_N,
+        f"""SELECT w, freq, CAST(len(s) AS INTEGER) AS n_syms,
+           array_to_string(s, ' ') AS seg
+    FROM s{_BPE_N}""",
+    ),
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges: every vocabulary word re-segmented
+    under the 8 trained rules, with its corpus frequency and symbol
+    count — the tokenize half of the tokenizer (per-document token
+    counts follow by joining words back to documents). Shares the
+    training pipeline with text_bpe_train; the oracle's final CTE is
+    the fully-merged vocabulary, so every learned rule's application to
+    every word (including same-symbol runs) is on the hash."""
+    from sales_etl_spark.operators.tokenize import bpe_segmented_vocab
+
+    st = _star(spark, sf_dir)
+    return bpe_segmented_vocab(st.documents, "text", _BPE_N)

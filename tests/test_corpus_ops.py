@@ -51,3 +51,61 @@ def test_quality_score_matches_python_model(spark):
     # the pseudo-weights are zero-mean: both classes occur
     keeps = {r.keep for r in out.values()}
     assert keeps == {True, False}
+
+
+def test_bpe_merge_fold_matches_reference_run_semantics(spark):
+    """The in-row merge fold must reproduce the reference BPE rule
+    (single-pass left-to-right non-overlapping, re.sub semantics) —
+    including the same-symbol-run case: 'aaaa' under merge (a,a)
+    becomes [aa, aa] (positions 1 and 3), 'aaa' becomes [aa, a], and a
+    merged tail never re-fires the rule ('ab' + 'b' with merge (a,b)
+    stays put). Pinned against a literal python re.sub reference."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.operators.tokenize import _merge_fold_sql
+
+    cases = ["aaaa", "aaa", "aa", "a", "abab", "aab", "abb", "banana"]
+    for a, b in (("a", "a"), ("a", "b"), ("an", "a")):
+        # reference: Sennrich-style single-pass sub on space-joined
+        # symbols (start from chars, except the pre-merged 'an' case)
+        for word in cases:
+            if (a, b) == ("an", "a"):
+                # apply (a,n) first so the 'an' symbol exists
+                pre = re.sub(
+                    r"(?<!\S)a n(?!\S)", "an", " ".join(word)
+                ).split()
+            else:
+                pre = list(word)
+            want = re.sub(
+                rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)",
+                a + b,
+                " ".join(pre),
+            ).split()
+            df = spark.createDataFrame([(pre,)], "s array<string>")
+            got = df.select(
+                F.expr(_merge_fold_sql(a, b)).alias("m")
+            ).collect()[0]["m"]
+            assert got == want, (a, b, word, got, want)
+
+
+def test_bpe_train_merge_table_properties(spark):
+    """Trained merges on a controlled corpus: the first merge is the
+    most frequent adjacent pair, counts are corpus-frequency weighted,
+    and re-segmentation feeds later rounds (the second merge can use
+    the symbol created by the first)."""
+    from sales_etl_spark.operators.tokenize import bpe_train
+
+    docs = spark.createDataFrame(
+        [("the thermos there",), ("the thin theory",), ("banana bandana",)],
+        "text string",
+    )
+    merges, vocab = bpe_train(docs, "text", n_merges=3)
+    vocab.unpersist()
+    assert [m[0] for m in merges] == [0, 1, 2]
+    # 'th' leads: t-h is adjacent in the/thermos/there/thin/theory
+    assert (merges[0][1], merges[0][2]) == ("t", "h")
+    assert merges[0][3] == "th" and merges[0][4] >= 5
+    # second round merges 'th'+'e' (the created symbol participates)
+    assert (merges[1][1], merges[1][2]) == ("th", "e")
