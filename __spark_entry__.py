@@ -72,6 +72,7 @@ _SWEEP_FIRST = [
     "dedup_audio_fingerprint",
     "text_bpe_train",
     "text_bpe_segment",
+    "text_bpe_token_count",
     # -- re-checks: queries whose internals round 8 touches ----------
     "ann_ivfpq_topk",  # r7 drift flag; one-process A/B + re-check
     "agg_sales_summary",  # flagship, exercised by entry()

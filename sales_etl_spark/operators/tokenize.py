@@ -166,3 +166,38 @@ def bpe_segmented_vocab(
     # the result frame still reads from the cached vocab; let the
     # cache live — it is vocabulary-sized and session-scoped
     return out
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Per-document token counts under the LEARNED segmentation:
+    (doc_id, n_words, n_tokens) where n_tokens sums each word's
+    post-merge symbol count — the production token-budget metric a
+    fixed regex heuristic (functions.text.token_count) only
+    approximates. Plan: the doc->word stream (narrow, spread like
+    every text front-end) joins the segmented vocabulary — a
+    vocabulary-sized BROADCAST at any corpus scale (the vocab is the
+    small side by construction), so the corpus never shuffles; the
+    per-doc rollup is the only corpus-grain exchange."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    merges, vocab = bpe_train(docs, text_col, n_merges)
+    sizes = vocab.select("w", F.size("s").cast("long").alias("n_syms"))
+    words = spread_narrow_input(docs.select(id_col, text_col)).select(
+        id_col,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+        ).alias("w"),
+    )
+    return (
+        words.join(F.broadcast(sizes), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+    )

@@ -2814,3 +2814,32 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     return bpe_segmented_vocab(st.documents, "text", _BPE_N)
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=_bpe_oracle_sql(
+        _BPE_N,
+        f"""SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(sN.s)) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id,
+                 lower(unnest(regexp_extract_all(text, '\\w+'))) AS w
+          FROM documents) d
+    JOIN s{_BPE_N} sN USING (w)
+    GROUP BY d.doc_id""",
+    ),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the LEARNED BPE segmentation —
+    the production token-budget metric (mix_token_budget's regex
+    heuristic, upgraded to a trained tokenizer). The doc->word stream
+    joins the segmented vocabulary as a BROADCAST (the vocab is the
+    small side at any corpus scale), so the corpus never shuffles for
+    the lookup; the per-doc rollup is the only corpus-grain exchange.
+    The oracle re-derives the same counts from the unrolled-rounds
+    pipeline's final vocabulary."""
+    from sales_etl_spark.operators.tokenize import bpe_token_counts
+
+    st = _star(spark, sf_dir)
+    return bpe_token_counts(st.documents, "doc_id", "text", _BPE_N)
