@@ -32,9 +32,10 @@ _MAX_RASTER_BYTES = 1 << 26
 #: global color table, built once.
 _GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
-#: Prototype LZW tables for the 8-bit case (the fixture path): a
-#: .copy() per reset beats rebuilding the comprehension each time.
-_ENC_DICT_256 = {bytes([i]): i for i in range(256)}
+#: Prototype LZW decode table for the 8-bit case (the fixture path):
+#: a .copy() per reset beats rebuilding the comprehension each time.
+#: (The encoder needs no prototype — its integer-keyed dictionary
+#: starts empty, base codes being implicit.)
 _DEC_LIST_256 = [bytes([i]) for i in range(256)] + [b"", b""]
 
 
@@ -63,34 +64,38 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    def fresh_dict():
-        if clear == 256:
-            return _ENC_DICT_256.copy()
-        return {bytes([i]): i for i in range(clear)}
-
+    # The dictionary keys on (prefix CODE << 8) | next byte — integer
+    # hashing instead of per-byte string concatenation (the classic
+    # LZW-encoder representation; emitted codes, and therefore output
+    # bytes, are identical to the string-keyed form). Base entries are
+    # implicit: a palette index IS its own base code.
     width = min_code_size + 1
-    table = fresh_dict()
+    table: dict[int, int] = {}
     next_code = eoi + 1
     emit(clear, width)
-    prefix = b""
+    prefix = -1  # -1 = no pending prefix
     for b in indices:
-        trial = prefix + bytes([b])
-        if trial in table:
-            prefix = trial
+        if prefix < 0:
+            prefix = b
             continue
-        emit(table[prefix], width)
-        table[trial] = next_code
+        key = (prefix << 8) | b
+        got = table.get(key)
+        if got is not None:
+            prefix = got
+            continue
+        emit(prefix, width)
+        table[key] = next_code
         next_code += 1
         if next_code > (1 << width):
             width += 1
         if width > 12:
             emit(clear, 12)
-            table = fresh_dict()
+            table = {}
             next_code = eoi + 1
             width = min_code_size + 1
-        prefix = bytes([b])
-    if prefix:
-        emit(table[prefix], width)
+        prefix = b
+    if prefix >= 0:
+        emit(prefix, width)
         # The decoder appends one table entry per code read (except
         # the first after a CLEAR), INCLUDING this final flush code —
         # which has no paired add on our side. Mirror that phantom
@@ -117,19 +122,7 @@ def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
     pos = 0
     acc = 0
     nbits = 0
-
-    def read(width: int) -> int:
-        nonlocal pos, acc, nbits
-        while nbits < width:
-            if pos >= len(data):
-                raise ValueError("LZW stream truncated")
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        v = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        return v
+    n_data = len(data)
 
     def fresh_table() -> list:
         if clear == 256:
@@ -138,13 +131,25 @@ def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
 
     out = bytearray()
     width = min_code_size + 1
+    mask = (1 << width) - 1
     table = fresh_table()
     prev: bytes | None = None
     while True:
-        code = read(width)
+        # bit read inlined: one function call per code dominated the
+        # kernel profile (~85 codes/image at fixture scale)
+        while nbits < width:
+            if pos >= n_data:
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & mask
+        acc >>= width
+        nbits -= width
         if code == clear:
             table = fresh_table()
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == eoi:
@@ -174,6 +179,7 @@ def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
         # the encoder's latest entry, which needs the wider code.
         if len(table) >= (1 << width) and width < 12:
             width += 1
+            mask = (1 << width) - 1
         prev = entry
     return bytes(out)
 
