@@ -73,9 +73,31 @@ _SWEEP_FIRST = [
     "text_bpe_train",
     "text_bpe_segment",
     "text_bpe_token_count",
-    # -- re-checks: queries whose internals round 8 touches ----------
+    # -- re-checks: queries whose internals round 8 touched ----------
     "ann_ivfpq_topk",  # r7 drift flag; one-process A/B + re-check
     "agg_sales_summary",  # flagship, exercised by entry()
+    # the conditional narrow-input spread (operators/skew.py) changed
+    # these queries' physical plans; all hold older green rows, and
+    # all re-verified bit-exact at sf0.01 this session — the driver
+    # row refreshes the hard signal for the new plan shape
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_cluster_resolve",
+    "dedup_cluster_weights",
+    "dedup_substring_span",
+    "dedup_semantic",
+    "dedup_paragraphs",
+    "dedup_incremental_pairs_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_lsh_incremental",
+    "decontam_overlap",
+    "corpus_overlap_matrix",
+    "search_ndcg_eval",
+    # the vectorized JPEG/GIF codecs and the fixture spread also feed
+    # the PNG-kernel queries (shared fingerprint helpers)
+    "media_png_decode",
+    "media_png_resize",
 ]
 
 
