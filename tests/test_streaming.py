@@ -1268,3 +1268,68 @@ def test_stream_audio_fingerprint_kernel_equals_batch(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM afp_stream").collect()
     }
     assert got == batch and len(got) == 50
+
+
+def test_stream_bpe_segmentation_equals_batch(spark, tmp_path):
+    """The BPE APPLY half is stateless once the merge table is
+    trained (the rules enter the plan as literals), so segmenting a
+    stream of documents must equal the batch segmentation — train on
+    the batch corpus, apply to a file-source stream of the same docs.
+    At 100 TB this is the production split: train once offline,
+    tokenize continuously on ingest."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.operators.tokenize import (
+        _merge_fold_sql,
+        bpe_train,
+    )
+
+    docs = load_star(spark, SF_DIR).table("documents").limit(80)
+    path = str(tmp_path / "docs_bpe_stream")
+    docs.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    merges, vocab = bpe_train(spark.read.parquet(path), "text", 4)
+    vocab.unpersist()
+
+    def segment(df):
+        words = df.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '\\\\w+', 0)")
+            ).alias("w"),
+        ).select(
+            "doc_id",
+            "w",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("s"),
+        )
+        for _, a, b, _, _ in merges:  # learned rules as literals
+            words = words.select(
+                "doc_id", "w", F.expr(_merge_fold_sql(a, b)).alias("s")
+            )
+        return words.select(
+            "doc_id", "w", F.array_join("s", " ").alias("seg")
+        )
+
+    batch = sorted(
+        tuple(r) for r in segment(spark.read.parquet(path)).collect()
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        path
+    )
+    q = (
+        segment(stream)
+        .writeStream.format("memory")
+        .queryName("bpe_stream_seg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM bpe_stream_seg").collect()
+    )
+    assert got == batch and len(got) > 0
