@@ -144,11 +144,16 @@ def _parse_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                 (geom[0], geom[1]) = struct.unpack(
                     "<2I", data[pos + 40 : pos + 48]
                 )
-            elif cid == b"strh" and size >= 56:
+            elif cid == b"strh":
+                # EVERY strh advances the positional stream index —
+                # a short foreign header must still count, or every
+                # later stream is matched against the wrong NN prefix
                 stream_idx = streams[0]
                 streams[0] += 1
-                if data[pos + 8 : pos + 12] != b"vids":
+                if size < 4 or data[pos + 8 : pos + 12] != b"vids":
                     pass  # non-video stream headers are fine to skip
+                elif size < 56:
+                    raise ValueError("truncated vids strh")
                 elif data[pos + 12 : pos + 16] != b"MJPG":
                     raise ValueError("video stream is not MJPG")
                 elif streams[1] is not None:

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sales_etl_spark.functions.text import WORD_RE, tokens
+
 
 def word_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, freq, s) vocabulary: lowercase ``\\w+`` words with corpus
@@ -54,9 +56,7 @@ def word_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from sales_etl_spark.operators.skew import spread_narrow_input
 
     words = spread_narrow_input(docs.select(text_col)).select(
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
-        ).alias("w")
+        F.explode(tokens(F.lower(F.col(text_col)), WORD_RE)).alias("w")
     )
     vocab = words.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
@@ -99,6 +99,7 @@ def bpe_train(
     re-segmented under every learned rule."""
     vocab = word_vocabulary(docs, text_col).cache()
     merges: list[tuple] = []
+    live = [vocab]  # every frame still cached; drained on error
     try:
         for k in range(n_merges):
             pairs = vocab.filter(F.size("s") >= 2).select(
@@ -125,12 +126,15 @@ def bpe_train(
             nxt = vocab.select(
                 "w", "freq", F.expr(_merge_fold_sql(a, b)).alias("s")
             ).cache()
+            live.append(nxt)
             nxt.count()  # materialize before dropping the parent
             vocab.unpersist()
+            live.remove(vocab)
             vocab = nxt
         return merges, vocab
     except Exception:
-        vocab.unpersist()
+        for df in live:  # drain BOTH frames if a round died mid-swap
+            df.unpersist()
         raise
 
 
@@ -163,8 +167,11 @@ def bpe_segmented_vocab(
         F.size("s").cast("int").alias("n_syms"),
         F.array_join("s", " ").alias("seg"),
     )
-    # the result frame still reads from the cached vocab; let the
-    # cache live — it is vocabulary-sized and session-scoped
+    # release the training cache: the returned plan recomputes its
+    # (one corpus groupBy + N map-only folds) lineage when executed —
+    # leak-free beats saving one vocabulary-sized scan, and repeated
+    # builds in one session no longer pin dead frames
+    vocab.unpersist()
     return out
 
 
@@ -187,11 +194,10 @@ def bpe_token_counts(
 
     merges, vocab = bpe_train(docs, text_col, n_merges)
     sizes = vocab.select("w", F.size("s").cast("long").alias("n_syms"))
+    vocab.unpersist()  # same leak-free contract as bpe_segmented_vocab
     words = spread_narrow_input(docs.select(id_col, text_col)).select(
         id_col,
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
-        ).alias("w"),
+        F.explode(tokens(F.lower(F.col(text_col)), WORD_RE)).alias("w"),
     )
     return (
         words.join(F.broadcast(sizes), "w")

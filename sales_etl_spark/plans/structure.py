@@ -2720,7 +2720,7 @@ def _bpe_oracle_sql(n: int, final: str) -> str:
     segmented vocabulary from the shared pipeline."""
     parts = [
         """WITH RECURSIVE words AS (
-        SELECT lower(unnest(regexp_extract_all(text, '\\w+'))) AS w
+        SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS w
         FROM documents
     ),
     v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w),
@@ -2824,7 +2824,7 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(sN.s)) AS BIGINT) AS n_tokens
     FROM (SELECT doc_id,
-                 lower(unnest(regexp_extract_all(text, '\\w+'))) AS w
+                 unnest(regexp_extract_all(lower(text), '\\w+')) AS w
           FROM documents) d
     JOIN s{_BPE_N} sN USING (w)
     GROUP BY d.doc_id""",

@@ -971,3 +971,51 @@ def test_chirp_wav_fixture_and_audio_fingerprint_semantics(spark):
             by_band.setdefault(r["band_idx"], []).append(r["n_clips"])
         for band in range(4):
             assert max(by_band.get(band, [0])) >= g, (band, g)
+
+
+def test_avi_short_foreign_strh_still_counts_in_stream_index():
+    """A foreign stream whose strh is SHORT (<56 bytes) must still
+    advance the positional stream index — otherwise the following
+    MJPG stream is matched against the wrong NN prefix and every
+    valid frame silently drops. A short VIDS strh raises instead."""
+    import struct
+
+    from sales_etl_spark.operators.avi import (
+        _chunk,
+        _list,
+        parse_avi_mjpeg,
+    )
+
+    def full_strh(fcc_type: bytes, handler: bytes) -> bytes:
+        return _chunk(
+            b"strh",
+            fcc_type + handler + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0, 1, 25, 0, 1, 64, 0xFFFFFFFF, 0, 0, 0, 16, 8,
+            ),
+        )
+
+    avih = struct.pack(
+        "<14I", 40_000, 64 * 25, 0, 0x10, 1, 0, 2, 64, 16, 8, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", b"auds"))  # short foreign strh
+        + _list(b"strl", full_strh(b"vids", b"MJPG")),
+    )
+    movi = _list(b"movi", _chunk(b"01dc", b"frameX"))
+    body = b"AVI " + hdrl + movi
+    w, h, fps, frames = parse_avi_mjpeg(
+        b"RIFF" + struct.pack("<I", len(body)) + body
+    )
+    assert frames == [b"frameX"] and (w, h, fps) == (16, 8, 25)
+
+    bad_hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", b"vids" + b"MJPG")),  # short
+    )
+    body2 = b"AVI " + bad_hdrl + movi
+    with pytest.raises(ValueError, match="truncated vids strh"):
+        parse_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body2)) + body2)

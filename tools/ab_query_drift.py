@@ -92,9 +92,10 @@ def main() -> None:
 
     out = {"calibration": cal, "sf_dir": sf_dir, "pin": str(PIN),
            "queries": {}}
+    from statistics import median as med
+
     for q in queries:
         h, p = min(times[q]["head"]), min(times[q]["pin"])
-        med = lambda xs: sorted(xs)[len(xs) // 2]
         out["queries"][q] = {
             "head_min": h, "pin_min": p,
             "head_median": med(times[q]["head"]),
