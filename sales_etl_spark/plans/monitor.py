@@ -1880,9 +1880,51 @@ def media_header_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png.unionByName(jpeg).unionByName(gif)
 
 
-@query(
-    "dedup_image_phash",
-    oracle=f"""
+def _phash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, hash_lo, hash_hi) — the aHash halves over every
+    fixture PNG (decode, 8x8 nearest-neighbor thumbnail, mean
+    threshold by integer cross-multiplication, 32-bit packs). The
+    shared front half of dedup_image_phash (bucket profile) and
+    dedup_phash_pairs (exact Hamming verify)."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_png(st.documents)
+    thumbs = multimodal.png_thumbnails(media, _THUMB, _THUMB)
+    s = F.aggregate(
+        "thumb",
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x.cast("bigint"),
+    )
+    t = thumbs.select("media_id", "thumb", s.alias("s"))
+
+    pow2 = F.array(
+        *[F.lit(1 << k).cast("bigint") for k in range(32)]
+    )
+
+    def packed_half(start: int):
+        bits = F.zip_with(
+            F.slice("thumb", start, 32),
+            pow2,
+            lambda v, p: F.when(
+                v.cast("bigint") * 64 >= F.col("s"), p
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
+
+    return t.select(
+        "media_id",
+        packed_half(1).alias("hash_lo"),
+        packed_half(33).alias("hash_hi"),
+    )
+
+
+#: Shared oracle prefix of the perceptual-image tier: the closed-form
+#: thumbnail, aHash halves and 16-bit band explosion that both the
+#: bucket-profile query and the pair-verify query build on.
+_PHASH_ORACLE_PREFIX = f"""
     WITH geom AS (
         SELECT doc_id, n_chars,
                4 + doc_id % 13 AS w,
@@ -1923,7 +1965,12 @@ def media_header_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, 2, hash_hi % 65536 FROM halves
         UNION ALL
         SELECT doc_id, 3, hash_hi // 65536 FROM halves
-    )
+    )"""
+
+
+@query(
+    "dedup_image_phash",
+    oracle=f"""{_PHASH_ORACLE_PREFIX}
     SELECT CAST(band_idx AS INTEGER) AS band_idx,
            CAST(band_val AS BIGINT) AS band_val,
            CAST(COUNT(*) AS BIGINT) AS n_images,
@@ -1948,40 +1995,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and the only exchange is the band groupBy. Hash math stays
     NATIVE past the decode kernel: aggregate folds for Σv and the
     bit-pack, shiftleft on zip_with indices, posexplode for bands."""
-    from sales_etl_spark.operators import multimodal
-
-    st = _star(spark, sf_dir)
-    media = multimodal.documents_as_png(st.documents)
-    thumbs = multimodal.png_thumbnails(media, _THUMB, _THUMB)
-    s = F.aggregate(
-        "thumb",
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x.cast("bigint"),
-    )
-    t = thumbs.select("media_id", "thumb", s.alias("s"))
-
-    pow2 = F.array(
-        *[F.lit(1 << k).cast("bigint") for k in range(32)]
-    )
-
-    def packed_half(start: int):
-        bits = F.zip_with(
-            F.slice("thumb", start, 32),
-            pow2,
-            lambda v, p: F.when(
-                v.cast("bigint") * 64 >= F.col("s"), p
-            ).otherwise(F.lit(0).cast("bigint")),
-        )
-        return F.aggregate(
-            bits, F.lit(0).cast("bigint"), lambda a, x: a + x
-        )
-
-    hashed = t.select(
-        "media_id",
-        packed_half(1).alias("hash_lo"),
-        packed_half(33).alias("hash_hi"),
-    )
-    bands = hashed.select(
+    bands = _phash_hashed(spark, sf_dir).select(
         "media_id",
         F.posexplode(
             F.array(
@@ -2003,6 +2017,107 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * (n - F.lit(1)) / F.lit(2)).cast("bigint").alias("n_pairs"),
         )
         .filter(F.col("n_images") >= 2)
+    )
+
+
+_PHASH_PAIR_CAP = 64    #: band buckets larger than this are dropped
+_PHASH_MAX_HAMMING = 6  #: exact near-dup verification threshold
+
+
+@query(
+    "dedup_phash_pairs",
+    oracle=f"""{_PHASH_ORACLE_PREFIX},
+    bc AS (
+        SELECT band_idx, band_val, COUNT(*) AS c
+        FROM bands GROUP BY band_idx, band_val
+    ),
+    kept AS (
+        SELECT b.doc_id, b.band_idx, b.band_val
+        FROM bands b JOIN bc USING (band_idx, band_val)
+        WHERE bc.c <= {_PHASH_PAIR_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.media_a, c.media_b,
+           CAST(bit_count(xor(ha.hash_lo, hb.hash_lo))
+                + bit_count(xor(ha.hash_hi, hb.hash_hi)) AS INTEGER)
+               AS hamming
+    FROM cand c
+    JOIN halves ha ON c.media_a = ha.doc_id
+    JOIN halves hb ON c.media_b = hb.doc_id
+    WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
+          + bit_count(xor(ha.hash_hi, hb.hash_hi))
+          <= {_PHASH_MAX_HAMMING}
+    """,
+)
+def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY half of perceptual image dedup — the banded tier's
+    candidate buckets (dedup_image_phash) resolved to exact
+    near-duplicate pairs: images sharing >= 1 LSH band whose full
+    64-bit aHashes differ in <= 6 bits. Completes
+    the LSH ladder the text tier already has (simhash_pairs: band ->
+    exact Hamming) for the image modality. Scale shape: band buckets
+    above 64 images are dropped before the pair join
+    (boilerplate-grade near-constant images carry no discriminating
+    power — the dedup_by_df_cap contract applied to perceptual
+    buckets), so the self-join is pair-quadratic only within capped
+    buckets; hashes ride the band frame, the Hamming check is two
+    codegen bit_count(XOR)s, and candidate pairs dedupe with one
+    DISTINCT before verification so a pair colliding in several bands
+    verifies once."""
+    hashed = _phash_hashed(spark, sf_dir)
+    bands = hashed.select(
+        "media_id",
+        "hash_lo",
+        "hash_hi",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo") % 65536,
+                (F.col("hash_lo") / 65536).cast("bigint"),
+                F.col("hash_hi") % 65536,
+                (F.col("hash_hi") / 65536).cast("bigint"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _PHASH_PAIR_CAP)
+        .select("band_idx", "band_val")
+    )
+    kept = bands.join(
+        F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("b.hash_lo").alias("lo_b"),
+            F.col("b.hash_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.select("media_a", "media_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
 
 

@@ -1019,3 +1019,31 @@ def test_avi_short_foreign_strh_still_counts_in_stream_index():
     body2 = b"AVI " + bad_hdrl + movi
     with pytest.raises(ValueError, match="truncated vids strh"):
         parse_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_phash_pairs_verify_contract(spark):
+    """dedup_phash_pairs: every emitted pair is ordered (a < b),
+    verified (hamming <= 6), and consistent with the full hashes —
+    recomputing the two aHashes for a sample of pairs reproduces the
+    reported Hamming distance exactly."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.plans.monitor import _phash_hashed
+
+    sf = "/root/testdata/sf0.001"
+    pairs = QUERY_REGISTRY["dedup_phash_pairs"].builder(spark, sf)
+    rows = pairs.limit(2000).collect()
+    assert rows, "no verified pairs at sf0.001"
+    assert all(r["media_a"] < r["media_b"] for r in rows)
+    assert all(0 <= r["hamming"] <= 6 for r in rows)
+
+    hashes = {
+        r["media_id"]: (r["hash_lo"], r["hash_hi"])
+        for r in _phash_hashed(spark, sf).collect()
+    }
+    for r in rows[:50]:
+        lo_a, hi_a = hashes[r["media_a"]]
+        lo_b, hi_b = hashes[r["media_b"]]
+        want = bin((lo_a ^ lo_b)).count("1") + bin((hi_a ^ hi_b)).count("1")
+        assert want == r["hamming"], (r, want)
