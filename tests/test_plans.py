@@ -362,6 +362,9 @@ _PYTHON_OK = {
     # audio sibling: PCM decode kernel; window energies, the
     # energy-envelope aHash bit-pack and band groupBy are native
     "dedup_audio_fingerprint",
+    # same PNG decode kernels as dedup_image_phash; the band join and
+    # bit_count(XOR) Hamming verify are native
+    "dedup_phash_pairs",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
