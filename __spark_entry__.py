@@ -74,6 +74,7 @@ _SWEEP_FIRST = [
     "text_bpe_segment",
     "text_bpe_token_count",
     "dedup_phash_pairs",
+    "dedup_audio_pairs",
     # -- re-checks: queries whose internals round 8 touched ----------
     "ann_ivfpq_topk",  # r7 drift flag; one-process A/B + re-check
     "agg_sales_summary",  # flagship, exercised by entry()

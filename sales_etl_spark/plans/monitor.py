@@ -2126,9 +2126,61 @@ def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AFP_W = 64
 
 
-@query(
-    "dedup_audio_fingerprint",
-    oracle=f"""
+def _afp_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, hash_lo, hash_hi) — the energy-envelope aHash
+    halves over every chirp-fixture clip (real PCM decode, 64
+    window energies, mean-threshold bits). Shared front half of
+    dedup_audio_fingerprint (bucket profile) and
+    dedup_audio_pairs (exact Hamming verify)."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_chirp_wav(st.documents)
+    pcm = multimodal.wav_pcm_samples(media)
+    W = _AFP_W
+    ener = F.expr(f"""
+        transform(sequence(0, {W - 1}), w -> aggregate(
+            slice(samples, CAST((w * size(samples)) DIV {W} AS INT) + 1,
+                  CAST(((w + 1) * size(samples)) DIV {W} AS INT)
+                  - CAST((w * size(samples)) DIV {W} AS INT)),
+            CAST(0 AS BIGINT),
+            (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+    """).alias("e")
+    cnt = F.expr(f"""
+        transform(sequence(0, {W - 1}), w ->
+            CAST(((w + 1) * size(samples)) DIV {W} AS BIGINT)
+            - CAST((w * size(samples)) DIV {W} AS BIGINT))
+    """).alias("cnt")
+    t = pcm.select(
+        "media_id",
+        ener,
+        cnt,
+        F.expr(
+            "aggregate(samples, CAST(0 AS BIGINT), "
+            "(a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("te"),
+        F.size("samples").cast("bigint").alias("tc"),
+    )
+
+    def packed_half(lo_bit: int) -> F.Column:
+        return F.expr(f"""
+            aggregate(sequence({lo_bit}, {lo_bit + 31}),
+                CAST(0 AS BIGINT), (a, w) ->
+                a + IF(e[w] * tc > te * cnt[w],
+                       shiftleft(CAST(1 AS BIGINT), w - {lo_bit}),
+                       CAST(0 AS BIGINT)))
+        """)
+
+    return t.select(
+        "media_id",
+        packed_half(0).alias("hash_lo"),
+        packed_half(32).alias("hash_hi"),
+    )
+
+
+#: Shared oracle prefix of the perceptual-audio tier (chirp fixture,
+#: window energies, mean-threshold halves, 16-bit bands).
+_AFP_ORACLE_PREFIX = f"""
     WITH geom AS (
         SELECT doc_id, n_chars, 100 + n_chars % 400 AS n
         FROM documents
@@ -2169,7 +2221,12 @@ _AFP_W = 64
         UNION ALL SELECT doc_id, 1, hash_lo // 65536 FROM halves
         UNION ALL SELECT doc_id, 2, hash_hi % 65536 FROM halves
         UNION ALL SELECT doc_id, 3, hash_hi // 65536 FROM halves
-    )
+    )"""
+
+
+@query(
+    "dedup_audio_fingerprint",
+    oracle=f"""{_AFP_ORACLE_PREFIX}
     SELECT CAST(band_idx AS INTEGER) AS band_idx,
            CAST(band_val AS BIGINT) AS band_val,
            CAST(COUNT(*) AS BIGINT) AS n_clips,
@@ -2195,51 +2252,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled per bucket (never materialized quadratically), the band
     groupBy is the only media-data exchange, and everything past the
     Arrow decode kernel is native higher-order-function folds."""
-    from sales_etl_spark.operators import multimodal
-
-    st = _star(spark, sf_dir)
-    media = multimodal.documents_as_chirp_wav(st.documents)
-    pcm = multimodal.wav_pcm_samples(media)
-    W = _AFP_W
-    ener = F.expr(f"""
-        transform(sequence(0, {W - 1}), w -> aggregate(
-            slice(samples, CAST((w * size(samples)) DIV {W} AS INT) + 1,
-                  CAST(((w + 1) * size(samples)) DIV {W} AS INT)
-                  - CAST((w * size(samples)) DIV {W} AS INT)),
-            CAST(0 AS BIGINT),
-            (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT)))
-    """).alias("e")
-    cnt = F.expr(f"""
-        transform(sequence(0, {W - 1}), w ->
-            CAST(((w + 1) * size(samples)) DIV {W} AS BIGINT)
-            - CAST((w * size(samples)) DIV {W} AS BIGINT))
-    """).alias("cnt")
-    t = pcm.select(
-        "media_id",
-        ener,
-        cnt,
-        F.expr(
-            "aggregate(samples, CAST(0 AS BIGINT), "
-            "(a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
-        ).alias("te"),
-        F.size("samples").cast("bigint").alias("tc"),
-    )
-
-    def packed_half(lo_bit: int) -> F.Column:
-        return F.expr(f"""
-            aggregate(sequence({lo_bit}, {lo_bit + 31}),
-                CAST(0 AS BIGINT), (a, w) ->
-                a + IF(e[w] * tc > te * cnt[w],
-                       shiftleft(CAST(1 AS BIGINT), w - {lo_bit}),
-                       CAST(0 AS BIGINT)))
-        """)
-
-    hashed = t.select(
-        "media_id",
-        packed_half(0).alias("hash_lo"),
-        packed_half(32).alias("hash_hi"),
-    )
-    bands = hashed.select(
+    bands = _afp_hashed(spark, sf_dir).select(
         "media_id",
         F.posexplode(
             F.array(
@@ -2261,6 +2274,103 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * (n - F.lit(1)) / F.lit(2)).cast("bigint").alias("n_pairs"),
         )
         .filter(F.col("n_clips") >= 2)
+    )
+
+
+_AFP_PAIR_CAP = 64     #: band buckets larger than this are dropped
+_AFP_MAX_HAMMING = 6   #: exact near-dup verification threshold
+
+
+@query(
+    "dedup_audio_pairs",
+    oracle=f"""{_AFP_ORACLE_PREFIX},
+    bc AS (
+        SELECT band_idx, band_val, COUNT(*) AS c
+        FROM bands GROUP BY band_idx, band_val
+    ),
+    kept AS (
+        SELECT b.doc_id, b.band_idx, b.band_val
+        FROM bands b JOIN bc USING (band_idx, band_val)
+        WHERE bc.c <= {_AFP_PAIR_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.media_a, c.media_b,
+           CAST(bit_count(xor(ha.hash_lo, hb.hash_lo))
+                + bit_count(xor(ha.hash_hi, hb.hash_hi)) AS INTEGER)
+               AS hamming
+    FROM cand c
+    JOIN halves ha ON c.media_a = ha.doc_id
+    JOIN halves hb ON c.media_b = hb.doc_id
+    WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
+          + bit_count(xor(ha.hash_hi, hb.hash_hi))
+          <= {_AFP_MAX_HAMMING}
+    """,
+)
+def dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY half of perceptual audio dedup — the mirror of
+    dedup_phash_pairs over the energy-envelope fingerprints: clips
+    sharing >= 1 LSH band whose full 64-bit hashes differ in <= 6
+    bits, band buckets above 64 clips dropped before the pair join.
+    With this, BOTH perceptual modalities carry the full
+    candidate-generation -> exact-verification ladder the text tier's
+    simhash_pairs established; all three share the plan shape (band
+    groupBy-join the only data exchange, Hamming as two codegen
+    bit_count XORs, one DISTINCT so multi-band collisions verify
+    once)."""
+    hashed = _afp_hashed(spark, sf_dir)
+    bands = hashed.select(
+        "media_id",
+        "hash_lo",
+        "hash_hi",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo") % 65536,
+                (F.col("hash_lo") / 65536).cast("bigint"),
+                F.col("hash_hi") % 65536,
+                (F.col("hash_hi") / 65536).cast("bigint"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _AFP_PAIR_CAP)
+        .select("band_idx", "band_val")
+    )
+    kept = bands.join(
+        F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("b.hash_lo").alias("lo_b"),
+            F.col("b.hash_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.select("media_a", "media_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AFP_MAX_HAMMING)
     )
 
 

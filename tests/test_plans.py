@@ -365,6 +365,8 @@ _PYTHON_OK = {
     # same PNG decode kernels as dedup_image_phash; the band join and
     # bit_count(XOR) Hamming verify are native
     "dedup_phash_pairs",
+    # same PCM decode kernel as dedup_audio_fingerprint; native verify
+    "dedup_audio_pairs",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
