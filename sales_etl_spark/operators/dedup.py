@@ -1027,3 +1027,76 @@ def scrub_hot_lines(
         )
         .withColumnRenamed("doc", id_col)
     )
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    cap: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Shared verify half of the perceptual dedup tiers: from a
+    (id, hash_lo, hash_hi) 64-bit fingerprint frame, emit the ordered
+    pairs sharing at least one 16-bit LSH band whose FULL hashes
+    differ in ≤ ``max_hamming`` bits — :func:`simhash_pairs`' ladder
+    restated over split-half hashes (dedup_phash_pairs and
+    dedup_audio_pairs both build on this, so a threshold or cap tweak
+    lands in one place).
+
+    Band buckets holding more than ``cap`` members are dropped before
+    the pair join (near-constant media carry no discriminating power —
+    the dedup_by_df_cap contract applied to perceptual buckets), so
+    the self-join is pair-quadratic only within capped buckets. The
+    hot-bucket anti-join is left to the optimizer (AQE broadcasts it
+    while it is small; at corpus scale the drop list can reach ~4N/cap
+    rows and must be allowed to shuffle). The banded frame is cached —
+    its lineage includes the decode kernel and feeds the bucket count
+    plus both join sides (the simhash_pairs precedent); DISTINCT
+    before the Hamming filter so a pair colliding in several bands
+    verifies once."""
+    bands = hashed.select(
+        F.col(id_col),
+        "hash_lo",
+        "hash_hi",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo") % 65536,
+                (F.col("hash_lo") / 65536).cast("bigint"),
+                F.col("hash_hi") % 65536,
+                (F.col("hash_hi") / 65536).cast("bigint"),
+            )
+        ).alias("band_idx", "band_val"),
+    ).cache()
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > cap)
+        .select("band_idx", "band_val")
+    )
+    kept = bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("media_a"),
+            F.col(f"b.{id_col}").alias("media_b"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("b.hash_lo").alias("lo_b"),
+            F.col("b.hash_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return cand.select(
+        "media_a", "media_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -2020,13 +2020,17 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_PAIR_CAP = 64    #: band buckets larger than this are dropped
-_PHASH_MAX_HAMMING = 6  #: exact near-dup verification threshold
+_PAIR_CAP = 64      #: band buckets larger than this are dropped
+_PAIR_MAX_HAMMING = 6  #: exact near-dup verification threshold
 
 
-@query(
-    "dedup_phash_pairs",
-    oracle=f"""{_PHASH_ORACLE_PREFIX},
+def _banded_pairs_oracle_suffix() -> str:
+    """Shared oracle tail of the perceptual pair-verify queries: cap
+    hot band buckets, distinct ordered candidates, exact Hamming over
+    the full 64-bit hash (both modalities' prefixes end in identical
+    `halves`/`bands` CTEs, so one suffix serves both — a threshold
+    tweak lands in exactly one place per engine)."""
+    return f""",
     bc AS (
         SELECT band_idx, band_val, COUNT(*) AS c
         FROM bands GROUP BY band_idx, band_val
@@ -2034,7 +2038,7 @@ _PHASH_MAX_HAMMING = 6  #: exact near-dup verification threshold
     kept AS (
         SELECT b.doc_id, b.band_idx, b.band_val
         FROM bands b JOIN bc USING (band_idx, band_val)
-        WHERE bc.c <= {_PHASH_PAIR_CAP}
+        WHERE bc.c <= {_PAIR_CAP}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
@@ -2051,73 +2055,31 @@ _PHASH_MAX_HAMMING = 6  #: exact near-dup verification threshold
     JOIN halves hb ON c.media_b = hb.doc_id
     WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
           + bit_count(xor(ha.hash_hi, hb.hash_hi))
-          <= {_PHASH_MAX_HAMMING}
-    """,
+          <= {_PAIR_MAX_HAMMING}
+    """
+
+
+@query(
+    "dedup_phash_pairs",
+    oracle=_PHASH_ORACLE_PREFIX + _banded_pairs_oracle_suffix(),
 )
 def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VERIFY half of perceptual image dedup — the banded tier's
     candidate buckets (dedup_image_phash) resolved to exact
     near-duplicate pairs: images sharing >= 1 LSH band whose full
-    64-bit aHashes differ in <= 6 bits. Completes
-    the LSH ladder the text tier already has (simhash_pairs: band ->
-    exact Hamming) for the image modality. Scale shape: band buckets
-    above 64 images are dropped before the pair join
-    (boilerplate-grade near-constant images carry no discriminating
-    power — the dedup_by_df_cap contract applied to perceptual
-    buckets), so the self-join is pair-quadratic only within capped
-    buckets; hashes ride the band frame, the Hamming check is two
-    codegen bit_count(XOR)s, and candidate pairs dedupe with one
-    DISTINCT before verification so a pair colliding in several bands
-    verifies once."""
-    hashed = _phash_hashed(spark, sf_dir)
-    bands = hashed.select(
-        "media_id",
-        "hash_lo",
-        "hash_hi",
-        F.posexplode(
-            F.array(
-                F.col("hash_lo") % 65536,
-                (F.col("hash_lo") / 65536).cast("bigint"),
-                F.col("hash_hi") % 65536,
-                (F.col("hash_hi") / 65536).cast("bigint"),
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    hot = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > _PHASH_PAIR_CAP)
-        .select("band_idx", "band_val")
-    )
-    kept = bands.join(
-        F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
-    )
-    a = kept.alias("a")
-    b = kept.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("a.hash_lo").alias("lo_a"),
-            F.col("a.hash_hi").alias("hi_a"),
-            F.col("b.hash_lo").alias("lo_b"),
-            F.col("b.hash_hi").alias("hi_b"),
-        )
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
-    return (
-        cand.select("media_a", "media_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    64-bit aHashes differ in <= 6 bits. Completes the LSH ladder the
+    text tier already has (simhash_pairs: band -> exact Hamming) for
+    the image modality. Plan and scale notes in the shared operator
+    (operators/dedup.py:banded_hamming_pairs): DF-capped buckets, the
+    banded frame cached across its three consumers, the hot-bucket
+    anti-join left to AQE, Hamming as two codegen bit_count XORs,
+    DISTINCT so multi-band collisions verify once."""
+    from sales_etl_spark.operators import dedup
+
+    return dedup.banded_hamming_pairs(
+        _phash_hashed(spark, sf_dir),
+        cap=_PAIR_CAP,
+        max_hamming=_PAIR_MAX_HAMMING,
     )
 
 
@@ -2277,100 +2239,26 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AFP_PAIR_CAP = 64     #: band buckets larger than this are dropped
-_AFP_MAX_HAMMING = 6   #: exact near-dup verification threshold
-
-
 @query(
     "dedup_audio_pairs",
-    oracle=f"""{_AFP_ORACLE_PREFIX},
-    bc AS (
-        SELECT band_idx, band_val, COUNT(*) AS c
-        FROM bands GROUP BY band_idx, band_val
-    ),
-    kept AS (
-        SELECT b.doc_id, b.band_idx, b.band_val
-        FROM bands b JOIN bc USING (band_idx, band_val)
-        WHERE bc.c <= {_AFP_PAIR_CAP}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
-        FROM kept a JOIN kept b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    )
-    SELECT c.media_a, c.media_b,
-           CAST(bit_count(xor(ha.hash_lo, hb.hash_lo))
-                + bit_count(xor(ha.hash_hi, hb.hash_hi)) AS INTEGER)
-               AS hamming
-    FROM cand c
-    JOIN halves ha ON c.media_a = ha.doc_id
-    JOIN halves hb ON c.media_b = hb.doc_id
-    WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
-          + bit_count(xor(ha.hash_hi, hb.hash_hi))
-          <= {_AFP_MAX_HAMMING}
-    """,
+    oracle=_AFP_ORACLE_PREFIX + _banded_pairs_oracle_suffix(),
 )
 def dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VERIFY half of perceptual audio dedup — the mirror of
     dedup_phash_pairs over the energy-envelope fingerprints: clips
     sharing >= 1 LSH band whose full 64-bit hashes differ in <= 6
-    bits, band buckets above 64 clips dropped before the pair join.
-    With this, BOTH perceptual modalities carry the full
+    bits. With this, BOTH perceptual modalities carry the full
     candidate-generation -> exact-verification ladder the text tier's
-    simhash_pairs established; all three share the plan shape (band
-    groupBy-join the only data exchange, Hamming as two codegen
-    bit_count XORs, one DISTINCT so multi-band collisions verify
-    once)."""
-    hashed = _afp_hashed(spark, sf_dir)
-    bands = hashed.select(
-        "media_id",
-        "hash_lo",
-        "hash_hi",
-        F.posexplode(
-            F.array(
-                F.col("hash_lo") % 65536,
-                (F.col("hash_lo") / 65536).cast("bigint"),
-                F.col("hash_hi") % 65536,
-                (F.col("hash_hi") / 65536).cast("bigint"),
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    hot = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > _AFP_PAIR_CAP)
-        .select("band_idx", "band_val")
-    )
-    kept = bands.join(
-        F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
-    )
-    a = kept.alias("a")
-    b = kept.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("a.hash_lo").alias("lo_a"),
-            F.col("a.hash_hi").alias("hi_a"),
-            F.col("b.hash_lo").alias("lo_b"),
-            F.col("b.hash_hi").alias("hi_b"),
-        )
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
-    return (
-        cand.select("media_a", "media_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _AFP_MAX_HAMMING)
+    simhash_pairs established; all three share ONE implementation
+    (operators/dedup.py:banded_hamming_pairs) and the two oracles
+    share one verification suffix, so a threshold tweak cannot
+    diverge across modalities."""
+    from sales_etl_spark.operators import dedup
+
+    return dedup.banded_hamming_pairs(
+        _afp_hashed(spark, sf_dir),
+        cap=_PAIR_CAP,
+        max_hamming=_PAIR_MAX_HAMMING,
     )
 
 

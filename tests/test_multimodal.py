@@ -1047,3 +1047,55 @@ def test_phash_pairs_verify_contract(spark):
         lo_b, hi_b = hashes[r["media_b"]]
         want = bin((lo_a ^ lo_b)).count("1") + bin((hi_a ^ hi_b)).count("1")
         assert want == r["hamming"], (r, want)
+
+
+def test_audio_pairs_verify_contract(spark):
+    """dedup_audio_pairs: the audio twin of the phash pair contract —
+    ordered pairs, hamming <= 6, distances consistent with the full
+    fingerprints."""
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.plans.monitor import _afp_hashed
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        QUERY_REGISTRY["dedup_audio_pairs"].builder(spark, sf)
+        .limit(2000)
+        .collect()
+    )
+    assert rows, "no verified audio pairs at sf0.001"
+    assert all(r["media_a"] < r["media_b"] for r in rows)
+    assert all(0 <= r["hamming"] <= 6 for r in rows)
+    hashes = {
+        r["media_id"]: (r["hash_lo"], r["hash_hi"])
+        for r in _afp_hashed(spark, sf).collect()
+    }
+    for r in rows[:50]:
+        lo_a, hi_a = hashes[r["media_a"]]
+        lo_b, hi_b = hashes[r["media_b"]]
+        want = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+        assert want == r["hamming"], (r, want)
+
+
+def test_banded_hamming_pairs_drops_hot_buckets(spark):
+    """The cap path: a band bucket holding more than ``cap`` members
+    contributes NO candidate pairs (an inverted anti-join that kept
+    only hot buckets would flip this), while small buckets still
+    pair — exercised directly on an engineered fingerprint frame."""
+    from sales_etl_spark.operators.dedup import banded_hamming_pairs
+
+    # 10 identical hashes -> every band bucket has 10 members (> cap
+    # 4); plus one near-dup pair (1 bit apart) in its own buckets
+    rows = [(i, 1111, 2222) for i in range(10)]
+    rows += [(100, 1 << 20, 0), (101, (1 << 20) | 1, 0)]
+    hashed = spark.createDataFrame(
+        rows, "media_id long, hash_lo long, hash_hi long"
+    )
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in banded_hamming_pairs(hashed, cap=4, max_hamming=6)
+        .collect()
+    }
+    # the hot identical-hash clique is fully suppressed; the pair
+    # (100, 101) collides in 3 of 4 bands (bands 1-3 agree; band 0
+    # differs by the low bit) and verifies at hamming 1 exactly once
+    assert got == {(100, 101, 1)}, got
