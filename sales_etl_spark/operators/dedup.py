@@ -1053,7 +1053,19 @@ def banded_hamming_pairs(
     its lineage includes the decode kernel and feeds the bucket count
     plus both join sides (the simhash_pairs precedent); DISTINCT
     before the Hamming filter so a pair colliding in several bands
-    verifies once."""
+    verifies once.
+
+    Cache lifecycle contract (shared with simhash_pairs): the cache
+    is session-scoped by design — the returned frame is lazy, so an
+    in-function ``unpersist`` would evict before the consumer's
+    action runs. Every query harness in this repo
+    (bench.py, tools/check_oracle.py, tools/quickbench.py,
+    tools/scaling_curve.py, tools/ab_*.py) calls
+    ``spark.catalog.clearCache()`` between registry entries, which
+    is what bounds the footprint across a sweep; a long-lived
+    caller embedding this operator should do the same, or
+    ``.unpersist()`` the banded frame after materializing the pair
+    join."""
     bands = hashed.select(
         F.col(id_col),
         "hash_lo",

@@ -73,10 +73,16 @@ def word_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _merge_fold_sql(a: str, b: str) -> str:
     """In-row merge application (see module docstring for the proof it
     equals the reference's single-pass re.sub rule). Symbols are
-    ``\\w`` chars — assert so an exotic corpus cannot inject SQL."""
+    interpolated into SQL, so whitelist-validate them: every symbol a
+    merge can produce is a concatenation of ``\\w`` characters (the
+    vocabulary is ``WORD_RE = \\w+`` words), so anything outside
+    ``\\w+`` means the tokenizer contract was broken upstream — fail
+    loudly instead of trusting a blacklist."""
+    import re
+
     for sym in (a, b):
-        if "'" in sym or "\\" in sym:
-            raise ValueError(f"unexpected quote in BPE symbol {sym!r}")
+        if not re.fullmatch(r"\w+", sym):
+            raise ValueError(f"non-\\w+ BPE symbol cannot be merged: {sym!r}")
     ab = a + b
     return (
         "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
