@@ -24,82 +24,69 @@ from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the
-# dict returned by ``queries()``. Round-8 rotation (the round-7
-# verdict's ask #1): positions 1-26 are the 26 registry keys that have
-# NEVER held a driver CORRECTNESS row (the 18-key r6 tail that fell
-# outside the r7 window because r7 never rotated, plus all 8 round-7
-# media/phash queries). Landing these closes driver coverage at
-# 261/261 permanently. Positions 27+ are re-checks of everything
-# round 8 touches (the vectorized JPEG/MJPEG entropy decoder feeds
-# media_jpeg_decode/media_mjpeg_frames/media_pipeline_e2e in the 1-26
-# block already) plus any queries new in round 8, which are appended
-# to this list as they are registered. tests/test_docs_sync.py now
-# enforces the invariant structurally: every registry key must hold a
-# driver row in some CORRECTNESS_r*.json OR sit inside the 50-slot
-# window, so a stale window fails the build instead of silently
-# starving new keys of hard signal.
+# dict returned by ``queries()``. Round-9 rotation contract (the
+# round-8 verdict's ask #5): driver coverage has been CLOSED since
+# r08 (every registry key holds a CORRECTNESS row across r01-r08),
+# so the window's job is now FRESHNESS — positions 1-3 are the keys
+# NEW in round 9 (no driver row yet), and every remaining slot goes
+# to the LEAST-RECENTLY-CHECKED keys (the 36 keys whose latest row
+# is r2 plus the alphabetically-first r3 keys), refreshing hard
+# signal for plans that predate the integer-cents/grain rewrites.
+# Future rounds repeat this rule: new keys first, then oldest-row
+# keys. tests/test_docs_sync.py enforces presence structurally
+# (every registry key must hold a driver row in some
+# CORRECTNESS_r*.json OR sit inside the 50-slot window).
 _SWEEP_FIRST = [
-    # -- never driver-checked: the 18-key r6 tail (positions 51-69 of
-    #    the r7 order, which the 50-slot window could not reach) ------
-    "mix_epoch_schedule",
-    "agg_skew_kurtosis",
-    "events_type_entropy",
-    "text_zipf_slope",
-    "text_bm25_topk",
-    "search_hybrid_rrf",
-    "events_ab_welch",
-    "quality_ks_drift",
-    "agg_association_rules",
-    "quality_benford_digits",
-    "agg_argmin_supplier",
-    "events_path_topk",
-    "agg_pareto_cut",
-    "agg_weighted_median",
-    "events_hll_rollup",
-    "ann_recall_eval",
-    "agg_churn_rate",
-    "dedup_recall_eval",
-    # -- never driver-checked: the 8 round-7 media/phash queries ------
-    "media_jpeg_decode",
-    "media_gif_decode",
-    "media_wav_samples",
-    "media_mjpeg_frames",
-    "media_audio_features",
-    "dedup_image_phash",
-    "media_header_dimensions",
-    "media_pipeline_e2e",
-    # -- new in round 8 (no driver row yet for the new code) ----------
-    "dedup_audio_fingerprint",
-    "text_bpe_train",
-    "text_bpe_segment",
-    "text_bpe_token_count",
-    "dedup_phash_pairs",
-    "dedup_audio_pairs",
-    # -- re-checks: queries whose internals round 8 touched ----------
-    "ann_ivfpq_topk",  # r7 drift flag; one-process A/B + re-check
-    "agg_sales_summary",  # flagship, exercised by entry()
-    # the conditional narrow-input spread (operators/skew.py) changed
-    # these queries' physical plans; all hold older green rows, and
-    # all re-verified bit-exact at sf0.01 this session — the driver
-    # row refreshes the hard signal for the new plan shape
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_cluster_resolve",
-    "dedup_cluster_weights",
-    "dedup_substring_span",
-    "dedup_semantic",
-    "dedup_paragraphs",
-    "dedup_incremental_pairs_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_lsh_incremental",
-    "decontam_overlap",
-    "corpus_overlap_matrix",
-    "search_ndcg_eval",
-    # the vectorized JPEG/GIF codecs and the fixture spread also feed
-    # the PNG-kernel queries (shared fingerprint helpers)
-    "media_png_decode",
-    "media_png_resize",
+    "tokenize_pipeline_e2e",
+    "dedup_video_phash",
+    "dedup_video_pairs",
+    "agg_approx_distinct",
+    "agg_avg_check_by_region",
+    "agg_count_distinct",
+    "agg_order_totals",
+    "agg_rollup",
+    "agg_salted_skew",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_lsh",
+    "dedup_embedding_pairs",
+    "dedup_exact_docs",
+    "emb_norm_stats",
+    "events_json_extract",
+    "events_session_window",
+    "events_window_sliding",
+    "events_window_tumbling",
+    "join_left_region",
+    "join_salted_skew",
+    "join_semi_anti",
+    "multimodal_features",
+    "multimodal_frames",
+    "scan_csv",
+    "scan_jsonl",
+    "scan_orc",
+    "set_intersect",
+    "set_union_except",
+    "sink_roundtrip",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_stats",
+    "topk_product_ranking",
+    "upsert_last_wins",
+    "window_lag_delta",
+    "window_running_sum",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_median_disc",
+    "agg_mode",
+    "agg_percentiles",
+    "agg_pivot_status",
+    "agg_stats",
+    "ann_quantized_topk",
+    "cast_date_coerce",
+    "corpus_report",
+    "decontam_corpus",
 ]
 
 

@@ -818,6 +818,96 @@ def mjpeg_frame_pixels(media: DataFrame, every_n: int = 1) -> DataFrame:
     )
 
 
+def video_grid_signature(frames: DataFrame) -> DataFrame:
+    """Per-VIDEO 64-bit perceptual signature from decoded sampled
+    frames — the video member of the fingerprint family (image:
+    png_thumbnails + aHash in plans/monitor._phash_hashed; audio:
+    energy-envelope halves in plans/monitor._afp_hashed): an 8x8
+    TEMPORAL-SPATIAL grid aHash. Rows in = ``mjpeg_frame_pixels``
+    output (media_id, frame_idx, width, height, pixels); rows out =
+    (media_id, hash_lo, hash_hi).
+
+    Grid construction (all integer-exact, threshold by
+    cross-multiplication like both sibling tiers):
+
+    - per frame, 8 COLUMN sums over the raster (source column
+      ``(c*width) DIV 8`` — the nearest-neighbor index map
+      png_thumbnails uses), an in-row higher-order fold;
+    - per video, sampled frames sorted by frame_idx and mapped onto 8
+      equal-index-share TEMPORAL slots (``j = (t*n_sampled) DIV 8``
+      — the audio tier's window rule applied to the time axis), so
+      grid cell (t, c) = slot t's frame's column-c sum;
+    - bit ``t*8+c`` = 1 iff cell mean >= video grid mean
+      (``cell_sum * total_cnt >= total_sum * cell_cnt``), packed into
+      two 32-bit halves exactly like the image/audio hashes so
+      ``banded_hamming_pairs`` consumes all three modalities
+      unchanged.
+
+    100 TB shape: the only exchange is ONE groupBy(media_id) whose
+    collected state is (8 col-sums + 2 ints) per SAMPLED frame —
+    bounded by the ``every_n`` sampling contract upstream (a long
+    video contributes n_frames/every_n rows; cap the sampling stride
+    per duration upstream if videos are unbounded), never raw pixels.
+    Everything else is in-row codegen-side higher-order functions."""
+    col_sums = F.expr(
+        "transform(sequence(0, 7), c -> aggregate("
+        " sequence(0, height - 1), CAST(0 AS BIGINT),"
+        " (a, y) -> a + CAST(element_at(pixels,"
+        "   y * width + CAST((c * width) DIV 8 AS INT) + 1)"
+        "   AS BIGINT)))"
+    )
+    per_frame = frames.select(
+        "media_id",
+        F.struct(
+            F.col("frame_idx"),
+            col_sums.alias("cs"),
+            F.col("height").cast("bigint").alias("h"),
+        ).alias("fr"),
+    )
+    per_video = per_frame.groupBy("media_id").agg(
+        F.array_sort(F.collect_list("fr")).alias("fr")
+    )
+    # cells[i] for i in 0..63: temporal slot t = i DIV 8 picks frame
+    # j = (t * n_sampled) DIV 8 (1-based for element_at), spatial
+    # column c = i % 8.
+    cells = (
+        "transform(sequence(0, 63), i -> struct("
+        " element_at(element_at(fr,"
+        "   CAST((i DIV 8) * size(fr) DIV 8 AS INT) + 1).cs,"
+        "   i % 8 + 1) AS s,"
+        " element_at(fr,"
+        "   CAST((i DIV 8) * size(fr) DIV 8 AS INT) + 1).h AS c))"
+    )
+    g = per_video.select(
+        "media_id", F.expr(cells).alias("cells")
+    ).select(
+        "media_id",
+        "cells",
+        F.expr(
+            "aggregate(cells, CAST(0 AS BIGINT), (a, x) -> a + x.s)"
+        ).alias("ts"),
+        F.expr(
+            "aggregate(cells, CAST(0 AS BIGINT), (a, x) -> a + x.c)"
+        ).alias("tc"),
+    )
+
+    def packed_half(lo_bit: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {lo_bit + 31}),"
+            " CAST(0 AS BIGINT), (a, i) ->"
+            " a + IF(element_at(cells, i + 1).s * tc"
+            "        >= ts * element_at(cells, i + 1).c,"
+            f"       shiftleft(CAST(1 AS BIGINT), i - {lo_bit}),"
+            "        CAST(0 AS BIGINT)))"
+        )
+
+    return g.select(
+        "media_id",
+        packed_half(0).alias("hash_lo"),
+        packed_half(32).alias("hash_hi"),
+    )
+
+
 def parse_wav_metadata(
     data: bytes,
 ) -> tuple[int, int, int, int] | None:

@@ -2262,6 +2262,157 @@ def dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vhash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, hash_lo, hash_hi) — the temporal-spatial grid
+    signature over every MJPEG fixture's REAL sampled-frame decode
+    (operators/multimodal.py:video_grid_signature). Shared front half
+    of dedup_video_phash (bucket profile) and dedup_video_pairs
+    (exact Hamming verify) — the video mirror of _phash_hashed /
+    _afp_hashed."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_mjpeg(st.documents)
+    return multimodal.video_grid_signature(
+        multimodal.mjpeg_frame_pixels(media, every_n=2)
+    )
+
+
+#: Shared oracle prefix of the perceptual-video tier: the MJPEG
+#: fixture geometry (2+doc_id%4 frames, 8·(1+doc_id%2)×8 rasters,
+#: constant 8x8 JPEG tiles), every-2nd-frame sampling, the 8x8
+#: temporal-spatial grid, mean-threshold halves and 16-bit bands.
+#: Cell (t, c): temporal slot t picks sampled frame
+#: j = (t·n_sampled) DIV 8 (the audio tier's equal-index-share window
+#: rule), column c reads source column (c·w) DIV 8 (the image tier's
+#: nearest-neighbor map); with h = 8 the column sum is h·v of the
+#: tile value at frame 2j.
+_VHASH_ORACLE_PREFIX = """
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               8 * (1 + doc_id % 2) AS w,
+               8 AS h,
+               (2 + doc_id % 4 + 1) // 2 AS n_sampled
+        FROM documents
+    ),
+    cells AS (
+        SELECT g.doc_id,
+               ti.t * 8 + ci.c AS i,
+               CAST(g.h AS BIGINT) *
+               ((g.doc_id * 41
+                 + 2 * ((ti.t * g.n_sampled) // 8) * 29
+                 + (((ci.c * g.w) // 8) // 8) * 11
+                 + g.n_chars) % 256) AS s,
+               CAST(g.h AS BIGINT) AS c
+        FROM geom g,
+             unnest(generate_series(0, 7)) AS ti(t),
+             unnest(generate_series(0, 7)) AS ci(c)
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts,
+               CAST(SUM(c) AS BIGINT) AS tc
+        FROM cells GROUP BY doc_id
+    ),
+    halves AS (
+        SELECT cl.doc_id,
+               CAST(SUM(CASE WHEN cl.i < 32
+                    AND cl.s * t.tc >= t.ts * cl.c
+                    THEN CAST(1 AS BIGINT) << cl.i ELSE 0 END)
+                    AS BIGINT) AS hash_lo,
+               CAST(SUM(CASE WHEN cl.i >= 32
+                    AND cl.s * t.tc >= t.ts * cl.c
+                    THEN CAST(1 AS BIGINT) << (cl.i - 32) ELSE 0 END)
+                    AS BIGINT) AS hash_hi
+        FROM cells cl JOIN totals t USING (doc_id)
+        GROUP BY cl.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, hash_lo % 65536 AS band_val
+        FROM halves
+        UNION ALL SELECT doc_id, 1, hash_lo // 65536 FROM halves
+        UNION ALL SELECT doc_id, 2, hash_hi % 65536 FROM halves
+        UNION ALL SELECT doc_id, 3, hash_hi // 65536 FROM halves
+    )"""
+
+
+@query(
+    "dedup_video_phash",
+    oracle=f"""{_VHASH_ORACLE_PREFIX}
+    SELECT CAST(band_idx AS INTEGER) AS band_idx,
+           CAST(band_val AS BIGINT) AS band_val,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_pairs
+    FROM bands GROUP BY band_idx, band_val
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL video dedup candidate generation — the THIRD
+    modality of the fingerprint ladder (image: dedup_image_phash,
+    audio: dedup_audio_fingerprint), over REAL decoded frames: walk
+    every fixture AVI, sample every 2nd frame, decode each sampled
+    frame's JPEG (the media_mjpeg_frames lineage), collapse the video
+    into an 8x8 TEMPORAL-SPATIAL grid (8 equal-index-share temporal
+    slots × 8 nearest-neighbor spatial columns), mean-threshold the
+    64 cells into a per-video aHash (integer cross-multiplication,
+    no division), split into four 16-bit LSH bands and report every
+    band bucket holding >= 2 videos with its candidate-pair count.
+    Same 100 TB shape as the siblings: near-duplicate videos (same
+    content, re-encoded / trimmed tails) collide in >= 1 band;
+    candidate volume is profiled per bucket, never materialized
+    quadratically; the only exchanges are the bounded per-video
+    frame-signature groupBy and the band groupBy. Single-frame
+    constant videos degenerate to the all-ones hash by construction —
+    that bucket is exactly what the pair tier's DF cap drops."""
+    bands = _vhash_hashed(spark, sf_dir).select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo") % 65536,
+                (F.col("hash_lo") / 65536).cast("bigint"),
+                F.col("hash_hi") % 65536,
+                (F.col("hash_hi") / 65536).cast("bigint"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        bands.groupBy(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            "band_val",
+        )
+        .agg(
+            n.alias("n_videos"),
+            (n * (n - F.lit(1)) / F.lit(2)).cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("n_videos") >= 2)
+    )
+
+
+@query(
+    "dedup_video_pairs",
+    oracle=_VHASH_ORACLE_PREFIX + _banded_pairs_oracle_suffix(),
+)
+def dedup_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY half of perceptual video dedup — videos sharing
+    >= 1 LSH band whose full 64-bit grid signatures differ in <= 6
+    bits. Completes the candidate-generation -> exact-verification
+    ladder across ALL THREE perceptual modalities (text simhash_pairs,
+    image dedup_phash_pairs, audio dedup_audio_pairs, video here),
+    every one of them resolving through the SINGLE shared operator
+    (operators/dedup.py:banded_hamming_pairs — DF-capped buckets,
+    cached banded frame, codegen bit_count XOR verify) and the same
+    oracle verification suffix, so cap/threshold semantics cannot
+    diverge across modalities."""
+    from sales_etl_spark.operators import dedup
+
+    return dedup.banded_hamming_pairs(
+        _vhash_hashed(spark, sf_dir),
+        cap=_PAIR_CAP,
+        max_hamming=_PAIR_MAX_HAMMING,
+    )
+
+
 @query(
     "media_gif_decode",
     oracle="""

@@ -2843,3 +2843,89 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     return bpe_token_counts(st.documents, "doc_id", "text", _BPE_N)
+
+
+# --------------------------------------------------------------------------
+# Tokenizer pipeline composition (round 9)
+# --------------------------------------------------------------------------
+
+#: tokenize_pipeline_e2e budgets: per-source BPE-token targets at
+#: bench scale (~5 000 learned tokens per source at sf0.01) — one
+#: over-budget source, one tight, one zeroed-out, the rest default.
+_TOKE2E_BUDGETS = {"src0": 3_000, "src1": 2_000, "src2": 0}
+_TOKE2E_DEFAULT = 2_500
+_TOKE2E_SEQ = 256    #: packed training-example length (tokens)
+_TOKE2E_SHARDS = 8   #: pack shards (bench scale)
+
+
+def _tokenize_e2e_final(n: int) -> str:
+    """Chained-oracle tail for tokenize_pipeline_e2e: the learned
+    segmentation's per-document token counts (re-derived from the
+    unrolled BPE rounds' final vocabulary) feed the token-budget
+    oracle, whose survivors feed the sequence-packing oracle — three
+    independently-verified stages joined into ONE SQL lineage, so the
+    hash breaks if any stage boundary (column names, zero-token
+    filter, survivor set) drifts between engines."""
+    from sales_etl_spark.operators import sampling
+
+    budget_sql = sampling.token_budget_oracle_sql(
+        "tok", "source", "doc_id", "n_tokens", "doc_id, source",
+        _TOKE2E_BUDGETS, _TOKE2E_DEFAULT, seed="tok-budget-v1",
+    )
+    pack_sql = sampling.pack_oracle_sql(
+        "budgeted", "doc_id", "n_tokens",
+        _TOKE2E_SEQ, _TOKE2E_SHARDS, seed="tok-pack-v1",
+    )
+    return f""",
+    tok AS MATERIALIZED (
+        SELECT d.doc_id, d.source,
+               CAST(SUM(len(sN.s)) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+              FROM documents) d
+        JOIN s{n} sN USING (w)
+        GROUP BY d.doc_id, d.source
+    ),
+    budgeted AS MATERIALIZED ({budget_sql})
+    {pack_sql}"""
+
+
+@query(
+    "tokenize_pipeline_e2e",
+    oracle=_bpe_oracle_sql(_BPE_N, _tokenize_e2e_final(_BPE_N)),
+)
+def tokenize_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZER pipeline end-to-end — tokenize -> budget -> pack
+    in one lineage (the tokenizer sibling of corpus_pipeline_e2e's
+    scrub chain): train the 8-rule BPE tokenizer on the corpus, count
+    every document's tokens under the LEARNED segmentation
+    (text_bpe_token_count's broadcast-vocabulary join), fill each
+    source's token budget with a deterministic uniform prefix
+    (mix_token_budget's strict never-overshoot rule, here over real
+    learned counts instead of the regex heuristic), and pack the
+    surviving documents into 256-token training examples across 8
+    shards (mix_pack_sequences' shard + running-sum shape). One row
+    per packed doc: its shard, learned token count, stream offset and
+    first/last example span. The oracle chains the same three stages
+    behind the unrolled-rounds BPE pipeline, so a drift anywhere —
+    a merge rule, a budget boundary doc, a pack offset — flips the
+    hash. Scale shape: the chain adds ONE doc-grain equi-join
+    (counts x source) and two stratum/shard window sums to the
+    tokenizer's vocabulary-grain rounds; nothing quadratic, nothing
+    driver-sized beyond the 8-row merge table."""
+    from sales_etl_spark.operators import sampling
+    from sales_etl_spark.operators.tokenize import bpe_token_counts
+
+    st = _star(spark, sf_dir)
+    counts = bpe_token_counts(st.documents, "doc_id", "text", _BPE_N)
+    tok = counts.join(
+        st.documents.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "n_tokens")
+    budgeted = sampling.token_budget_mix(
+        tok, "source", "doc_id", "n_tokens",
+        _TOKE2E_BUDGETS, _TOKE2E_DEFAULT, seed="tok-budget-v1",
+    )
+    return sampling.pack_sequences(
+        budgeted.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        seq_len=_TOKE2E_SEQ, n_shards=_TOKE2E_SHARDS, seed="tok-pack-v1",
+    )

@@ -1099,3 +1099,61 @@ def test_banded_hamming_pairs_drops_hot_buckets(spark):
     # (100, 101) collides in 3 of 4 bands (bands 1-3 agree; band 0
     # differs by the low bit) and verifies at hamming 1 exactly once
     assert got == {(100, 101, 1)}, got
+
+
+def test_video_grid_signature_semantics(spark):
+    """video_grid_signature on engineered frames: (a) temporal slots —
+    two uniform frames (dim then bright) must put the bright frame's
+    half of the grid above the video mean (hash_lo = 0, hash_hi =
+    2^32-1); (b) spatial columns — a single 16x2 frame whose right
+    half is bright must set exactly the c >= 4 column bits of every
+    temporal row (0xF0F0F0F0 in both halves), proving the
+    nearest-neighbor column map (c*width) DIV 8 and the h-weighted
+    cross-multiplied threshold."""
+    from sales_etl_spark.operators.multimodal import video_grid_signature
+
+    rows = [
+        # video 1: frame 0 all 10s, frame 2 all 30s (8x8, sampled)
+        (1, 0, 2, 8, 8, [10] * 64),
+        (1, 2, 2, 8, 8, [30] * 64),
+        # video 2: one 16x2 frame, left half 0, right half 100
+        (2, 0, 1, 16, 2, ([0] * 8 + [100] * 8) * 2),
+    ]
+    frames = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, n_frames int, "
+        "width int, height int, pixels array<int>",
+    )
+    got = {
+        r["media_id"]: (r["hash_lo"], r["hash_hi"])
+        for r in video_grid_signature(frames).collect()
+    }
+    assert got[1] == (0, 0xFFFFFFFF), got[1]
+    assert got[2] == (0xF0F0F0F0, 0xF0F0F0F0), got[2]
+
+
+def test_video_pairs_verify_contract(spark):
+    """dedup_video_pairs: the video leg of the perceptual pair
+    contract — ordered pairs, hamming <= 6, distances consistent with
+    the full grid signatures recomputed independently."""
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from sales_etl_spark.plans.monitor import _vhash_hashed
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        QUERY_REGISTRY["dedup_video_pairs"].builder(spark, sf)
+        .limit(2000)
+        .collect()
+    )
+    assert rows, "no verified video pairs at sf0.001"
+    assert all(r["media_a"] < r["media_b"] for r in rows)
+    assert all(0 <= r["hamming"] <= 6 for r in rows)
+    hashes = {
+        r["media_id"]: (r["hash_lo"], r["hash_hi"])
+        for r in _vhash_hashed(spark, sf).collect()
+    }
+    for r in rows[:50]:
+        lo_a, hi_a = hashes[r["media_a"]]
+        lo_b, hi_b = hashes[r["media_b"]]
+        want = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+        assert want == r["hamming"], (r, want)

@@ -367,6 +367,10 @@ _PYTHON_OK = {
     "dedup_phash_pairs",
     # same PCM decode kernel as dedup_audio_fingerprint; native verify
     "dedup_audio_pairs",
+    # AVI walk + JPEG decode kernel (the media_mjpeg_frames lineage);
+    # the grid signature, band groupBy and Hamming verify are native
+    "dedup_video_phash",
+    "dedup_video_pairs",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
@@ -874,3 +878,19 @@ def test_media_fingerprints_are_map_only(spark):
             # and decoded rasters are created ABOVE the exchange
             assert "payload" not in exchanges[0], (name, body)
             assert "pixels" not in exchanges[0], (name, body)
+
+
+def test_video_signature_exchanges_are_bounded(spark):
+    """The video perceptual tier aggregates ACROSS frames (unlike the
+    map-only fingerprints), so it legitimately shuffles — but only
+    BOUNDED rows: the per-video signature fold moves (8 col-sums +
+    2 ints) per sampled frame, the band tiers move (id, band) rows.
+    Raw rasters and media payloads must never cross an exchange — a
+    plan that shuffles the pixels column re-serializes the whole
+    corpus at 100 TB."""
+    for name in ("dedup_video_phash", "dedup_video_pairs"):
+        plan = _formatted(_build(spark, name))
+        body = plan.split("== Physical Plan ==")[1]
+        for ex in re.findall(r"\(\d+\) Exchange\n(.*\n.*)", body):
+            assert "pixels" not in ex, (name, ex)
+            assert "payload" not in ex, (name, ex)
