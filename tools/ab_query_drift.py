@@ -85,10 +85,17 @@ def main() -> None:
     for q in queries:  # JIT warmup, uncounted
         run_one(REPO, q)
         run_one(PIN, q)
-    for _ in range(rounds):
+    # Alternate within-pair order per round: a fixed head-then-pin
+    # order measures ~1.13-1.20x on a SELF-A/B (identical code both
+    # sides, measured round 9) — whichever side runs first in a pair
+    # systematically pays more on this box. Symmetric alternation
+    # cancels the position bias instead of attributing it to HEAD.
+    for i in range(rounds):
         for q in queries:
-            times[q]["head"].append(round(run_one(REPO, q), 3))
-            times[q]["pin"].append(round(run_one(PIN, q), 3))
+            order = (REPO, PIN) if i % 2 == 0 else (PIN, REPO)
+            for root in order:
+                key = "head" if root is REPO else "pin"
+                times[q][key].append(round(run_one(root, q), 3))
 
     out = {"calibration": cal, "sf_dir": sf_dir, "pin": str(PIN),
            "queries": {}}
