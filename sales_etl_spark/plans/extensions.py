@@ -1976,11 +1976,16 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column featurization through Arrow-batched mapInPandas:
-    payload bytes cross to Python once per batch, fixed output schema.
-    The decode kernel is the deterministic stub (no media libs here);
-    the oracle replicates it byte-for-byte from the content hash —
-    so this checks the whole Arrow/pandas plumbing, not just SQL."""
+    """SYNTHETIC-PAYLOAD compatibility twin — NO real decode: the
+    kernel derives width/height/frames from a content hash
+    (decode_stub=True), standing in for external-lib codecs (libav
+    etc.) this environment lacks. What it genuinely tests is the
+    Arrow/mapInPandas plumbing — binary payloads crossing to Python
+    once per batch under a fixed output schema — byte-for-byte
+    against an oracle that replicates the stub. For REAL decode use
+    the media_* tier (media_png_decode / media_jpeg_decode /
+    media_gif_decode / media_wav_samples / media_mjpeg_frames),
+    whose pixels and samples come from actual codecs."""
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_media(st.documents)
     return multimodal.featurize_media(media, decode_stub=True)
@@ -2001,8 +2006,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: one row per (video, every-10th-frame) via
-    mapInPandas explode — the row-multiplying multimodal op."""
+    """SYNTHETIC-PAYLOAD compatibility twin — NO real decode: frame
+    COUNTS come from the stub's hash-derived metadata, exercising the
+    row-multiplying mapInPandas explode shape (one row per video per
+    every-10th frame index). The REAL video path is
+    media_mjpeg_frames: actual AVI container walk + per-frame JPEG
+    decode with pixel-level oracle checks."""
     st = _star(spark, sf_dir)
     media = multimodal.documents_as_media(st.documents)
     return multimodal.sample_frames(media, every_n=10).select(

@@ -28,6 +28,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -59,6 +60,83 @@ TABLES: dict[str, list[str] | None] = {
 }
 
 KEY_OFFSET = 100_000_000
+
+SF10 = "/tmp/spark_graft_sf1.0synth"
+
+
+def build_sf10(spark) -> None:
+    """Materialize the synthetic sf1.0 twin: sf0.1 × 10 via NINE
+    key-shifted copies (offset k·KEY_OFFSET, join-consistent). The
+    sf0.2 anti-clone tricks generalize per copy k so no tier
+    degenerates into everything-pairs-with-its-clone:
+
+    - documents: every word gets a per-copy tag (``w~k``) — copies
+      share NO shingles/grams with the original or each other, and
+      the vocabulary grows ~linearly with corpus size, which is the
+      Heaps-law shape real crawl growth has (the sf0.2 token-REVERSE
+      trick only yields 2 distinct classes, unusable for 10×);
+    - embeddings: per-copy CYCLIC DIMENSION SHIFT by k — distinct
+      unit-norm vectors whose pairwise cosines across copies are
+      decorrelated (sign-flip also only yields 2 classes);
+    - fixed dims (region, nation) copied once, as TPC-H scaling does.
+
+    Idempotent via sentinel; ~2 GiB under /tmp."""
+    from pyspark.sql import functions as F
+
+    done = Path(SF10) / "_build_complete"
+    if done.exists():
+        return
+    shutil.rmtree(SF10, ignore_errors=True)
+    Path(SF10).mkdir(parents=True)
+    for table, keys in TABLES.items():
+        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        if keys is None:
+            out = df
+        else:
+            parts = [df]
+            for k in range(1, 10):
+                copy = df
+                for key in keys:
+                    copy = copy.withColumn(
+                        key, F.col(key) + F.lit(k * KEY_OFFSET)
+                    )
+                if table == "documents":
+                    copy = copy.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda w: F.concat(w, F.lit(f"~{k}")),
+                            ),
+                            " ",
+                        ),
+                    )
+                if table == "embeddings":
+                    vec_col = next(
+                        f.name for f in df.schema.fields
+                        if f.dataType.simpleString().startswith("array")
+                    )
+                    copy = copy.withColumn(
+                        vec_col,
+                        F.concat(
+                            F.slice(
+                                F.col(vec_col),
+                                k + 1,
+                                F.size(F.col(vec_col)) - k,
+                            ),
+                            F.slice(F.col(vec_col), 1, k),
+                        ),
+                    )
+                parts.append(copy)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        # a handful of files per table: sf1.0 is big enough that one
+        # unsplittable row group would serialize every scan
+        out.repartition(8).write.mode("overwrite").parquet(
+            f"{SF10}/{table}.parquet"
+        )
+    done.touch()
 
 DEFAULT_QUERIES = [
     # the three pandas-compared marts (the avg_check residual question)
@@ -123,19 +201,31 @@ def main() -> None:
     from sales_etl_spark.plans import QUERY_REGISTRY
     from sales_etl_spark.session import get_spark
 
-    queries = sys.argv[1:] or DEFAULT_QUERIES
+    # CURVE=sf1: the round-9 checkpoint — sf0.1 -> synthetic sf1.0
+    # (10x) over the full bench headline set, one step, min-of-RUNS.
+    sf1_mode = os.environ.get("CURVE") == "sf1"
+    if sf1_mode:
+        import bench as _bench
+        queries = sys.argv[1:] or list(_bench.HEADLINE)
+    else:
+        queries = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark(
         "sales-etl-spark-scaling", master="local[32]",
         shuffle_partitions=8,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build_sf02(spark)
+    if sf1_mode:
+        build_sf10(spark)
+    else:
+        build_sf02(spark)
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     calibration = calibrate(spark)
 
+    steps = [(SF01, SF10, 10.0)] if sf1_mode else STEPS
+    sf_dirs = (SF01, SF10) if sf1_mode else (SF001, SF01, SF02)
     curve: dict[str, dict[str, float]] = {}
-    for sf_dir in (SF001, SF01, SF02):
+    for sf_dir in sf_dirs:
         for t in TABLES:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         for name in queries:
@@ -158,14 +248,14 @@ def main() -> None:
     report = {}
     for name, by_sf in curve.items():
         ratios = {}
-        for lo, hi, data_ratio in STEPS:
+        for lo, hi, data_ratio in steps:
             r = round(by_sf[hi] / by_sf[lo], 2) if by_sf[lo] else None
             ratios[f"x{data_ratio:g}_data"] = r
         report[name] = {
             "sec": {Path(k).name: v for k, v in by_sf.items()},
-            "time_ratio_at_10x_data": ratios["x10_data"],
-            "time_ratio_at_2x_data": ratios["x2_data"],
         }
+        for key, r in ratios.items():
+            report[name][f"time_ratio_at_{key}"] = r
     print(json.dumps({"calibration": calibration, "curve": report}))
     spark.stop()
 
