@@ -40,6 +40,7 @@ _SWEEP_FIRST = [
     "tokenize_pipeline_e2e",
     "dedup_video_phash",
     "dedup_video_pairs",
+    "video_dedup_pipeline_e2e",
     "agg_approx_distinct",
     "agg_avg_check_by_region",
     "agg_count_distinct",
@@ -86,7 +87,6 @@ _SWEEP_FIRST = [
     "ann_quantized_topk",
     "cast_date_coerce",
     "corpus_report",
-    "decontam_corpus",
 ]
 
 

@@ -2024,13 +2024,26 @@ _PAIR_CAP = 64      #: band buckets larger than this are dropped
 _PAIR_MAX_HAMMING = 6  #: exact near-dup verification threshold
 
 
-def _banded_pairs_oracle_suffix() -> str:
+def _banded_pairs_oracle_suffix(wrap_final: str | None = None) -> str:
     """Shared oracle tail of the perceptual pair-verify queries: cap
     hot band buckets, distinct ordered candidates, exact Hamming over
-    the full 64-bit hash (both modalities' prefixes end in identical
-    `halves`/`bands` CTEs, so one suffix serves both — a threshold
-    tweak lands in exactly one place per engine)."""
-    return f""",
+    the full 64-bit hash (all modalities' prefixes end in identical
+    `halves`/`bands` CTEs, so one suffix serves them all — a
+    threshold tweak lands in exactly one place per engine). With
+    ``wrap_final`` the verified-pair select becomes a ``pairs`` CTE
+    and ``wrap_final`` is the statement consuming it (the e2e
+    composition queries build on the same verified tier)."""
+    pair_select = f"""SELECT c.media_a, c.media_b,
+           CAST(bit_count(xor(ha.hash_lo, hb.hash_lo))
+                + bit_count(xor(ha.hash_hi, hb.hash_hi)) AS INTEGER)
+               AS hamming
+    FROM cand c
+    JOIN halves ha ON c.media_a = ha.doc_id
+    JOIN halves hb ON c.media_b = hb.doc_id
+    WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
+          + bit_count(xor(ha.hash_hi, hb.hash_hi))
+          <= {_PAIR_MAX_HAMMING}"""
+    ctes = f""",
     bc AS (
         SELECT band_idx, band_val, COUNT(*) AS c
         FROM bands GROUP BY band_idx, band_val
@@ -2045,18 +2058,10 @@ def _banded_pairs_oracle_suffix() -> str:
         FROM kept a JOIN kept b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
-    )
-    SELECT c.media_a, c.media_b,
-           CAST(bit_count(xor(ha.hash_lo, hb.hash_lo))
-                + bit_count(xor(ha.hash_hi, hb.hash_hi)) AS INTEGER)
-               AS hamming
-    FROM cand c
-    JOIN halves ha ON c.media_a = ha.doc_id
-    JOIN halves hb ON c.media_b = hb.doc_id
-    WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
-          + bit_count(xor(ha.hash_hi, hb.hash_hi))
-          <= {_PAIR_MAX_HAMMING}
-    """
+    )"""
+    if wrap_final is None:
+        return f"{ctes}\n    {pair_select}\n    "
+    return f"{ctes},\n    pairs AS ({pair_select})\n    {wrap_final}\n    "
 
 
 @query(
@@ -2410,6 +2415,68 @@ def dedup_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vhash_hashed(spark, sf_dir),
         cap=_PAIR_CAP,
         max_hamming=_PAIR_MAX_HAMMING,
+    )
+
+
+@query(
+    "video_dedup_pipeline_e2e",
+    oracle=_VHASH_ORACLE_PREFIX
+    + _banded_pairs_oracle_suffix(
+        wrap_final="""SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST(SUM(CASE WHEN dup.media_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dup.media_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT media_b AS media_id FROM pairs) dup
+      ON dup.media_id = d.doc_id
+    GROUP BY d.source"""
+    ),
+)
+def video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL VIDEO DEDUP end-to-end — the full ladder in ONE
+    lineage (the video sibling of corpus_pipeline_e2e /
+    media_pipeline_e2e composition proofs): real frame decode ->
+    temporal-spatial grid signature -> 16-bit LSH bands -> DF-capped
+    buckets -> exact <= 6-bit Hamming verify -> GREEDY survivor
+    resolve (a video is dropped iff it verifies against any
+    smaller-id video — the min-id-wins rule exact dedup uses, no
+    transitive closure needed at the pair grain) -> per-source
+    keep/drop mart. The oracle chains the identical stages, so a
+    drift anywhere — a band split, a cap boundary, a Hamming tie, a
+    survivor rule — moves a mart count. Scale shape: everything up to
+    the pair join is the dedup_video_pairs plan; the resolve adds one
+    DISTINCT on the (small) dropped set and one broadcast-size
+    left anti-pattern join back to the corpus grain."""
+    from sales_etl_spark.operators import dedup
+
+    st = _star(spark, sf_dir)
+    pairs = dedup.banded_hamming_pairs(
+        _vhash_hashed(spark, sf_dir),
+        cap=_PAIR_CAP,
+        max_hamming=_PAIR_MAX_HAMMING,
+    )
+    dropped = (
+        pairs.select(F.col("media_b").alias("media_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    docs = st.documents.select(
+        F.col("doc_id").alias("media_id"), "source"
+    )
+    return (
+        docs.join(dropped, "media_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+            F.sum(
+                F.when(F.col("__dup").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("__dup").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped"),
+        )
     )
 
 

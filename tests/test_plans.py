@@ -371,6 +371,7 @@ _PYTHON_OK = {
     # the grid signature, band groupBy and Hamming verify are native
     "dedup_video_phash",
     "dedup_video_pairs",
+    "video_dedup_pipeline_e2e",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one

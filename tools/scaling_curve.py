@@ -101,14 +101,37 @@ def build_sf10(spark) -> None:
                         key, F.col(key) + F.lit(k * KEY_OFFSET)
                     )
                 if table == "documents":
+                    # merge the copy tag INTO each word (single \w+
+                    # token): copies share NO vocabulary with the
+                    # original or each other, so shingle df / word df
+                    # distributions stay per-copy — the Heaps-law
+                    # growth real crawls have. (A first attempt used
+                    # "w~k", which \w+ tokenization splits into a
+                    # standalone digit token between every word pair —
+                    # collapsing every shingle's context to "k w k"
+                    # and inflating shingle df from 25 to 3 889:
+                    # a synthetic worst case, not a scale-up.)
                     copy = copy.withColumn(
                         "text",
                         F.array_join(
                             F.transform(
                                 F.split(F.col("text"), " "),
-                                lambda w: F.concat(w, F.lit(f"~{k}")),
+                                lambda w: F.concat(w, F.lit(f"x{k}")),
                             ),
                             " ",
+                        ),
+                    )
+                if table == "customer":
+                    # a 10x customer base has 10x DISTINCT names; keep
+                    # the digit positions (the linkage block key is
+                    # substring(c_name, 1, 16)) so per-copy block
+                    # sizes match sf0.1 instead of stacking 10
+                    # identical names into every block
+                    copy = copy.withColumn(
+                        "c_name",
+                        F.concat(
+                            F.lit(f"Custom{k:02d}#"),
+                            F.substring("c_name", 10, 64),
                         ),
                     )
                 if table == "embeddings":
