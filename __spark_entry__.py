@@ -41,6 +41,7 @@ _SWEEP_FIRST = [
     "dedup_video_phash",
     "dedup_video_pairs",
     "video_dedup_pipeline_e2e",
+    "dedup_video_recall_eval",
     "agg_approx_distinct",
     "agg_avg_check_by_region",
     "agg_count_distinct",
@@ -86,7 +87,6 @@ _SWEEP_FIRST = [
     "agg_stats",
     "ann_quantized_topk",
     "cast_date_coerce",
-    "corpus_report",
 ]
 
 

@@ -2481,6 +2481,99 @@ def video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_video_recall_eval",
+    oracle=_VHASH_ORACLE_PREFIX
+    + _banded_pairs_oracle_suffix(
+        wrap_final=f""", exact AS (
+        SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+               CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+                    + bit_count(xor(a.hash_hi, b.hash_hi)) AS INTEGER)
+                   AS hamming
+        FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+              + bit_count(xor(a.hash_hi, b.hash_hi))
+              <= {_PAIR_MAX_HAMMING}
+    )
+    SELECT e.hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN p.media_a IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_banded,
+           CAST(SUM(CASE WHEN p.media_a IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN (SELECT DISTINCT media_a, media_b FROM pairs) p
+      ON e.media_a = p.media_a AND e.media_b = p.media_b
+    GROUP BY e.hamming
+    ORDER BY e.hamming"""
+    ),
+)
+def dedup_video_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL FLOOR for the banded perceptual tier — the honest-
+    approximation metric the MinHash (dedup_recall_eval) and ANN
+    (ann_recall_eval) families already carry, extended to the
+    banded-Hamming ladder: per true Hamming distance 0..6, how many
+    exact near-duplicate pairs exist (brute-force all-pairs over the
+    64-bit grid signatures — the declared GROUND-TRUTH tier, O(n²)
+    at verification scale only) and how many the production banded
+    path (4x16-bit bands + hot-bucket cap) recovers. Pigeonhole
+    guarantees recall=1 for <= 3 flipped bits ABSENT cap losses (3
+    flips cannot touch all 4 bands); 4-6 bits and cap drops are the
+    measured gap — exactly what a 100 TB operator needs quantified
+    before trusting the banded tier. Integer-exact recall in ppm so
+    the oracle hashes bit-for-bit.
+
+    Reading the fixture number: most exact h=0 pairs here are the
+    DEGENERATE constant-video classes (single-frame fixtures hash to
+    all-ones), which live in hot buckets the cap deliberately drops —
+    so a low ppm on this corpus means the cap is doing its job, not
+    that banding misses organic near-dups; the dropped mass is
+    profiled, not lost (dedup_video_phash reports exactly those
+    buckets with their pair counts)."""
+    from sales_etl_spark.operators import dedup
+
+    h = _vhash_hashed(spark, sf_dir).cache()
+    a, b = h.alias("a"), h.alias("b")
+    ham = (
+        F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+        + F.bit_count(F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi")))
+    ).cast("int")
+    exact = (
+        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PAIR_MAX_HAMMING)
+    )
+    banded = (
+        dedup.banded_hamming_pairs(
+            h, cap=_PAIR_CAP, max_hamming=_PAIR_MAX_HAMMING
+        )
+        .select("media_a", "media_b")
+        .withColumn("__b", F.lit(True))
+    )
+    n_hit = F.sum(
+        F.when(F.col("__b").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        exact.join(banded, ["media_a", "media_b"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            n_hit.alias("n_banded"),
+        )
+        # integer `div`, matching DuckDB's `//` exactly (a double
+        # division + floor can land one ulp under an exact multiple)
+        .withColumn(
+            "recall_ppm",
+            F.expr("n_banded * 1000000L div n_exact").cast("bigint"),
+        )
+        .orderBy("hamming")
+    )
+
+
+@query(
     "media_gif_decode",
     oracle="""
     WITH geom AS (

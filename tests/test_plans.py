@@ -372,6 +372,7 @@ _PYTHON_OK = {
     "dedup_video_phash",
     "dedup_video_pairs",
     "video_dedup_pipeline_e2e",
+    "dedup_video_recall_eval",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
@@ -383,6 +384,10 @@ _PYTHON_OK = {
 #: verification scale (each has an implemented, tested scale twin).
 _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
                  "ann_quantized_topk",
+                 # brute-force exact-Hamming ground-truth leg of the
+                 # banded-recall eval (declared verification-scale
+                 # tier; the production path is the banded operator)
+                 "dedup_video_recall_eval",
                  # same broadcast-queries × corpus scoring shape as
                  # the cosine baseline (declared exact tier; LSH/IVF
                  # are the candidate-generation scale path)
