@@ -42,6 +42,7 @@ _SWEEP_FIRST = [
     "dedup_video_pairs",
     "video_dedup_pipeline_e2e",
     "dedup_video_recall_eval",
+    "media_video_features",
     "agg_approx_distinct",
     "agg_avg_check_by_region",
     "agg_count_distinct",
@@ -86,7 +87,6 @@ _SWEEP_FIRST = [
     "agg_pivot_status",
     "agg_stats",
     "ann_quantized_topk",
-    "cast_date_coerce",
 ]
 
 

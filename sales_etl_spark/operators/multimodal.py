@@ -908,6 +908,73 @@ def video_grid_signature(frames: DataFrame) -> DataFrame:
     )
 
 
+def video_motion_features(frames: DataFrame) -> DataFrame:
+    """Per-VIDEO motion envelope from decoded sampled frames — the
+    feature-extraction sibling of :func:`video_grid_signature` (same
+    in-row column-sum pooling, same bounded groupBy): rows in =
+    ``mjpeg_frame_pixels`` output; rows out = (media_id, n_frames,
+    n_sampled, motion_sum, max_delta, scene_cuts).
+
+    Each sampled frame pools in-row to its 8 spatial column sums
+    (rasters never cross an exchange); consecutive sampled pairs give
+    integer motion deltas Σ_c |Δcol_sum|; ``scene_cuts`` counts pairs
+    whose delta strictly exceeds 2x the video's mean delta
+    (cross-multiplied: ``delta * n_pairs > 2 * motion_sum`` — no
+    division). Single-sampled-frame videos emit zeros. The
+    ``IF(size < 2, ...)`` guard matters: Spark's ``sequence(2, 1)``
+    is a DESCENDING sequence, not empty."""
+    col_sums = F.expr(
+        "transform(sequence(0, 7), c -> aggregate("
+        " sequence(0, height - 1), CAST(0 AS BIGINT),"
+        " (a, y) -> a + CAST(element_at(pixels,"
+        "   y * width + CAST((c * width) DIV 8 AS INT) + 1)"
+        "   AS BIGINT)))"
+    )
+    per_frame = frames.select(
+        "media_id",
+        "n_frames",
+        F.struct(F.col("frame_idx"), col_sums.alias("cs")).alias("fr"),
+    )
+    per_video = per_frame.groupBy("media_id").agg(
+        F.first("n_frames").cast("int").alias("n_frames"),
+        F.array_sort(F.collect_list("fr")).alias("fr"),
+    )
+    deltas = F.expr(
+        "IF(size(fr) < 2, CAST(array() AS array<bigint>),"
+        " transform(sequence(2, size(fr)), j -> aggregate("
+        "   sequence(0, 7), CAST(0 AS BIGINT), (a, c) ->"
+        "   a + abs(element_at(element_at(fr, j).cs, c + 1)"
+        "         - element_at(element_at(fr, j - 1).cs, c + 1)))))"
+    )
+    v = per_video.select(
+        "media_id",
+        "n_frames",
+        F.size("fr").cast("int").alias("n_sampled"),
+        deltas.alias("d"),
+    ).select(
+        "media_id",
+        "n_frames",
+        "n_sampled",
+        "d",
+        F.expr(
+            "aggregate(d, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("motion_sum"),
+    )
+    return v.select(
+        "media_id",
+        "n_frames",
+        "n_sampled",
+        "motion_sum",
+        F.coalesce(F.array_max("d"), F.lit(0).cast("bigint")).alias(
+            "max_delta"
+        ),
+        F.expr(
+            "CAST(size(filter(d, x ->"
+            " x * size(d) > 2 * motion_sum)) AS BIGINT)"
+        ).alias("scene_cuts"),
+    )
+
+
 def parse_wav_metadata(
     data: bytes,
 ) -> tuple[int, int, int, int] | None:

@@ -2574,6 +2574,83 @@ def dedup_video_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_video_features",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id, n_chars,
+               2 + doc_id % 4 AS n_frames,
+               8 * (1 + doc_id % 2) AS w,
+               8 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT g.doc_id, g.n_chars, g.w, g.h, f.f AS j, 2 * f.f AS fidx
+        FROM geom g,
+             unnest(generate_series(0, (g.n_frames - 1) // 2)) AS f(f)
+    ),
+    cs AS (
+        SELECT fr.doc_id, fr.j, ci.c,
+               CAST(fr.h AS BIGINT) *
+               ((fr.doc_id * 41 + fr.fidx * 29
+                 + (((ci.c * fr.w) // 8) // 8) * 11
+                 + fr.n_chars) % 256) AS s
+        FROM fr, unnest(generate_series(0, 7)) AS ci(c)
+    ),
+    d AS (
+        SELECT a.doc_id, a.j, CAST(SUM(ABS(a.s - b.s)) AS BIGINT) AS delta
+        FROM cs a JOIN cs b
+          ON a.doc_id = b.doc_id AND a.c = b.c AND b.j = a.j - 1
+        GROUP BY a.doc_id, a.j
+    ),
+    m AS (
+        SELECT doc_id, CAST(SUM(delta) AS BIGINT) AS motion_sum,
+               CAST(MAX(delta) AS BIGINT) AS max_delta,
+               COUNT(*) AS n_pairs
+        FROM d GROUP BY doc_id
+    ),
+    cuts AS (
+        SELECT d.doc_id,
+               CAST(SUM(CASE WHEN d.delta * m.n_pairs > 2 * m.motion_sum
+                             THEN 1 ELSE 0 END) AS BIGINT) AS scene_cuts
+        FROM d JOIN m USING (doc_id) GROUP BY d.doc_id
+    )
+    SELECT g.doc_id AS media_id,
+           CAST(g.n_frames AS INTEGER) AS n_frames,
+           CAST((g.n_frames + 1) // 2 AS INTEGER) AS n_sampled,
+           CAST(COALESCE(m.motion_sum, 0) AS BIGINT) AS motion_sum,
+           CAST(COALESCE(m.max_delta, 0) AS BIGINT) AS max_delta,
+           CAST(COALESCE(cuts.scene_cuts, 0) AS BIGINT) AS scene_cuts
+    FROM geom g
+    LEFT JOIN m ON m.doc_id = g.doc_id
+    LEFT JOIN cuts ON cuts.doc_id = g.doc_id
+    """,
+)
+def media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO feature extraction over real decoded frames — the video
+    member of the per-modality feature family (media_audio_features'
+    RMS/ZCR; the PNG tier's pixel extrema): per video, the MOTION
+    ENVELOPE of its sampled frame sequence. Each sampled frame
+    collapses in-row to its 8 spatial column sums (rasters never
+    cross an exchange — the video_grid_signature contract); per
+    consecutive sampled pair, the motion delta Σ_c |Δcol_sum|
+    (integer exact); per video: total motion, peak delta, and
+    SCENE-CUT count (a pair is a cut iff its delta strictly exceeds
+    2x the video's mean delta, cross-multiplied — no division). These
+    are the static-clip / slideshow / hard-cut signals a video
+    training-data pipeline gates on before spending decode-and-embed
+    budget. One bounded groupBy(media_id) (8 longs per sampled
+    frame), everything else in-row higher-order folds; the oracle
+    predicts every delta closed-form from the fixture formulas."""
+    from sales_etl_spark.operators import multimodal
+
+    st = _star(spark, sf_dir)
+    media = multimodal.documents_as_mjpeg(st.documents)
+    return multimodal.video_motion_features(
+        multimodal.mjpeg_frame_pixels(media, every_n=2)
+    )
+
+
+@query(
     "media_gif_decode",
     oracle="""
     WITH geom AS (

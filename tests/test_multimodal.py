@@ -1157,3 +1157,41 @@ def test_video_pairs_verify_contract(spark):
         lo_b, hi_b = hashes[r["media_b"]]
         want = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
         assert want == r["hamming"], (r, want)
+
+
+def test_video_motion_features_semantics(spark):
+    """video_motion_features on engineered frames: a static 3-frame
+    video has motion 0 and no cuts; a video with two small deltas and
+    one hard cut counts exactly one scene cut (strict 2x-mean rule);
+    a single-sampled-frame video emits zeros (the sequence(2,1)
+    descending-sequence guard)."""
+    from sales_etl_spark.operators.multimodal import video_motion_features
+
+    rows = [
+        # video 1: three identical 8x1 frames -> static
+        (1, 0, 6, 8, 1, [5] * 8),
+        (1, 2, 6, 8, 1, [5] * 8),
+        (1, 4, 6, 8, 1, [5] * 8),
+        # video 2: deltas 8, 8, then a hard cut of 800
+        (2, 0, 8, 8, 1, [0] * 8),
+        (2, 2, 8, 8, 1, [1] * 8),   # delta 8
+        (2, 4, 8, 8, 1, [2] * 8),   # delta 8
+        (2, 6, 8, 8, 1, [102] * 8),  # delta 800 > 2*mean(272)
+        # video 3: single sampled frame
+        (3, 2, 2, 8, 1, [9] * 8),
+    ]
+    frames = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, n_frames int, "
+        "width int, height int, pixels array<int>",
+    )
+    got = {
+        r["media_id"]: (
+            r["n_sampled"], r["motion_sum"], r["max_delta"],
+            r["scene_cuts"],
+        )
+        for r in video_motion_features(frames).collect()
+    }
+    assert got[1] == (3, 0, 0, 0), got[1]
+    assert got[2] == (4, 816, 800, 1), got[2]
+    assert got[3] == (1, 0, 0, 0), got[3]

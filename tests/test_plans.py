@@ -373,6 +373,9 @@ _PYTHON_OK = {
     "dedup_video_pairs",
     "video_dedup_pipeline_e2e",
     "dedup_video_recall_eval",
+    # same AVI/JPEG decode kernel; column sums, motion deltas and the
+    # scene-cut rule are in-row native folds
+    "media_video_features",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
