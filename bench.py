@@ -139,6 +139,12 @@ HEADLINE = [
     # round-8: distributed BPE tokenizer training (iterative,
     # vocabulary-grain rounds, bounded driver state)
     "text_bpe_train",
+    # round-9: the video perceptual tier (grid signature + banded
+    # Hamming verify over real frame decode) and its motion features
+    "dedup_video_pairs",
+    "media_video_features",
+    # round-9: tokenize -> budget -> pack composition chain
+    "tokenize_pipeline_e2e",
 ]
 
 #: The marts with a pandas comparison point (tools/baseline_pandas.py).
