@@ -43,6 +43,7 @@ _SWEEP_FIRST = [
     "video_dedup_pipeline_e2e",
     "dedup_video_recall_eval",
     "media_video_features",
+    "mix_pack_assemble",
     "agg_approx_distinct",
     "agg_avg_check_by_region",
     "agg_count_distinct",
@@ -86,7 +87,6 @@ _SWEEP_FIRST = [
     "agg_percentiles",
     "agg_pivot_status",
     "agg_stats",
-    "ann_quantized_topk",
 ]
 
 

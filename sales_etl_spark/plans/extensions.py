@@ -845,6 +845,89 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mix_pack_assemble",
+    oracle=f"""
+    WITH packed AS ({sampling.pack_oracle_sql(
+        "documents", "doc_id", _BPE_COUNT_SQL,
+        _PACK_SEQ_LEN, _PACK_SHARDS, seed="pack-v1",
+    )}),
+    x AS (
+        SELECT shard, b.b AS bin, doc_id, tok_offset, n_tokens,
+               least(tok_offset + n_tokens, (b.b + 1) * {_PACK_SEQ_LEN})
+               - greatest(tok_offset, b.b * {_PACK_SEQ_LEN}) AS toks
+        FROM packed,
+             unnest(generate_series(start_bin, end_bin)) AS b(b)
+    )
+    SELECT shard, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens_in_bin,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY tok_offset) AS doc_list
+    FROM x GROUP BY shard, bin
+    """,
+)
+def mix_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXAMPLE ASSEMBLER downstream of sequence packing — the
+    step mix_pack_sequences' contract promises ("an example assembler
+    groups by (shard, bin)"): one row per 512-token training example
+    with the documents composing it IN CONCATENATION ORDER (CSV of
+    doc_ids, mixing-hash order — the deterministic string form both
+    engines agg identically), how many documents touch the example,
+    and how many of its token slots are filled (every bin holds
+    exactly seq_len except each shard's partial tail — the padding
+    the training loader adds). A doc spanning several examples
+    contributes its clipped overlap to each:
+    min(end, (bin+1)·L) − max(start, bin·L). Scale shape: the bin
+    explode multiplies rows only by spans-per-doc (~n_tokens/L), and
+    the ONE exchange is the (shard, bin) groupBy — bins are
+    ~seq_len-token uniform by construction, so the example grain is
+    skew-free at any corpus size."""
+    st = _star(spark, sf_dir)
+    docs = st.documents.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = sampling.pack_sequences(
+        docs, "doc_id", "n_tokens",
+        seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS, seed="pack-v1",
+    )
+    L = F.lit(_PACK_SEQ_LEN).cast("bigint")
+    x = packed.select(
+        "shard",
+        "doc_id",
+        "tok_offset",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("start_bin"), F.col("end_bin"))
+        ).alias("bin"),
+    ).select(
+        "shard",
+        "bin",
+        "doc_id",
+        "tok_offset",
+        (
+            F.least(
+                F.col("tok_offset") + F.col("n_tokens"),
+                (F.col("bin") + 1) * L,
+            )
+            - F.greatest(F.col("tok_offset"), F.col("bin") * L)
+        ).alias("toks"),
+    )
+    return x.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens_in_bin"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tok_offset", "doc_id"))
+                ),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("doc_list"),
+    )
+
+
 #: Train/val/test fractions (cumulative-hash split).
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
