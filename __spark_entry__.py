@@ -44,6 +44,7 @@ _SWEEP_FIRST = [
     "dedup_video_recall_eval",
     "media_video_features",
     "mix_pack_assemble",
+    "dedup_video_incremental",
     "agg_approx_distinct",
     "agg_avg_check_by_region",
     "agg_count_distinct",
@@ -86,7 +87,6 @@ _SWEEP_FIRST = [
     "agg_mode",
     "agg_percentiles",
     "agg_pivot_status",
-    "agg_stats",
 ]
 
 

@@ -2480,6 +2480,146 @@ def video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vhash_of(docs: DataFrame) -> DataFrame:
+    """(media_id, hash_lo, hash_hi) grid signatures for an arbitrary
+    documents frame — the _vhash_hashed pipeline parameterized by
+    input so the incremental tier can fingerprint ONLY an arriving
+    batch."""
+    from sales_etl_spark.operators import multimodal
+
+    return multimodal.video_grid_signature(
+        multimodal.mjpeg_frame_pixels(
+            multimodal.documents_as_mjpeg(docs), every_n=2
+        )
+    )
+
+
+_VHASH_BANDS_EXPR = (
+    "posexplode(array(hash_lo % 65536,"
+    " CAST(hash_lo / 65536 AS BIGINT),"
+    " hash_hi % 65536,"
+    " CAST(hash_hi / 65536 AS BIGINT)))"
+)
+
+
+@query(
+    "dedup_video_incremental",
+    oracle=_VHASH_ORACLE_PREFIX
+    + _banded_pairs_oracle_suffix(
+        wrap_final="""SELECT media_a, media_b, hamming
+    FROM pairs
+    WHERE media_a % 5 = 0 OR media_b % 5 = 0"""
+    ),
+)
+def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL perceptual video dedup against a PERSISTED
+    signature index — the video mirror of dedup_lsh_incremental, and
+    STRONGER: because the grid signature is deterministic (exact
+    decode, exact integer threshold), the incremental probe is
+    hash-exact against the identity
+    ``incremental ≡ full-corpus pairs restricted to batch-touching``
+    — the oracle IS the full dedup_video_pairs pipeline filtered to
+    pairs with a batch member, so the index path cannot silently
+    diverge from the from-scratch result (the text tier can only
+    assert this in unit tests; here the driver checks it).
+
+    Shape: the corpus's banded signatures live as a lake table
+    (built once, committed atomically, completion sentinel); an
+    arriving batch (doc_id % 5 = 0) DECODES AND FINGERPRINTS ITSELF
+    ONLY, then probes the index scan through the band equi-join —
+    per-ingest cost O(batch), the index read but never reshuffled,
+    no old video ever re-decoded. Bucket caps count index+batch
+    members (the stored per-bucket counts plus the batch's
+    increments), so cap semantics match the full run exactly.
+    Candidates cover batch x corpus AND batch x batch; verify is the
+    same codegen bit_count XOR ladder."""
+    import shutil
+    from pathlib import Path
+
+    from sales_etl_spark import lake
+    from sales_etl_spark.plans.extensions import _scratch
+
+    st = _star(spark, sf_dir)
+    # batch split on % 5 — COPRIME with the fixture's 4 geometry
+    # classes (doc_id % 4 drives n_frames), so the arriving batch
+    # spans every class instead of being exactly the degenerate
+    # single-sampled-frame class the bucket cap drops
+    corpus = st.documents.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = st.documents.filter(F.col("doc_id") % 5 == 0)
+    path = str(_scratch("vhash_index_m5", sf_dir))
+    done = Path(path) / "_build_complete"
+    if not done.exists():
+        shutil.rmtree(path, ignore_errors=True)
+        corpus_bands = _vhash_of(corpus).select(
+            "media_id",
+            "hash_lo",
+            "hash_hi",
+            F.expr(_VHASH_BANDS_EXPR).alias("band_idx", "band_val"),
+        )
+        lake.commit_write(corpus_bands, path, mode="append")
+        done.touch()
+    index = lake.read_table(spark, path)
+    batch = (
+        _vhash_of(batch_docs)
+        .select(
+            "media_id",
+            "hash_lo",
+            "hash_hi",
+            F.expr(_VHASH_BANDS_EXPR).alias("band_idx", "band_val"),
+        )
+        .cache()
+    )
+    all_bands = index.unionByName(batch)
+    hot = (
+        all_bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _PAIR_CAP)
+        .select("band_idx", "band_val")
+    )
+    kept_all = all_bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    kept_batch = batch.join(hot, ["band_idx", "band_val"], "left_anti")
+    b = kept_batch.alias("b")
+    o = kept_all.alias("o")
+    # the batch is the small side BY DESIGN (one ingest vs the whole
+    # index) — broadcast it so the index scan never shuffles
+    cand = (
+        o.join(
+            F.broadcast(b),
+            (F.col("b.band_idx") == F.col("o.band_idx"))
+            & (F.col("b.band_val") == F.col("o.band_val"))
+            & (F.col("b.media_id") != F.col("o.media_id")),
+        )
+        .select(
+            F.least("b.media_id", "o.media_id").alias("media_a"),
+            F.greatest("b.media_id", "o.media_id").alias("media_b"),
+            F.when(
+                F.col("b.media_id") < F.col("o.media_id"),
+                F.col("b.hash_lo"),
+            ).otherwise(F.col("o.hash_lo")).alias("lo_a"),
+            F.when(
+                F.col("b.media_id") < F.col("o.media_id"),
+                F.col("b.hash_hi"),
+            ).otherwise(F.col("o.hash_hi")).alias("hi_a"),
+            F.when(
+                F.col("b.media_id") < F.col("o.media_id"),
+                F.col("o.hash_lo"),
+            ).otherwise(F.col("b.hash_lo")).alias("lo_b"),
+            F.when(
+                F.col("b.media_id") < F.col("o.media_id"),
+                F.col("o.hash_hi"),
+            ).otherwise(F.col("b.hash_hi")).alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return cand.select(
+        "media_a", "media_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _PAIR_MAX_HAMMING)
+
+
 @query(
     "dedup_video_recall_eval",
     oracle=_VHASH_ORACLE_PREFIX

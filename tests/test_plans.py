@@ -376,6 +376,9 @@ _PYTHON_OK = {
     # same AVI/JPEG decode kernel; column sums, motion deltas and the
     # scene-cut rule are in-row native folds
     "media_video_features",
+    # batch-side decode kernel only; index scan + broadcast probe and
+    # the Hamming verify are native
+    "dedup_video_incremental",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
     # the multimodal quality gate chains both decode kernels into one
