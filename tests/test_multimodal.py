@@ -1195,3 +1195,31 @@ def test_video_motion_features_semantics(spark):
     assert got[1] == (3, 0, 0, 0), got[1]
     assert got[2] == (4, 816, 800, 1), got[2]
     assert got[3] == (1, 0, 0, 0), got[3]
+
+
+def test_video_incremental_equals_full_restricted(spark):
+    """The dedup_video_incremental contract, asserted engine-side as
+    well as by its oracle: the index-probe result must equal the
+    full-corpus pair set restricted to batch-touching pairs — same
+    caps, same Hamming threshold, nothing recomputed differently."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in QUERY_REGISTRY["dedup_video_incremental"]
+        .builder(spark, sf).collect()
+    }
+    full = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in QUERY_REGISTRY["dedup_video_pairs"]
+        .builder(spark, sf)
+        .filter(
+            (F.col("media_a") % 5 == 0) | (F.col("media_b") % 5 == 0)
+        )
+        .collect()
+    }
+    assert inc, "no batch-touching pairs at sf0.001"
+    assert inc == full
