@@ -1112,3 +1112,81 @@ def banded_hamming_pairs(
     return cand.select(
         "media_a", "media_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def probe_banded_index(
+    index_bands: DataFrame,
+    batch_bands: DataFrame,
+    cap: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """The INCREMENTAL half of the perceptual pair ladder, shared by
+    the batch probe (plans/monitor.py:dedup_video_incremental) and
+    the streaming ingest (streaming/media_dedup.py): candidates are
+    batch x (index ∪ batch) band collisions — an arriving batch
+    fingerprints only itself and never re-shuffles the index — and
+    bucket caps count index + batch members, so every emitted pair
+    is exactly a pair the from-scratch :func:`banded_hamming_pairs`
+    over (index ∪ batch) would emit.
+
+    Both frames carry (media_id, hash_lo, hash_hi, band_idx,
+    band_val). Output: ordered (media_a, media_b, hamming) with
+    hamming <= ``max_hamming``; batch x batch pairs included once
+    (DISTINCT over the ordered form).
+
+    Cap monotonicity caveat for SEQUENTIAL ingests: bucket counts
+    only grow, so a bucket that is hot in the final corpus may have
+    been under-cap in an early ingest — the UNION of sequential
+    probe outputs is therefore a SUPERSET of the one-shot banded
+    result whenever a bucket crosses the cap mid-stream (early pairs
+    are already emitted; later ones are suppressed). If the final
+    corpus never crosses the cap, the union is EXACTLY the one-shot
+    result (asserted in tests); an exactly-once consumer that wants
+    one-shot semantics re-filters against the final hot list.
+
+    The batch side is broadcast BY DESIGN (one ingest vs the whole
+    corpus); the index scan never shuffles."""
+    batch_bands = batch_bands.cache()
+    all_bands = index_bands.unionByName(batch_bands)
+    hot = (
+        all_bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > cap)
+        .select("band_idx", "band_val")
+    )
+    kept_all = all_bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    kept_batch = batch_bands.join(
+        hot, ["band_idx", "band_val"], "left_anti"
+    )
+    b = kept_batch.alias("b")
+    o = kept_all.alias("o")
+
+    def pick(small: str, big: str) -> F.Column:
+        return F.when(
+            F.col("b.media_id") < F.col("o.media_id"), F.col(small)
+        ).otherwise(F.col(big))
+
+    cand = (
+        o.join(
+            F.broadcast(b),
+            (F.col("b.band_idx") == F.col("o.band_idx"))
+            & (F.col("b.band_val") == F.col("o.band_val"))
+            & (F.col("b.media_id") != F.col("o.media_id")),
+        )
+        .select(
+            F.least("b.media_id", "o.media_id").alias("media_a"),
+            F.greatest("b.media_id", "o.media_id").alias("media_b"),
+            pick("b.hash_lo", "o.hash_lo").alias("lo_a"),
+            pick("b.hash_hi", "o.hash_hi").alias("hi_a"),
+            pick("o.hash_lo", "b.hash_lo").alias("lo_b"),
+            pick("o.hash_hi", "b.hash_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return cand.select(
+        "media_a", "media_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

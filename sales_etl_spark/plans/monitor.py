@@ -2559,65 +2559,17 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake.commit_write(corpus_bands, path, mode="append")
         done.touch()
     index = lake.read_table(spark, path)
-    batch = (
-        _vhash_of(batch_docs)
-        .select(
-            "media_id",
-            "hash_lo",
-            "hash_hi",
-            F.expr(_VHASH_BANDS_EXPR).alias("band_idx", "band_val"),
-        )
-        .cache()
+    batch = _vhash_of(batch_docs).select(
+        "media_id",
+        "hash_lo",
+        "hash_hi",
+        F.expr(_VHASH_BANDS_EXPR).alias("band_idx", "band_val"),
     )
-    all_bands = index.unionByName(batch)
-    hot = (
-        all_bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > _PAIR_CAP)
-        .select("band_idx", "band_val")
+    from sales_etl_spark.operators import dedup
+
+    return dedup.probe_banded_index(
+        index, batch, cap=_PAIR_CAP, max_hamming=_PAIR_MAX_HAMMING
     )
-    kept_all = all_bands.join(hot, ["band_idx", "band_val"], "left_anti")
-    kept_batch = batch.join(hot, ["band_idx", "band_val"], "left_anti")
-    b = kept_batch.alias("b")
-    o = kept_all.alias("o")
-    # the batch is the small side BY DESIGN (one ingest vs the whole
-    # index) — broadcast it so the index scan never shuffles
-    cand = (
-        o.join(
-            F.broadcast(b),
-            (F.col("b.band_idx") == F.col("o.band_idx"))
-            & (F.col("b.band_val") == F.col("o.band_val"))
-            & (F.col("b.media_id") != F.col("o.media_id")),
-        )
-        .select(
-            F.least("b.media_id", "o.media_id").alias("media_a"),
-            F.greatest("b.media_id", "o.media_id").alias("media_b"),
-            F.when(
-                F.col("b.media_id") < F.col("o.media_id"),
-                F.col("b.hash_lo"),
-            ).otherwise(F.col("o.hash_lo")).alias("lo_a"),
-            F.when(
-                F.col("b.media_id") < F.col("o.media_id"),
-                F.col("b.hash_hi"),
-            ).otherwise(F.col("o.hash_hi")).alias("hi_a"),
-            F.when(
-                F.col("b.media_id") < F.col("o.media_id"),
-                F.col("o.hash_lo"),
-            ).otherwise(F.col("b.hash_lo")).alias("lo_b"),
-            F.when(
-                F.col("b.media_id") < F.col("o.media_id"),
-                F.col("o.hash_hi"),
-            ).otherwise(F.col("b.hash_hi")).alias("hi_b"),
-        )
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
-    return cand.select(
-        "media_a", "media_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= _PAIR_MAX_HAMMING)
 
 
 @query(

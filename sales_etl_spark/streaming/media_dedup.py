@@ -1,0 +1,105 @@
+"""Streaming PERCEPTUAL media ingest dedup: each micro-batch of raw
+media payloads decodes ITSELF inside the executor kernel (AVI walk +
+per-frame JPEG decode), collapses to per-video grid signatures
+(operators/multimodal.py:video_grid_signature), probes the PERSISTED
+banded-signature index for near-duplicates against everything
+ingested so far, and appends its own band rows to the index — the
+perceptual mirror of streaming/dedup_stream.py's MinHash ingest, with
+a STRONGER equivalence: the grid signature is deterministic, so when
+the final corpus never crosses the bucket cap, the union of the
+stream's per-batch pair emissions equals the one-shot
+banded_hamming_pairs result EXACTLY (asserted in
+tests/test_streaming.py; the cap-monotonicity caveat is documented on
+operators/dedup.py:probe_banded_index).
+
+Scale shape per micro-batch: O(batch) decode + one bounded
+signature groupBy, then a broadcast-batch probe of the index scan —
+the index is read but never reshuffled, no old video is ever
+re-decoded, and the index grows by one atomic lake commit per
+non-empty batch (crash-safe, replay-idempotent at the lake layer; the
+pair sink is append-only parquet, at-least-once, with the standard
+idempotent-consumer dedup on (media_a, media_b) downstream).
+
+Reference parity: the reference has no media tier at all (etl/ is
+tabular); this is the continuous-ingest shape of the round-9 batch
+operators (plans/monitor.py:dedup_video_incremental).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sales_etl_spark import lake
+from sales_etl_spark.operators.dedup import probe_banded_index
+from sales_etl_spark.operators.multimodal import (
+    mjpeg_frame_pixels,
+    video_grid_signature,
+)
+
+#: 4x16-bit band explosion of the 64-bit signature halves — the same
+#: split every perceptual tier uses (plans/monitor.py).
+_BANDS_EXPR = (
+    "posexplode(array(hash_lo % 65536,"
+    " CAST(hash_lo / 65536 AS BIGINT),"
+    " hash_hi % 65536,"
+    " CAST(hash_hi / 65536 AS BIGINT)))"
+)
+
+
+def _batch_bands(batch_df: DataFrame, every_n: int) -> DataFrame:
+    """(media_id, hash_lo, hash_hi, band_idx, band_val) for one
+    micro-batch of (media_id, payload) rows — decode, signature and
+    band split all executor-side."""
+    return video_grid_signature(
+        mjpeg_frame_pixels(batch_df, every_n=every_n)
+    ).select(
+        "media_id",
+        "hash_lo",
+        "hash_hi",
+        F.expr(_BANDS_EXPR).alias("band_idx", "band_val"),
+    )
+
+
+def stream_media_dedup(
+    stream_df: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    every_n: int = 2,
+    cap: int = 64,
+    max_hamming: int = 6,
+):
+    """Wire a (media_id, payload) stream into incremental perceptual
+    dedup. Returns the writeStream builder (caller picks trigger and
+    starts). Each batch: decode+sign itself → probe the index (caps
+    count index+batch) → append verified pairs to ``pairs_path`` →
+    commit the batch's band rows to ``index_path`` (one lake version
+    per non-empty batch)."""
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands = _batch_bands(batch_df, every_n).cache()
+        if lake.versions(index_path):
+            index = lake.read_table(spark, index_path)
+        else:
+            index = bands.limit(0)  # first batch: intra-batch only
+        pairs = probe_banded_index(
+            index, bands, cap=cap, max_hamming=max_hamming
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        lake.commit_write(
+            bands.select(
+                "media_id", "hash_lo", "hash_hi", "band_idx", "band_val"
+            ),
+            index_path,
+            mode="append",
+        )
+        bands.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1333,3 +1333,68 @@ def test_stream_bpe_segmentation_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM bpe_stream_seg").collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_stream_media_dedup_converges_to_batch_result(spark, tmp_path):
+    """Streaming perceptual ingest dedup: 3 micro-batches of raw AVI
+    payloads through the persisted-index probe emit, in union,
+    EXACTLY the one-shot banded_hamming_pairs set over the same
+    corpus. Both sides run with cap=500 — the fixture's degenerate
+    constant-video buckets reach 162 members even at 200 docs, and
+    with any bucket crossing the cap mid-stream the union is a
+    documented SUPERSET, not equal (the probe_banded_index
+    monotonicity caveat); an uncrossed cap is the equivalence
+    precondition. One lake version per batch."""
+    from sales_etl_spark import lake
+    from sales_etl_spark.operators.dedup import banded_hamming_pairs
+    from sales_etl_spark.operators.multimodal import (
+        documents_as_mjpeg,
+        mjpeg_frame_pixels,
+        video_grid_signature,
+    )
+    from sales_etl_spark.streaming.media_dedup import stream_media_dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter("doc_id < 200")
+    )
+    media = documents_as_mjpeg(docs)  # (media_id, payload)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        media.filter(f"media_id % 3 = {i}").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    index_path = str(tmp_path / "vhash_index")
+    pairs_path = str(tmp_path / "pairs")
+    q = (
+        stream_media_dedup(
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            index_path, pairs_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            cap=500,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want_sig = video_grid_signature(mjpeg_frame_pixels(media, every_n=2))
+    want = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in banded_hamming_pairs(want_sig, cap=500).collect()
+    }
+    assert got == want and len(want) > 0
+    assert len(lake.versions(index_path)) == 3  # one commit per batch
+    assert (
+        lake.read_table(spark, index_path)
+        .select("media_id").distinct().count()
+        == docs.count()
+    )
