@@ -1398,3 +1398,57 @@ def test_stream_media_dedup_converges_to_batch_result(spark, tmp_path):
         .select("media_id").distinct().count()
         == docs.count()
     )
+
+
+def test_stream_media_dedup_cap_crossing_yields_superset(spark, tmp_path):
+    """The probe_banded_index monotonicity caveat, pinned as the
+    DIRECTION it documents: with the default cap (64) the fixture's
+    degenerate buckets cross mid-stream, so the streamed union must
+    be a strict SUPERSET of the one-shot capped result (early pairs
+    from later-hot buckets are already emitted) — and every extra
+    pair must verify at hamming <= 6 (no garbage, just early)."""
+    from sales_etl_spark.operators.dedup import banded_hamming_pairs
+    from sales_etl_spark.operators.multimodal import (
+        documents_as_mjpeg,
+        mjpeg_frame_pixels,
+        video_grid_signature,
+    )
+    from sales_etl_spark.streaming.media_dedup import stream_media_dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter("doc_id < 200")
+    )
+    media = documents_as_mjpeg(docs)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        media.filter(f"media_id % 3 = {i}").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    pairs_path = str(tmp_path / "pairs")
+    q = (
+        stream_media_dedup(
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            str(tmp_path / "vhash_index"), pairs_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want_sig = video_grid_signature(mjpeg_frame_pixels(media, every_n=2))
+    want = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in banded_hamming_pairs(want_sig).collect()
+    }
+    assert want < got  # strict superset: the cap crossed mid-stream
+    assert all(0 <= h <= 6 and a < b for a, b, h in got)
