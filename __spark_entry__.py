@@ -24,69 +24,71 @@ from sales_etl_spark.plans import QUERY_REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness sweep covers the first 50 entries of the
-# dict returned by ``queries()``. Round-9 rotation contract (the
+# dict returned by ``queries()``. Rotation contract (since r9, the
 # round-8 verdict's ask #5): driver coverage has been CLOSED since
 # r08 (every registry key holds a CORRECTNESS row across r01-r08),
-# so the window's job is now FRESHNESS — positions 1-3 are the keys
-# NEW in round 9 (no driver row yet), and every remaining slot goes
-# to the LEAST-RECENTLY-CHECKED keys (the 36 keys whose latest row
-# is r2 plus the alphabetically-first r3 keys), refreshing hard
-# signal for plans that predate the integer-cents/grain rewrites.
-# Future rounds repeat this rule: new keys first, then oldest-row
-# keys. tests/test_docs_sync.py enforces presence structurally
-# (every registry key must hold a driver row in some
-# CORRECTNESS_r*.json OR sit inside the 50-slot window).
+# so the window's job is now FRESHNESS — keys NEW this round (no
+# driver row yet) go first, and every remaining slot goes to the
+# LEAST-RECENTLY-CHECKED keys (sorted by latest round across
+# CORRECTNESS_r*.json, alphabetical within a round stratum). Round
+# 10: positions 1-2 are the keys new in round 10
+# (perceptual_cluster_resolve, dedup_video_cluster_e2e); the other
+# 48 slots hold keys whose latest row is r3 (41 keys) or r4 (the
+# alphabetically-first 7), refreshing the stalest strata.
+# tests/test_docs_sync.py enforces presence structurally (every
+# registry key must hold a driver row in some CORRECTNESS_r*.json
+# OR sit inside the 50-slot window).
 _SWEEP_FIRST = [
-    "tokenize_pipeline_e2e",
-    "dedup_video_phash",
-    "dedup_video_pairs",
-    "video_dedup_pipeline_e2e",
-    "dedup_video_recall_eval",
-    "media_video_features",
-    "mix_pack_assemble",
-    "dedup_video_incremental",
-    "agg_approx_distinct",
-    "agg_avg_check_by_region",
-    "agg_count_distinct",
-    "agg_order_totals",
-    "agg_rollup",
-    "agg_salted_skew",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_lsh",
-    "dedup_embedding_pairs",
-    "dedup_exact_docs",
-    "emb_norm_stats",
-    "events_json_extract",
-    "events_session_window",
-    "events_window_sliding",
-    "events_window_tumbling",
-    "join_left_region",
-    "join_salted_skew",
-    "join_semi_anti",
-    "multimodal_features",
-    "multimodal_frames",
-    "scan_csv",
-    "scan_jsonl",
-    "scan_orc",
-    "set_intersect",
-    "set_union_except",
-    "sink_roundtrip",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_filter",
-    "text_stats",
-    "topk_product_ranking",
-    "upsert_last_wins",
-    "window_lag_delta",
-    "window_running_sum",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_median_disc",
-    "agg_mode",
-    "agg_percentiles",
-    "agg_pivot_status",
+    "perceptual_cluster_resolve",
+    "dedup_video_cluster_e2e",
+    "agg_stats",
+    "ann_quantized_topk",
+    "cast_date_coerce",
+    "corpus_report",
+    "decontam_corpus",
+    "dedup_corpus_survivors",
+    "dedup_incremental",
+    "dedup_keep_first",
+    "emb_label_centroids",
+    "emb_quantize_stats",
+    "events_cohort_retention",
+    "events_funnel",
+    "fillna_default",
+    "filter_required_nonnull",
+    "flagship_pricing_summary",
+    "flagship_shipping_priority",
+    "fn_customer_days",
+    "fn_email_valid",
+    "fn_period_date",
+    "fn_safe_div",
+    "join_asof_prior_purchase",
+    "join_events_enrich",
+    "join_range_interval",
+    "mix_token_budget",
+    "proj_month",
+    "proj_total_price",
+    "quality_classifier_score",
+    "sample_domain_cap",
+    "sample_split_assign",
+    "sample_stratified",
+    "text_boilerplate",
+    "text_chunk_tokens",
+    "text_dup_gram_chars",
+    "text_lm_score",
+    "text_ngram_topk",
+    "text_redact_pii",
+    "text_repetition",
+    "text_term_freq",
+    "text_tfidf_keywords",
+    "window_sessionize_ids",
+    "window_time_range",
+    "agg_abc_classification",
+    "agg_holt_backtest",
+    "agg_holt_forecast",
+    "agg_new_vs_returning",
+    "agg_order_aging",
+    "agg_rfm_segments",
+    "agg_seasonal_decompose",
 ]
 
 

@@ -937,6 +937,68 @@ def commit_upsert_batch(
     return version
 
 
+def latest_batch_id(table_path: str) -> int | None:
+    """``batch_id`` recorded on the table's latest manifest, or None
+    when the table is empty or its last commit wasn't a streaming
+    micro-batch. The replay test every idempotent foreachBatch sink
+    runs BEFORE doing any work (see :func:`commit_append_batch`)."""
+    vs = versions(table_path)
+    if not vs:
+        return None
+    return _read_manifest(table_path, vs[-1]).get("batch_id")
+
+
+def commit_append_batch(
+    df: DataFrame,
+    table_path: str,
+    batch_id: int,
+    max_retries: int = 5,
+) -> int | None:
+    """EXACTLY-ONCE streaming append on the transaction log: commit
+    one micro-batch's rows as a new appended version, idempotent under
+    foreachBatch replay — the append-mode sibling of
+    :func:`commit_upsert_batch`. The committed manifest records
+    ``batch_id``; a replayed batch (same or older id — Structured
+    Streaming batch ids are monotonic per query) is detected BEFORE
+    any write and skipped, so at-least-once delivery + idempotent
+    commit = exactly-once table state. Returns the committed version,
+    or None for a skipped replay.
+
+    Commits with compare-and-swap against the version the replay test
+    read, so a foreign commit landing in between triggers a re-read
+    and re-test instead of double-appending past a replayed manifest.
+    """
+    for _ in range(max_retries):
+        vs = versions(table_path)
+        base = vs[-1] if vs else -1
+        if vs:
+            last = _read_manifest(table_path, base)
+            if (
+                last.get("batch_id") is not None
+                and batch_id <= last["batch_id"]
+            ):
+                return None  # replay of an already-committed batch
+        try:
+            version = commit_write(
+                df, table_path, mode="append", expected_base=base,
+            )
+            break
+        except CommitConflict:
+            continue  # foreign commit mid-append: re-read, re-test
+    else:
+        raise RuntimeError(
+            f"append contention: {max_retries} conflicts at {table_path}"
+        )
+    manifest = _read_manifest(table_path, version)
+    manifest["batch_id"] = batch_id
+    # rewrite-in-place is safe: same content + idempotence marker, and
+    # the version file already exists so no reader sees a gap
+    tmp = _manifest_path(table_path, version).with_suffix(".tmp2")
+    tmp.write_text(json.dumps(manifest))
+    os.rename(tmp, _manifest_path(table_path, version))
+    return version
+
+
 def stream_upsert_lake(
     stream_df: DataFrame,
     table_path: str,

@@ -2480,6 +2480,141 @@ def video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The perceptual pair graph's transitive closure, stated as DuckDB
+#: recursive-CTE CTEs over the shared verified ``pairs`` tier — the
+#: exact pattern dedup_cluster_resolve's oracle uses for the text
+#: modality, appended via _banded_pairs_oracle_suffix(wrap_final=...)
+#: (the prefix must carry WITH RECURSIVE; see _VHASH_RECURSIVE_PREFIX).
+_CC_ORACLE_CTES = """, edges AS (
+        SELECT media_a AS a, media_b AS b FROM pairs
+        UNION
+        SELECT media_b AS a, media_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    )"""
+
+_VHASH_RECURSIVE_PREFIX = _VHASH_ORACLE_PREFIX.replace(
+    "WITH geom", "WITH RECURSIVE geom", 1
+)
+
+
+@query(
+    "perceptual_cluster_resolve",
+    oracle=_VHASH_RECURSIVE_PREFIX
+    + _banded_pairs_oracle_suffix(
+        wrap_final=_CC_ORACLE_CTES
+        + """
+    SELECT cc.node AS media_id, cc.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           cc.node = cc.cluster_id AS is_canonical
+    FROM cc JOIN csize s USING (cluster_id)"""
+    ),
+)
+def perceptual_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED-COMPONENTS resolve over the perceptual pair graph —
+    the transitive-closure decision tier the text modality has had
+    since dedup_cluster_resolve, extended to the shared
+    image/audio/video ladder through ONE operator
+    (operators/dedup.py:perceptual_cluster_resolve): verified
+    <= 6-bit Hamming video pairs -> min-label propagation + pointer
+    jumping -> one canonical min-id survivor per component. The
+    oracle chains the full perceptual stack (frame decode geometry ->
+    grid signature -> bands -> caps -> Hamming verify) into a DuckDB
+    recursive-CTE transitive closure, so the iterative distributed
+    algorithm is checked bit-exact against a declarative fixpoint
+    END-TO-END from raw fixture bytes. Scale shape: everything up to
+    the pair join is the dedup_video_pairs plan; the resolve adds
+    O(log n) bounded-join rounds over the (corpus-small) pair set."""
+    from sales_etl_spark.operators import dedup
+
+    pairs = dedup.banded_hamming_pairs(
+        _vhash_hashed(spark, sf_dir),
+        cap=_PAIR_CAP,
+        max_hamming=_PAIR_MAX_HAMMING,
+    )
+    return dedup.perceptual_cluster_resolve(pairs)
+
+
+@query(
+    "dedup_video_cluster_e2e",
+    oracle=_VHASH_RECURSIVE_PREFIX
+    + _banded_pairs_oracle_suffix(
+        wrap_final=_CC_ORACLE_CTES
+        + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST(SUM(CASE WHEN g.media_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_greedy,
+           CAST(SUM(CASE WHEN cc.node IS NOT NULL
+                          AND cc.node <> cc.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_cc
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT media_b AS media_id FROM pairs) g
+      ON g.media_id = d.doc_id
+    LEFT JOIN cc ON cc.node = d.doc_id
+    GROUP BY d.source"""
+    ),
+)
+def dedup_video_cluster_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY-vs-CC survivor divergence mart, per source — the
+    round-9 verdict's ask made measurable: the same verified video
+    pair graph resolved BOTH ways (greedy min-id-wins: dropped iff
+    paired with any smaller id, the video_dedup_pipeline_e2e rule;
+    transitive closure: dropped iff not the component minimum), with
+    per-source drop counts side by side. On chained near-dups
+    (A~B~C, A!~C) greedy keeps every never-right-side node while CC
+    keeps exactly one per component, so ``n_dropped_cc >=
+    n_dropped_greedy`` always (pairs are a < b — a component min
+    never appears as media_b) and the gap counts chain-only
+    near-duplicates a pair-grain rule cannot see. Scale shape: the
+    dedup_video_pairs plan + O(log n) CC rounds over the pair set +
+    two broadcast-size left joins back to the corpus grain."""
+    from sales_etl_spark.operators import dedup
+
+    st = _star(spark, sf_dir)
+    pairs = dedup.banded_hamming_pairs(
+        _vhash_hashed(spark, sf_dir),
+        cap=_PAIR_CAP,
+        max_hamming=_PAIR_MAX_HAMMING,
+    )
+    greedy = (
+        pairs.select(F.col("media_b").alias("media_id"))
+        .distinct()
+        .withColumn("__g", F.lit(True))
+    )
+    cc_dropped = (
+        dedup.perceptual_cluster_resolve(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("media_id")
+        .withColumn("__c", F.lit(True))
+    )
+    docs = st.documents.select(
+        F.col("doc_id").alias("media_id"), "source"
+    )
+    return (
+        docs.join(greedy, "media_id", "left")
+        .join(cc_dropped, "media_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+            F.sum(
+                F.when(F.col("__g").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped_greedy"),
+            F.sum(
+                F.when(F.col("__c").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped_cc"),
+        )
+    )
+
+
 def _vhash_of(docs: DataFrame) -> DataFrame:
     """(media_id, hash_lo, hash_hi) grid signatures for an arbitrary
     documents frame — the _vhash_hashed pipeline parameterized by

@@ -16,9 +16,16 @@ Scale shape per micro-batch: O(batch) decode + one bounded
 signature groupBy, then a broadcast-batch probe of the index scan —
 the index is read but never reshuffled, no old video is ever
 re-decoded, and the index grows by one atomic lake commit per
-non-empty batch (crash-safe, replay-idempotent at the lake layer; the
-pair sink is append-only parquet, at-least-once, with the standard
-idempotent-consumer dedup on (media_a, media_b) downstream).
+non-empty batch. The index commit is EXACTLY-ONCE under foreachBatch
+replay: each batch's id is tested against the lake manifest BEFORE
+any work (lake.latest_batch_id) and stamped on the committed version
+(lake.commit_append_batch), so a crash-replay neither re-probes nor
+double-appends band rows — double-appended bands would inflate bucket
+counts past ``cap`` and silently suppress pairs for every later
+batch, breaking the one-shot-convergence property. The pair sink is
+append-only parquet, at-least-once ONLY in the window between the
+pair write and the index commit, with the standard
+idempotent-consumer dedup on (media_a, media_b) downstream.
 
 Reference parity: the reference has no media tier at all (etl/ is
 tabular); this is the continuous-ingest shape of the round-9 batch
@@ -61,6 +68,51 @@ def _batch_bands(batch_df: DataFrame, every_n: int) -> DataFrame:
     )
 
 
+def process_media_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    every_n: int = 2,
+    cap: int = 64,
+    max_hamming: int = 6,
+) -> int | None:
+    """One micro-batch of the perceptual ingest: decode+sign → probe
+    the persisted index → append verified pairs → exactly-once commit
+    of the batch's band rows (batch_id-stamped manifest). A replayed
+    batch (its id already on the index's latest manifest) is skipped
+    BEFORE the probe — its bands are already committed, so re-probing
+    would pair the batch against its own index rows and re-appending
+    would inflate bucket counts past ``cap``. Returns the committed
+    index version, or None for an empty or replayed batch. Exposed as
+    a plain function so replay semantics are directly testable
+    (tests/test_streaming.py)."""
+    if batch_df.isEmpty():
+        return None
+    last = lake.latest_batch_id(index_path)
+    if last is not None and batch_id <= last:
+        return None  # foreachBatch replay: bands already committed
+    spark = batch_df.sparkSession
+    bands = _batch_bands(batch_df, every_n).cache()
+    if lake.versions(index_path):
+        index = lake.read_table(spark, index_path)
+    else:
+        index = bands.limit(0)  # first batch: intra-batch only
+    pairs = probe_banded_index(
+        index, bands, cap=cap, max_hamming=max_hamming
+    )
+    pairs.write.mode("append").parquet(pairs_path)
+    version = lake.commit_append_batch(
+        bands.select(
+            "media_id", "hash_lo", "hash_hi", "band_idx", "band_val"
+        ),
+        index_path,
+        batch_id,
+    )
+    bands.unpersist()
+    return version
+
+
 def stream_media_dedup(
     stream_df: DataFrame,
     index_path: str,
@@ -72,32 +124,17 @@ def stream_media_dedup(
 ):
     """Wire a (media_id, payload) stream into incremental perceptual
     dedup. Returns the writeStream builder (caller picks trigger and
-    starts). Each batch: decode+sign itself → probe the index (caps
-    count index+batch) → append verified pairs to ``pairs_path`` →
-    commit the batch's band rows to ``index_path`` (one lake version
-    per non-empty batch)."""
+    starts). Each batch runs :func:`process_media_batch`: decode+sign
+    itself → probe the index (caps count index+batch) → append
+    verified pairs to ``pairs_path`` → exactly-once commit of the
+    batch's band rows to ``index_path`` (one batch_id-stamped lake
+    version per non-empty batch, replays skipped)."""
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        bands = _batch_bands(batch_df, every_n).cache()
-        if lake.versions(index_path):
-            index = lake.read_table(spark, index_path)
-        else:
-            index = bands.limit(0)  # first batch: intra-batch only
-        pairs = probe_banded_index(
-            index, bands, cap=cap, max_hamming=max_hamming
+        process_media_batch(
+            batch_df, batch_id, index_path, pairs_path,
+            every_n=every_n, cap=cap, max_hamming=max_hamming,
         )
-        pairs.write.mode("append").parquet(pairs_path)
-        lake.commit_write(
-            bands.select(
-                "media_id", "hash_lo", "hash_hi", "band_idx", "band_val"
-            ),
-            index_path,
-            mode="append",
-        )
-        bands.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_probe)

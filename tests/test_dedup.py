@@ -212,6 +212,68 @@ def test_resolve_clusters_canonical_and_sizes(spark):
     assert rows[8].cluster_id == 7 and not rows[8].is_canonical
 
 
+def test_perceptual_cluster_resolve_vs_greedy(spark):
+    """The shared perceptual resolve on the canonical divergence
+    shape: component {1,5,3} linked only through 5 (pairs (1,5),
+    (3,5)) — greedy min-id-wins drops only 5 (node 3 never appears as
+    media_b), CC drops 3 AND 5 (everything but the component min). In
+    every graph greedy's drop set is a subset of CC's, since an
+    a < b pair list never shows a component minimum on the right."""
+    from sales_etl_spark.operators.dedup import perceptual_cluster_resolve
+
+    pairs = spark.createDataFrame(
+        [
+            Row(media_a=1, media_b=5, hamming=2),
+            Row(media_a=3, media_b=5, hamming=1),
+            Row(media_a=7, media_b=8, hamming=0),
+        ]
+    )
+    rows = {r.media_id: r for r in perceptual_cluster_resolve(pairs).collect()}
+    assert set(rows) == {1, 3, 5, 7, 8}
+    assert rows[1].cluster_id == 1 and rows[1].is_canonical
+    assert rows[3].cluster_id == 1 and not rows[3].is_canonical
+    assert rows[5].cluster_size == 3 and not rows[5].is_canonical
+    assert rows[7].is_canonical and rows[8].cluster_id == 7
+    greedy_drops = {r.media_b for r in pairs.collect()}
+    cc_drops = {m for m, r in rows.items() if not r.is_canonical}
+    assert greedy_drops == {5, 8}
+    assert cc_drops == {3, 5, 8}
+    assert greedy_drops < cc_drops  # strict here: 3 is chain-only
+
+
+def test_banded_cache_footprint_bounded_without_clearcache(spark):
+    """The one-slot cache contract, ENFORCED (r9 verdict ask #7):
+    three consecutive perceptual registry entries through one session
+    with NO clearCache() between them must leave at most one live
+    cached frame per operator slot — each banded_hamming_pairs /
+    simhash_pairs call evicts its predecessor, so a long-lived
+    embedder cannot leak one abandoned cached frame per call."""
+    import time
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    spark.catalog.clearCache()
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    assert n_cached() == 0
+    for name in ("dedup_phash_pairs", "dedup_audio_pairs",
+                 "dedup_video_pairs", "dedup_simhash"):
+        if name not in QUERY_REGISTRY:
+            continue
+        QUERY_REGISTRY[name].builder(spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    # async eviction (unpersist(blocking=False)): poll briefly
+    deadline = time.time() + 15
+    while time.time() < deadline and n_cached() > 2:
+        time.sleep(0.5)
+    # at most one live frame per slot (banded_hamming + simhash)
+    assert n_cached() <= 2
+    spark.catalog.clearCache()
+
+
 def test_incremental_exact_dedup_planted(spark):
     from sales_etl_spark.operators.dedup import incremental_exact_dedup
 

@@ -151,6 +151,29 @@ def test_commit_upsert_batch_exactly_once_under_replay(spark, tmp_path):
     assert got == {(1, "a2", 3), (2, "b0", 1), (3, "c0", 1)}
 
 
+def test_commit_append_batch_exactly_once_under_replay(spark, tmp_path):
+    """The append-mode sibling of the upsert batch commit: a replayed
+    micro-batch (same or older batch_id) is detected from the latest
+    manifest BEFORE any write and skipped — version count and row
+    count both unchanged, so an at-least-once foreachBatch never
+    double-appends index rows."""
+    t = str(tmp_path / "idx")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, band long")
+    b1 = spark.createDataFrame([(3, 10)], "k long, band long")
+    assert lake.latest_batch_id(t) is None  # empty table
+    assert lake.commit_append_batch(b0, t, batch_id=0) == 0
+    assert lake.latest_batch_id(t) == 0
+    assert lake.commit_append_batch(b1, t, batch_id=1) == 1
+    # replay batch 1 (and a stale batch 0): both no-ops
+    assert lake.commit_append_batch(b1, t, batch_id=1) is None
+    assert lake.commit_append_batch(b0, t, batch_id=0) is None
+    assert lake.versions(t) == [0, 1]
+    assert lake.read_table(spark, t).count() == 3
+    # a later batch still appends normally
+    assert lake.commit_append_batch(b0, t, batch_id=2) == 2
+    assert lake.read_table(spark, t).count() == 5
+
+
 def test_stream_upsert_lake_converges_and_versions(spark, tmp_path):
     """3-micro-batch stream through the exactly-once lake sink: final
     snapshot equals one-shot last-wins compaction, and every batch is

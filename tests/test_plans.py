@@ -373,6 +373,10 @@ _PYTHON_OK = {
     "dedup_video_pairs",
     "video_dedup_pipeline_e2e",
     "dedup_video_recall_eval",
+    # same AVI/JPEG decode lineage feeding the pair graph; the CC
+    # resolve (min-label propagation) is native joins all the way
+    "perceptual_cluster_resolve",
+    "dedup_video_cluster_e2e",
     # same AVI/JPEG decode kernel; column sums, motion deltas and the
     # scene-cut rule are in-row native folds
     "media_video_features",

@@ -1452,3 +1452,105 @@ def test_stream_media_dedup_cap_crossing_yields_superset(spark, tmp_path):
     }
     assert want < got  # strict superset: the cap crossed mid-stream
     assert all(0 <= h <= 6 and a < b for a, b, h in got)
+
+
+def test_media_batch_replay_skipped_preserves_convergence(spark, tmp_path):
+    """foreachBatch crash-replay of an already-committed media batch
+    is skipped BEFORE the probe (round-9 advice): the index gains no
+    version and no duplicate band rows — duplicates would inflate
+    bucket counts past the cap and silently suppress pairs for every
+    later batch — and the final pair union still equals the one-shot
+    banded_hamming_pairs result exactly."""
+    from sales_etl_spark import lake
+    from sales_etl_spark.operators.dedup import banded_hamming_pairs
+    from sales_etl_spark.operators.multimodal import (
+        documents_as_mjpeg,
+        mjpeg_frame_pixels,
+        video_grid_signature,
+    )
+    from sales_etl_spark.streaming.media_dedup import process_media_batch
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter("doc_id < 120")
+    )
+    media = documents_as_mjpeg(docs)
+    batches = [media.filter(f"media_id % 3 = {i}") for i in range(3)]
+    index_path = str(tmp_path / "vhash_index")
+    pairs_path = str(tmp_path / "pairs")
+    kw = dict(cap=500)
+    assert process_media_batch(
+        batches[0], 0, index_path, pairs_path, **kw
+    ) == 0
+    assert process_media_batch(
+        batches[1], 1, index_path, pairs_path, **kw
+    ) == 1
+    rows_after_b1 = lake.read_table(spark, index_path).count()
+    # crash between index commit and checkpoint commit → replay of
+    # batch 1 (and a stale batch 0): both skipped before any write
+    assert process_media_batch(
+        batches[1], 1, index_path, pairs_path, **kw
+    ) is None
+    assert process_media_batch(
+        batches[0], 0, index_path, pairs_path, **kw
+    ) is None
+    assert lake.versions(index_path) == [0, 1]
+    assert lake.read_table(spark, index_path).count() == rows_after_b1
+    assert process_media_batch(
+        batches[2], 2, index_path, pairs_path, **kw
+    ) == 2
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want_sig = video_grid_signature(mjpeg_frame_pixels(media, every_n=2))
+    want = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in banded_hamming_pairs(want_sig, cap=500).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_lsh_batch_replay_skipped_preserves_convergence(spark, tmp_path):
+    """Same replay-idempotence contract for the MinHash ingest: a
+    replayed micro-batch neither re-probes nor double-appends
+    signatures, and the pair union still equals the one-shot batch
+    LSH result."""
+    from sales_etl_spark import lake
+    from sales_etl_spark.operators.dedup import minhash_lsh_pairs
+    from sales_etl_spark.streaming.dedup_stream import process_lsh_batch
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 150")
+    )
+    batches = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    index_path = str(tmp_path / "lsh_index")
+    pairs_path = str(tmp_path / "pairs")
+    kw = dict(num_hashes=32, bands=8, min_est_jaccard=0.3)
+    assert process_lsh_batch(
+        batches[0], 0, index_path, pairs_path, **kw
+    ) == 0
+    assert process_lsh_batch(
+        batches[1], 1, index_path, pairs_path, **kw
+    ) == 1
+    rows_after_b1 = lake.read_table(spark, index_path).count()
+    assert process_lsh_batch(
+        batches[1], 1, index_path, pairs_path, **kw
+    ) is None
+    assert lake.versions(index_path) == [0, 1]
+    assert lake.read_table(spark, index_path).count() == rows_after_b1
+    assert process_lsh_batch(
+        batches[2], 2, index_path, pairs_path, **kw
+    ) == 2
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    assert got == want and len(want) > 0

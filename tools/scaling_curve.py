@@ -70,11 +70,14 @@ def build_sf10(spark) -> None:
     sf0.2 anti-clone tricks generalize per copy k so no tier
     degenerates into everything-pairs-with-its-clone:
 
-    - documents: every word gets a per-copy tag (``w~k``) — copies
-      share NO shingles/grams with the original or each other, and
-      the vocabulary grows ~linearly with corpus size, which is the
+    - documents: every word gets a per-copy suffix merged INTO the
+      token (``wxk``, a single \\w+ token) — copies share NO
+      shingles/grams with the original or each other, and the
+      vocabulary grows ~linearly with corpus size, which is the
       Heaps-law shape real crawl growth has (the sf0.2 token-REVERSE
-      trick only yields 2 distinct classes, unusable for 10×);
+      trick only yields 2 distinct classes, unusable for 10×; a
+      ``w~k`` tag splits under \\w+ tokenization — see the inline
+      comment below);
     - embeddings: per-copy CYCLIC DIMENSION SHIFT by k — distinct
       unit-norm vectors whose pairwise cosines across copies are
       decorrelated (sign-flip also only yields 2 classes);
