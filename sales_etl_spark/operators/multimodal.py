@@ -777,6 +777,100 @@ def documents_as_mjpeg(docs: DataFrame) -> DataFrame:
     )
 
 
+#: media_id offset of the planted near-dup variants emitted by
+#: :func:`documents_as_mjpeg_planted` — far above any real doc_id at
+#: every test scale, below the sf1.0-synth copy offsets.
+VARIANT_OFFSET = 10_000_000
+
+
+def documents_as_mjpeg_planted(docs: DataFrame) -> DataFrame:
+    """RECALL-BENCHMARK video corpus with PLANTED near-duplicates at
+    known signature distance (round 10 — the r9 verdict's ask #2: the
+    tiny `documents_as_mjpeg` fixtures only produce DEGENERATE h=0
+    clone pairs in cap-dropped hot buckets, so a recall eval over
+    them measures the cap, not banding recall).
+
+    Per input doc TWO real AVI-MJPEG files:
+
+    - a RICH base video — 16 frames, 64x8, every 8x8 tile constant at
+      one of TWO brightness levels {64, 192} chosen by the
+      deterministic SQUARED-RESIDUE pattern ``a = (doc_id*2654435761
+      + (t*8+c)*40503 + n_chars*97) % 1000003; bit = (a*a % 1000003)
+      % 2`` (t = frame_idx DIV 2, c = tile column). The squaring is
+      load-bearing: a LINEAR mod-then-parity pattern alternates
+      deterministically between modulus wraps, making all docs'
+      patterns near-complements of each other — which recreates the
+      hot near-clone buckets whose cap drops this eval exists to
+      stop measuring. Quadratic residues decorrelate both across
+      cells and across docs, and ``a`` is reduced before squaring so
+      every intermediate fits signed 64-bit in numpy, Spark and
+      DuckDB alike.
+      Geometry is chosen so the every-2nd-frame 8x8 grid signature
+      (video_grid_signature) maps cell (t, c) 1:1 onto tile c of
+      frame 2t, and with exactly two levels the mean threshold makes
+      bit(t,c) EQUAL the pattern bit (192 >= mean always, 64 >= mean
+      only in the degenerate all-64 corner);
+    - a NEAR-DUP VARIANT (``media_id = doc_id + VARIANT_OFFSET``),
+      RE-ENCODED from scratch with ``k = 1 + doc_id % 6`` tiles
+      brightness-flipped (64 <-> 192) at grid cells
+      ``(doc_id*7 + 13*j) % 64`` for j < k — so the TRUE 64-bit
+      signature Hamming distance of each (base, variant) pair is
+      exactly k: planted ground truth at every h = 1..6, the
+      realistic near-dup population (re-encode + local brightness
+      shift) the banded tier exists to catch.
+
+    Both payloads go through the REAL pipeline (JPEG encode -> AVI
+    mux here; AVI walk -> JPEG decode -> signature downstream) — the
+    plant is in the source pixels, never in the hashes. The DuckDB
+    oracle twin (plans/monitor.py:_VRECALL_ORACLE_PREFIX) states the
+    same construction closed-form."""
+    from sales_etl_spark.operators.avi import encode_avi_mjpeg
+    from sales_etl_spark.operators.jpeg import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_frames, w, h = 16, 64, 8
+
+        def render(vals: np.ndarray) -> bytes:
+            # vals: (8 slots, 8 tile-cols) -> 16-frame AVI (frame f
+            # carries slot f//2, so sampled even frames hit the grid)
+            frames = []
+            for f in range(n_frames):
+                row = np.repeat(vals[f // 2].astype(np.uint8), 8)
+                px = np.tile(row, (h, 1)).tobytes()
+                frames.append(encode_jpeg(px, w, h))
+            return encode_avi_mjpeg(frames, w, h)
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                i = (
+                    np.arange(8, dtype=np.int64).reshape(-1, 1) * 8
+                    + np.arange(8, dtype=np.int64).reshape(1, -1)
+                )
+                a = (d * 2654435761 + i * 40503 + nc * 97) % 1000003
+                bit = (a * a % 1000003) % 2
+                base = np.where(bit == 1, 192, 64)
+                k = 1 + d % 6
+                flip = np.zeros(64, dtype=bool)
+                for j in range(k):
+                    flip[(d * 7 + 13 * j) % 64] = True
+                variant = np.where(
+                    flip.reshape(8, 8), 256 - base, base
+                )
+                rows.append((d, bytearray(render(base))))
+                rows.append(
+                    (d + VARIANT_OFFSET, bytearray(render(variant)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def mjpeg_frame_pixels(media: DataFrame, every_n: int = 1) -> DataFrame:
     """Arrow-batched REAL video frame sampling + decode: walk the AVI
     container (operators/avi.py:parse_avi_mjpeg), keep every

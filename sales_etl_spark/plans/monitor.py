@@ -2707,9 +2707,76 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Closed-form twin of operators/multimodal.py:
+#: documents_as_mjpeg_planted — the planted-near-dup recall corpus:
+#: per doc (doc_id % 5 = 1) a rich two-level checker base video whose
+#: grid-signature bit (t, c) EQUALS the pattern bit (two brightness
+#: levels make the mean threshold degenerate to level identity), plus
+#: a variant at doc_id + 10000000 with k = 1 + doc_id % 6 cells
+#: flipped — true pair distance exactly k. ``halves``/``bands`` have
+#: the same shape as _VHASH_ORACLE_PREFIX so the shared banded-pairs
+#: suffix applies unchanged.
+_VRECALL_ORACLE_PREFIX = """
+    WITH seed AS (
+        SELECT d.doc_id, ti.t * 8 + ci.c AS i,
+               (d.doc_id * 2654435761
+                + (ti.t * 8 + ci.c) * 40503
+                + d.n_chars * 97) % 1000003 AS a
+        FROM documents d,
+             unnest(generate_series(0, 7)) AS ti(t),
+             unnest(generate_series(0, 7)) AS ci(c)
+        WHERE d.doc_id % 5 = 1
+    ),
+    pat AS (
+        SELECT doc_id, i,
+               CASE WHEN (a * a % 1000003) % 2 = 1
+                    THEN 192 ELSE 64 END AS v
+        FROM seed
+    ),
+    cells AS (
+        SELECT doc_id AS media_id, i,
+               CAST(8 * v AS BIGINT) AS s, CAST(8 AS BIGINT) AS c
+        FROM pat
+        UNION ALL
+        SELECT doc_id + 10000000, i,
+               CAST(8 * (CASE WHEN list_contains(
+                     list_transform(generate_series(0, doc_id % 6),
+                                    j -> (doc_id * 7 + 13 * j) % 64),
+                     i)
+                    THEN 256 - v ELSE v END) AS BIGINT),
+               CAST(8 AS BIGINT)
+        FROM pat
+    ),
+    totals AS (
+        SELECT media_id, CAST(SUM(s) AS BIGINT) AS ts,
+               CAST(SUM(c) AS BIGINT) AS tc
+        FROM cells GROUP BY media_id
+    ),
+    halves AS (
+        SELECT cl.media_id AS doc_id,
+               CAST(SUM(CASE WHEN cl.i < 32
+                    AND cl.s * t.tc >= t.ts * cl.c
+                    THEN CAST(1 AS BIGINT) << cl.i ELSE 0 END)
+                    AS BIGINT) AS hash_lo,
+               CAST(SUM(CASE WHEN cl.i >= 32
+                    AND cl.s * t.tc >= t.ts * cl.c
+                    THEN CAST(1 AS BIGINT) << (cl.i - 32) ELSE 0 END)
+                    AS BIGINT) AS hash_hi
+        FROM cells cl JOIN totals t USING (media_id)
+        GROUP BY cl.media_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, hash_lo % 65536 AS band_val
+        FROM halves
+        UNION ALL SELECT doc_id, 1, hash_lo // 65536 FROM halves
+        UNION ALL SELECT doc_id, 2, hash_hi % 65536 FROM halves
+        UNION ALL SELECT doc_id, 3, hash_hi // 65536 FROM halves
+    )"""
+
+
 @query(
     "dedup_video_recall_eval",
-    oracle=_VHASH_ORACLE_PREFIX
+    oracle=_VRECALL_ORACLE_PREFIX
     + _banded_pairs_oracle_suffix(
         wrap_final=f""", exact AS (
         SELECT a.doc_id AS media_a, b.doc_id AS media_b,
@@ -2735,30 +2802,41 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_video_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECALL FLOOR for the banded perceptual tier — the honest-
-    approximation metric the MinHash (dedup_recall_eval) and ANN
-    (ann_recall_eval) families already carry, extended to the
-    banded-Hamming ladder: per true Hamming distance 0..6, how many
+    """RECALL of the banded perceptual tier on REALISTIC near-dups —
+    the honest-approximation metric the MinHash (dedup_recall_eval)
+    and ANN (ann_recall_eval) families already carry, extended to the
+    banded-Hamming ladder: per true Hamming distance 1..6, how many
     exact near-duplicate pairs exist (brute-force all-pairs over the
-    64-bit grid signatures — the declared GROUND-TRUTH tier, O(n²)
-    at verification scale only) and how many the production banded
-    path (4x16-bit bands + hot-bucket cap) recovers. Pigeonhole
-    guarantees recall=1 for <= 3 flipped bits ABSENT cap losses (3
-    flips cannot touch all 4 bands); 4-6 bits and cap drops are the
-    measured gap — exactly what a 100 TB operator needs quantified
-    before trusting the banded tier. Integer-exact recall in ppm so
-    the oracle hashes bit-for-bit.
+    64-bit grid signatures — the declared GROUND-TRUTH tier, O(n²) at
+    verification scale only) and how many the production banded path
+    (4x16-bit bands + hot-bucket cap) recovers.
 
-    Reading the fixture number: most exact h=0 pairs here are the
-    DEGENERATE constant-video classes (single-frame fixtures hash to
-    all-ones), which live in hot buckets the cap deliberately drops —
-    so a low ppm on this corpus means the cap is doing its job, not
-    that banding misses organic near-dups; the dropped mass is
-    profiled, not lost (dedup_video_phash reports exactly those
-    buckets with their pair counts)."""
-    from sales_etl_spark.operators import dedup
+    Round-10 corpus fix (the r9 verdict's ask #2): the previous
+    corpus was the tiny production fixtures, whose only near-dup
+    pairs were DEGENERATE h=0 constant-video clones in cap-dropped
+    hot buckets — the eval measured the cap, not banding recall
+    (SCALE.md §29.4). The eval now runs over the PLANTED corpus
+    (operators/multimodal.py:documents_as_mjpeg_planted): per doc a
+    rich re-encoded base video plus a brightness-shifted variant at
+    EXACTLY k = 1 + doc_id%6 signature bits — non-trivial
+    denominators at every h = 1..6 by construction, all payloads
+    through the real decode pipeline. Expected curve: pigeonhole
+    guarantees recall = 1 for h <= 3 absent cap losses (3 flips
+    cannot touch all 4 bands); h = 4..6 measure genuine banding
+    decay — exactly what a 100 TB operator needs quantified before
+    trusting the banded tier. Integer-exact recall in ppm so the
+    oracle hashes bit-for-bit."""
+    from sales_etl_spark.operators import dedup, multimodal
 
-    h = _vhash_hashed(spark, sf_dir).cache()
+    st = _star(spark, sf_dir)
+    h = multimodal.video_grid_signature(
+        multimodal.mjpeg_frame_pixels(
+            multimodal.documents_as_mjpeg_planted(
+                st.documents.filter(F.col("doc_id") % 5 == 1)
+            ),
+            every_n=2,
+        )
+    ).cache()
     a, b = h.alias("a"), h.alias("b")
     ham = (
         F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))

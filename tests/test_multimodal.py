@@ -1223,3 +1223,39 @@ def test_video_incremental_equals_full_restricted(spark):
     }
     assert inc, "no batch-touching pairs at sf0.001"
     assert inc == full
+
+
+def test_planted_variants_land_at_exact_hamming_k(spark):
+    """documents_as_mjpeg_planted's contract, through the REAL
+    decode pipeline: each (base, variant) pair's grid-signature
+    Hamming distance is EXACTLY k = 1 + doc_id % 6 (two-level cells
+    make the mean threshold degenerate to level identity), and every
+    distance 1..6 has a non-empty population — the ground truth the
+    rewritten dedup_video_recall_eval measures banding recall on."""
+    from sales_etl_spark.operators.multimodal import (
+        VARIANT_OFFSET,
+        documents_as_mjpeg_planted,
+        mjpeg_frame_pixels,
+        video_grid_signature,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id % 5 = 1 AND doc_id < 300")
+        .select("doc_id", "n_chars")
+    )
+    sig = video_grid_signature(
+        mjpeg_frame_pixels(documents_as_mjpeg_planted(docs), every_n=2)
+    )
+    rows = {r.media_id: (r.hash_lo, r.hash_hi) for r in sig.collect()}
+    seen = set()
+    for mid, (lo, hi) in rows.items():
+        if mid >= VARIANT_OFFSET:
+            continue
+        vlo, vhi = rows[mid + VARIANT_OFFSET]
+        ham = bin((lo ^ vlo) & 0xFFFFFFFF).count("1") + bin(
+            (hi ^ vhi) & 0xFFFFFFFF
+        ).count("1")
+        assert ham == 1 + mid % 6, f"doc {mid}: ham {ham}"
+        seen.add(ham)
+    assert seen == {1, 2, 3, 4, 5, 6}
