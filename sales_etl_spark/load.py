@@ -348,7 +348,11 @@ def build_upsert_sql(
     if dialect == "merge":
         staging = f"{table}_stage"
         on_sql = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        set_sql = ", ".join(f"t.{c} = s.{c}" for c in updates)
+        # SET targets must be UNQUALIFIED: standard SQL (and Postgres
+        # 15, which rejects `SET t.c = ...` outright — found by the
+        # live round-trip in tests/test_postgres_live.py); Derby
+        # accepts both forms
+        set_sql = ", ".join(f"{c} = s.{c}" for c in updates)
         ins_sql = ", ".join(f"s.{c}" for c in columns)
         matched = "WHEN MATCHED"
         if guard:

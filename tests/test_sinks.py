@@ -273,7 +273,7 @@ def test_build_upsert_sql_shapes():
     assert merge == (
         "MERGE INTO customers t USING customers_stage s "
         "ON t.customer_id = s.customer_id "
-        "WHEN MATCHED THEN UPDATE SET t.name = s.name "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
         "WHEN NOT MATCHED THEN INSERT (customer_id, name) "
         "VALUES (s.customer_id, s.name)"
     )
