@@ -33,9 +33,12 @@ TABLES = (
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = Path(sf_dir) / f"{t}.parquet"
+        # driver testdata is a single file; Spark-written tables (the
+        # sf1.0 synth twin from tools/scaling_curve.py) are part-file
+        # DIRECTORIES, which DuckDB needs as a glob
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
