@@ -31,12 +31,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # driver row yet) go first, and every remaining slot goes to the
 # LEAST-RECENTLY-CHECKED keys (sorted by latest round across
 # CORRECTNESS_r*.json, alphabetical within a round stratum). Round
-# 10: positions 1-3 are the keys new or semantically REWRITTEN in
+# 10: positions 1-5 are the keys new or semantically REWRITTEN in
 # round 10 (perceptual_cluster_resolve, dedup_video_cluster_e2e,
 # dedup_video_recall_eval — the r9 row predates its planted-corpus
-# rewrite, so it needs a fresh row like a new key); the other 47
-# slots hold keys whose latest row is r3 (41 keys) or r4 (the
-# alphabetically-first 6), refreshing the stalest strata.
+# rewrite, so it needs a fresh row like a new key — plus the new
+# image/audio planted recall evals); the other 45 slots hold keys
+# whose latest row is r3 (41 keys) or r4 (the alphabetically-first
+# 4), refreshing the stalest strata.
 # tests/test_docs_sync.py enforces presence structurally (every
 # registry key must hold a driver row in some CORRECTNESS_r*.json
 # OR sit inside the 50-slot window).
@@ -44,6 +45,8 @@ _SWEEP_FIRST = [
     "perceptual_cluster_resolve",
     "dedup_video_cluster_e2e",
     "dedup_video_recall_eval",
+    "dedup_image_recall_eval",
+    "dedup_audio_recall_eval",
     "agg_stats",
     "ann_quantized_topk",
     "cast_date_coerce",
@@ -89,8 +92,6 @@ _SWEEP_FIRST = [
     "agg_holt_backtest",
     "agg_holt_forecast",
     "agg_new_vs_returning",
-    "agg_order_aging",
-    "agg_rfm_segments",
 ]
 
 

@@ -871,6 +871,104 @@ def documents_as_mjpeg_planted(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_png_planted(docs: DataFrame) -> DataFrame:
+    """IMAGE sibling of :func:`documents_as_mjpeg_planted` — the
+    planted-near-dup recall corpus for the aHash tier: per doc an
+    8x8 grayscale base PNG (thumbnail == image, so aHash bit i maps
+    1:1 to pixel i) at two brightness levels {64, 192} chosen by the
+    squared-residue pattern (modality salt 500009), plus a RE-ENCODED
+    variant (``media_id + VARIANT_OFFSET``) with k = 1 + doc_id % 6
+    pixels brightness-flipped at cells ``(doc_id*7 + 13*j) % 64`` —
+    true aHash Hamming distance exactly k (the 64/192 two-level makes
+    ``v*64 >= sum`` degenerate to level identity). Scanline filters
+    still vary per row so all five PNG filter types stay on the
+    decode path."""
+    from sales_etl_spark.operators.png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                i = np.arange(64, dtype=np.int64)
+                a = (
+                    d * 2654435761 + i * 40503 + nc * 97 + 500009
+                ) % 1000003
+                base = np.where((a * a % 1000003) % 2 == 1, 192, 64)
+                flip = np.zeros(64, dtype=bool)
+                for j in range(1 + d % 6):
+                    flip[(d * 7 + 13 * j) % 64] = True
+                variant = np.where(flip, 256 - base, base)
+                for mid, px in (
+                    (d, base),
+                    (d + VARIANT_OFFSET, variant),
+                ):
+                    rows.append((
+                        mid,
+                        bytearray(encode_png(
+                            px.astype(np.uint8).tobytes(), 8, 8,
+                            lambda y: (d + y) % 5,
+                        )),
+                    ))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def documents_as_wav_planted(docs: DataFrame) -> DataFrame:
+    """AUDIO sibling of :func:`documents_as_mjpeg_planted` — the
+    planted-near-dup recall corpus for the energy-envelope tier: per
+    doc a 2048-sample 16-bit mono base WAV of 64 aligned 32-sample
+    windows, each window at constant amplitude {1000, 3000} chosen by
+    the squared-residue pattern (modality salt 700001), plus a
+    RE-ENCODED variant (``media_id + VARIANT_OFFSET``) with
+    k = 1 + doc_id % 6 windows amplitude-flipped at windows
+    ``(doc_id*7 + 13*j) % 64`` — true fingerprint Hamming distance
+    exactly k (uniform window counts make the strict energy threshold
+    ``e*64 > total`` degenerate to amplitude-level identity when
+    levels are mixed)."""
+    import io
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = np.arange(64, dtype=np.int64)
+                a = (
+                    d * 2654435761 + w * 40503 + nc * 97 + 700001
+                ) % 1000003
+                base = np.where((a * a % 1000003) % 2 == 1, 3000, 1000)
+                flip = np.zeros(64, dtype=bool)
+                for j in range(1 + d % 6):
+                    flip[(d * 7 + 13 * j) % 64] = True
+                variant = np.where(flip, 4000 - base, base)
+                for mid, amps in (
+                    (d, base),
+                    (d + VARIANT_OFFSET, variant),
+                ):
+                    pcm = np.repeat(amps, 32).astype("<i2").tobytes()
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(8000)
+                        wv.writeframes(pcm)
+                    rows.append((mid, bytearray(buf.getvalue())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def mjpeg_frame_pixels(media: DataFrame, every_n: int = 1) -> DataFrame:
     """Arrow-batched REAL video frame sampling + decode: walk the AVI
     container (operators/avi.py:parse_avi_mjpeg), keep every

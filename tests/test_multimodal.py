@@ -1259,3 +1259,42 @@ def test_planted_variants_land_at_exact_hamming_k(spark):
         assert ham == 1 + mid % 6, f"doc {mid}: ham {ham}"
         seen.add(ham)
     assert seen == {1, 2, 3, 4, 5, 6}
+
+
+def test_planted_image_audio_variants_exact_hamming_k(spark):
+    """The image and audio planted corpora carry the same contract as
+    the video one: each (base, variant) pair's production-path hash
+    distance is EXACTLY k = 1 + doc_id % 6, with all six distances
+    populated — through the real PNG decode/thumbnail and PCM
+    decode/window-energy pipelines respectively."""
+    from sales_etl_spark.operators.multimodal import (
+        VARIANT_OFFSET,
+        documents_as_png_planted,
+        documents_as_wav_planted,
+    )
+    from sales_etl_spark.plans.monitor import _afp_of, _phash_of
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "n_chars")
+
+    for gen, hasher, residue in (
+        (documents_as_png_planted, _phash_of, 2),
+        (documents_as_wav_planted, _afp_of, 3),
+    ):
+        sub = docs.filter(f"doc_id % 5 = {residue} AND doc_id < 300")
+        rows = {
+            r.media_id: (r.hash_lo, r.hash_hi)
+            for r in hasher(gen(sub)).collect()
+        }
+        seen = set()
+        for mid, (lo, hi) in rows.items():
+            if mid >= VARIANT_OFFSET:
+                continue
+            vlo, vhi = rows[mid + VARIANT_OFFSET]
+            ham = bin((lo ^ vlo) & 0xFFFFFFFF).count("1") + bin(
+                (hi ^ vhi) & 0xFFFFFFFF
+            ).count("1")
+            assert ham == 1 + mid % 6, f"doc {mid}: ham {ham}"
+            seen.add(ham)
+        assert seen == {1, 2, 3, 4, 5, 6}

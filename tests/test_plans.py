@@ -377,6 +377,10 @@ _PYTHON_OK = {
     # resolve (min-label propagation) is native joins all the way
     "perceptual_cluster_resolve",
     "dedup_video_cluster_e2e",
+    # planted recall corpora ride the same PNG / PCM decode kernels;
+    # brute-force + banded comparison is native
+    "dedup_image_recall_eval",
+    "dedup_audio_recall_eval",
     # same AVI/JPEG decode kernel; column sums, motion deltas and the
     # scene-cut rule are in-row native folds
     "media_video_features",
@@ -394,10 +398,12 @@ _PYTHON_OK = {
 #: verification scale (each has an implemented, tested scale twin).
 _CARTESIAN_OK = {"dedup_embedding_pairs", "ann_cosine_topk",
                  "ann_quantized_topk",
-                 # brute-force exact-Hamming ground-truth leg of the
-                 # banded-recall eval (declared verification-scale
+                 # brute-force exact-Hamming ground-truth legs of the
+                 # banded-recall evals (declared verification-scale
                  # tier; the production path is the banded operator)
                  "dedup_video_recall_eval",
+                 "dedup_image_recall_eval",
+                 "dedup_audio_recall_eval",
                  # same broadcast-queries × corpus scoring shape as
                  # the cosine baseline (declared exact tier; LSH/IVF
                  # are the candidate-generation scale path)
