@@ -257,7 +257,11 @@ def test_banded_cache_footprint_bounded_without_clearcache(spark):
     def n_cached() -> int:
         return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
-    assert n_cached() == 0
+    # baseline, not zero: catalog.clearCache() drops SQL-cached frames
+    # but earlier tests' localCheckpoint RDD blocks (e.g. connected
+    # components) linger until GC'd — measure the DELTA these four
+    # entries add on top
+    base = n_cached()
     for name in ("dedup_phash_pairs", "dedup_audio_pairs",
                  "dedup_video_pairs", "dedup_simhash"):
         if name not in QUERY_REGISTRY:
@@ -267,10 +271,11 @@ def test_banded_cache_footprint_bounded_without_clearcache(spark):
         ).mode("overwrite").save()
     # async eviction (unpersist(blocking=False)): poll briefly
     deadline = time.time() + 15
-    while time.time() < deadline and n_cached() > 2:
+    while time.time() < deadline and n_cached() > base + 2:
         time.sleep(0.5)
-    # at most one live frame per slot (banded_hamming + simhash)
-    assert n_cached() <= 2
+    # at most one live frame per slot (banded_hamming + simhash) on
+    # top of the baseline (which can only shrink via GC meanwhile)
+    assert n_cached() <= base + 2
     spark.catalog.clearCache()
 
 
