@@ -227,8 +227,16 @@ def calibrate(spark, attempts: int = CALIBRATION_ATTEMPTS) -> dict:
     completion time external load perturbs. Returns the final spread,
     per-run seconds, and the number of attempts burned. With
     ``attempts=1`` this is a pure OBSERVATION probe (the post-run leg
-    of :func:`window_validity`) — no retry, no sleep."""
+    of :func:`window_validity`) — no retry, no sleep, but ONE untimed
+    settle run first: the probe measures AMBIENT contention, and its
+    first sample otherwise pays the just-finished timed section's GC
+    / scheduler residue (measured: a lone 2.4x first sample right
+    after the pandas phase on an otherwise-quiet box)."""
     last: dict = {}
+    if attempts == 1:
+        spark.range(0, 32 * 400_000, 1, 32).selectExpr(
+            "sum(id * id)"
+        ).collect()
     for attempt in range(1, attempts + 1):
         runs = []
         for _ in range(3):
