@@ -54,7 +54,14 @@ TABLES: dict[str, list[str] | None] = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["user_id"],
+    # event_id must shift too: it is the event PRIMARY KEY (click_id /
+    # purchase_id in the attribution family). Leaving it unshifted
+    # duplicated every event id across the 10 copies with identical
+    # timestamps, making pick-one-per-purchase_id genuinely ambiguous
+    # — Spark and DuckDB legitimately picked different user_id copies
+    # (caught by the r10 sf1.0 full-registry sweep, SCALE.md §30.10).
+    # A real 10x event stream has 10x distinct event ids.
+    "events": ["user_id", "event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
