@@ -292,9 +292,17 @@ def commit_write(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = BLOOM_BITS,
     bloom_hashes: int = BLOOM_HASHES,
+    extra_manifest: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     atomically as the next table version. Returns the version number.
+
+    ``extra_manifest`` merges caller fields (e.g. a streaming sink's
+    ``batch_id`` / ``txn_app_id`` idempotence markers) into the
+    manifest INSIDE the atomic publish — the marker and the version
+    appear together or not at all, so no crash window can leave a
+    committed version without its replay marker (the Delta txn-action
+    pattern).
 
     ``mode='append'`` adds the files to the previous snapshot;
     ``mode='overwrite'`` makes them the whole snapshot (old files stay
@@ -358,7 +366,17 @@ def commit_write(
         table_path, new_files, mode,
         max_retries=max_retries, expected_base=expected_base,
         new_stats=new_stats, new_bloom=new_bloom,
+        extra_manifest=extra_manifest,
     )
+
+
+#: Manifest keys the commit protocol itself owns — ``extra_manifest``
+#: may not shadow them (a caller overwriting ``files`` would corrupt
+#: the snapshot silently).
+_RESERVED_MANIFEST_KEYS = frozenset(
+    {"version", "mode", "files", "n_new_files", "delete_files",
+     "stats", "bloom"}
+)
 
 
 def commit_staged(
@@ -369,6 +387,7 @@ def commit_staged(
     expected_base: int | None = None,
     new_stats: dict | None = None,
     new_bloom: dict | None = None,
+    extra_manifest: dict | None = None,
 ) -> int:
     """Publish ALREADY-STAGED data files (table-relative names, bytes
     fully on disk, invisible until named) as the next version — the
@@ -379,6 +398,12 @@ def commit_staged(
     skip indexes."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
+    if extra_manifest:
+        bad = _RESERVED_MANIFEST_KEYS & extra_manifest.keys()
+        if bad:
+            raise ValueError(
+                f"extra_manifest may not shadow protocol keys: {sorted(bad)}"
+            )
     new_stats = new_stats or {}
     new_bloom = new_bloom or {}
     _log_dir(table_path).mkdir(parents=True, exist_ok=True)
@@ -420,6 +445,8 @@ def commit_staged(
             manifest["stats"] = stats
         if bloom:
             manifest["bloom"] = bloom
+        if extra_manifest:
+            manifest.update(extra_manifest)
         target = _manifest_path(table_path, version)
         # fully-written unique temp, then hard-link to the version
         # name: link() is create-if-absent WITH content — the claim
@@ -869,23 +896,48 @@ def compact(
     )
 
 
+class BatchIdRegression(ValueError):
+    """A foreachBatch sink presented a batch_id STRICTLY BELOW the
+    same query's recorded marker. Under Structured Streaming's
+    contract (per-query monotonic ids, only the last uncommitted batch
+    replays) this cannot happen in a healthy run — it means the
+    checkpoint directory was reset (ids restarted at 0) or two queries
+    share one ``query_id``. Silently skipping would be DATA LOSS
+    (every new batch ≤ the old marker dropped); silently appending
+    would double old data. Raising forces the operator to choose:
+    fresh ``query_id`` for a reprocess, or restore the checkpoint."""
+
+
 def commit_upsert_batch(
     batch_df: DataFrame,
     table_path: str,
     keys: list[str],
     order_by: list[str],
     batch_id: int,
+    query_id: str | None = None,
 ) -> int | None:
     """EXACTLY-ONCE streaming upsert on the transaction log: merge one
     micro-batch into the keyed snapshot, idempotent under foreachBatch
-    replay. The committed manifest records ``batch_id``; a replayed
-    batch (same or older id) is detected BEFORE any write and skipped,
-    so at-least-once delivery + idempotent commit = exactly-once table
-    state — the property the rename-swap parquet sink can only
-    approximate (its replay re-merges, converging by last-wins; here
-    the duplicate work never happens at all).
+    replay. The committed manifest records ``batch_id`` (and
+    ``txn_app_id`` when ``query_id`` is given) ATOMICALLY with the
+    commit itself (``extra_manifest`` — no stamp-after-publish crash
+    window); a replayed batch (id equal to the same query's marker) is
+    detected BEFORE any write and skipped, so at-least-once delivery +
+    idempotent commit = exactly-once table state — the property the
+    rename-swap parquet sink can only approximate (its replay
+    re-merges, converging by last-wins; here the duplicate work never
+    happens at all).
 
-    Returns the committed version, or None for a skipped replay.
+    Returns the committed version, None for a skipped replay; raises
+    :class:`BatchIdRegression` when ``batch_id`` is strictly below the
+    recorded marker (checkpoint reset — see the class docstring).
+
+    The replay marker is found by scanning manifests NEWEST-FIRST for
+    the most recent commit carrying this query's marker
+    (:func:`latest_batch_id`), so a foreign commit on the table (a
+    scheduled :func:`compact`, a manual append) between two batches
+    does NOT erase idempotence — the latest-manifest-only shortcut
+    would re-append a replayed batch after any such commit.
 
     The merge is a read-modify-write, so it commits with
     compare-and-swap against the snapshot it merged (see
@@ -895,16 +947,15 @@ def commit_upsert_batch(
     """
     from sales_etl_spark.operators.upsert import upsert_last_wins
 
+    marker = {"batch_id": batch_id}
+    if query_id is not None:
+        marker["txn_app_id"] = query_id
     for _ in range(5):
         vs = versions(table_path)
         base = vs[-1] if vs else None
+        if is_replayed_batch(table_path, batch_id, query_id):
+            return None  # replay of an already-committed batch
         if vs:
-            last = _read_manifest(table_path, base)
-            if (
-                last.get("batch_id") is not None
-                and batch_id <= last["batch_id"]
-            ):
-                return None  # replay of an already-committed batch
             spark = batch_df.sparkSession
             merged = upsert_last_wins(
                 read_table(spark, table_path, version=base).unionByName(
@@ -916,36 +967,59 @@ def commit_upsert_batch(
         else:
             merged = upsert_last_wins(batch_df, keys, order_by)
         try:
-            version = commit_write(
+            return commit_write(
                 merged, table_path, mode="overwrite",
                 expected_base=base if base is not None else -1,
+                extra_manifest=marker,
             )
-            break
         except CommitConflict:
             continue  # foreign commit mid-merge: re-read, re-merge
-    else:
-        raise RuntimeError(
-            f"upsert contention: 5 conflicts at {table_path}"
-        )
-    manifest = _read_manifest(table_path, version)
-    manifest["batch_id"] = batch_id
-    # rewrite-in-place is safe: same content + idempotence marker, and
-    # the version file already exists so no reader sees a gap
-    tmp = _manifest_path(table_path, version).with_suffix(".tmp2")
-    tmp.write_text(json.dumps(manifest))
-    os.rename(tmp, _manifest_path(table_path, version))
-    return version
+    raise RuntimeError(
+        f"upsert contention: 5 conflicts at {table_path}"
+    )
 
 
-def latest_batch_id(table_path: str) -> int | None:
-    """``batch_id`` recorded on the table's latest manifest, or None
-    when the table is empty or its last commit wasn't a streaming
-    micro-batch. The replay test every idempotent foreachBatch sink
-    runs BEFORE doing any work (see :func:`commit_append_batch`)."""
-    vs = versions(table_path)
-    if not vs:
-        return None
-    return _read_manifest(table_path, vs[-1]).get("batch_id")
+def latest_batch_id(
+    table_path: str, query_id: str | None = None
+) -> int | None:
+    """The replay marker for one streaming query: ``batch_id`` of the
+    most recent commit whose ``txn_app_id`` matches ``query_id``,
+    scanning manifests NEWEST-FIRST — or None when no commit carries
+    this query's marker. The scan (rather than latest-manifest-only)
+    means a foreign commit interleaved on the table (compaction,
+    manual append, a second query's batches) cannot erase another
+    writer's idempotence marker. Cost: one small JSON read per
+    manifest walked; for a table written chiefly by its own stream the
+    marker is on the latest manifest and the walk is O(1).
+
+    The replay test every idempotent foreachBatch sink runs BEFORE
+    doing any work (see :func:`commit_append_batch`)."""
+    for v in reversed(versions(table_path)):
+        m = _read_manifest(table_path, v)
+        if m.get("batch_id") is not None and m.get("txn_app_id") == query_id:
+            return m["batch_id"]
+    return None
+
+
+def is_replayed_batch(
+    table_path: str, batch_id: int, query_id: str | None
+) -> bool:
+    """True iff ``batch_id`` equals the query's recorded marker (the
+    one legitimate replay Structured Streaming produces: the last
+    batch, re-delivered after a crash before checkpoint commit).
+    Raises :class:`BatchIdRegression` when strictly below it."""
+    last = latest_batch_id(table_path, query_id)
+    if last is None or batch_id > last:
+        return False
+    if batch_id == last:
+        return True
+    raise BatchIdRegression(
+        f"batch_id {batch_id} is below the recorded marker {last} for "
+        f"query_id={query_id!r} at {table_path}: Structured Streaming "
+        "ids are per-query monotonic, so this indicates a reset "
+        "checkpoint directory (ids restarted) or a query_id collision. "
+        "Pass a fresh query_id to reprocess, or restore the checkpoint."
+    )
 
 
 def commit_append_batch(
@@ -953,50 +1027,46 @@ def commit_append_batch(
     table_path: str,
     batch_id: int,
     max_retries: int = 5,
+    query_id: str | None = None,
 ) -> int | None:
     """EXACTLY-ONCE streaming append on the transaction log: commit
     one micro-batch's rows as a new appended version, idempotent under
     foreachBatch replay — the append-mode sibling of
     :func:`commit_upsert_batch`. The committed manifest records
-    ``batch_id``; a replayed batch (same or older id — Structured
-    Streaming batch ids are monotonic per query) is detected BEFORE
-    any write and skipped, so at-least-once delivery + idempotent
-    commit = exactly-once table state. Returns the committed version,
-    or None for a skipped replay.
+    ``batch_id`` (plus ``txn_app_id`` when ``query_id`` is given)
+    ATOMICALLY with the commit (``extra_manifest`` inside the O_EXCL
+    publish — a crash can never leave a committed version missing its
+    marker, the window that made the raw append only
+    exactly-once-absent-crash before round 11). A replayed batch (id
+    equal to the same query's newest-first marker,
+    :func:`latest_batch_id`) is detected BEFORE any write and skipped;
+    an id STRICTLY BELOW the marker raises
+    :class:`BatchIdRegression` (checkpoint reset) instead of silently
+    dropping data. Returns the committed version, or None for a
+    skipped replay.
 
     Commits with compare-and-swap against the version the replay test
     read, so a foreign commit landing in between triggers a re-read
     and re-test instead of double-appending past a replayed manifest.
     """
+    marker = {"batch_id": batch_id}
+    if query_id is not None:
+        marker["txn_app_id"] = query_id
     for _ in range(max_retries):
         vs = versions(table_path)
         base = vs[-1] if vs else -1
-        if vs:
-            last = _read_manifest(table_path, base)
-            if (
-                last.get("batch_id") is not None
-                and batch_id <= last["batch_id"]
-            ):
-                return None  # replay of an already-committed batch
+        if is_replayed_batch(table_path, batch_id, query_id):
+            return None  # replay of an already-committed batch
         try:
-            version = commit_write(
+            return commit_write(
                 df, table_path, mode="append", expected_base=base,
+                extra_manifest=marker,
             )
-            break
         except CommitConflict:
             continue  # foreign commit mid-append: re-read, re-test
-    else:
-        raise RuntimeError(
-            f"append contention: {max_retries} conflicts at {table_path}"
-        )
-    manifest = _read_manifest(table_path, version)
-    manifest["batch_id"] = batch_id
-    # rewrite-in-place is safe: same content + idempotence marker, and
-    # the version file already exists so no reader sees a gap
-    tmp = _manifest_path(table_path, version).with_suffix(".tmp2")
-    tmp.write_text(json.dumps(manifest))
-    os.rename(tmp, _manifest_path(table_path, version))
-    return version
+    raise RuntimeError(
+        f"append contention: {max_retries} conflicts at {table_path}"
+    )
 
 
 def stream_upsert_lake(
@@ -1005,15 +1075,21 @@ def stream_upsert_lake(
     keys: list[str],
     order_by: list[str],
     checkpoint_dir: str,
+    query_id: str | None = None,
 ):
     """Wire a stream into the exactly-once lake upsert (foreachBatch;
     the caller picks the trigger and starts the query). Every
-    micro-batch becomes one table version carrying its batch id."""
+    micro-batch becomes one table version carrying its batch id. Pass
+    a stable ``query_id`` when the table has other writers so this
+    query's replay marker survives their commits."""
     keys = list(keys)
     order_by = list(order_by)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        commit_upsert_batch(batch_df, table_path, keys, order_by, batch_id)
+        commit_upsert_batch(
+            batch_df, table_path, keys, order_by, batch_id,
+            query_id=query_id,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

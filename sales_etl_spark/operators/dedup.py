@@ -19,6 +19,8 @@ across runs/partitions, no Python in the loop.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -781,22 +783,32 @@ def simhash(
 #: frame per call. Each operator therefore owns ONE slot: the next
 #: call evicts the previous occupant. Worst case for a caller that
 #: interleaves two live pair frames is a silent recompute of the
-#: evicted lineage — never a wrong result.
-_CACHE_SLOTS: dict[str, DataFrame] = {}
+#: evicted lineage — never a wrong result. Slots are keyed by
+#: (session, operator) so two independent SparkSessions in one
+#: process don't evict each other's frames, and the check-then-set is
+#: guarded by a lock so two racing threads can't both install a frame
+#: into one slot and leak the loser (the unbounded growth the slot
+#: exists to prevent).
+_CACHE_SLOTS: dict[tuple[int, str], DataFrame] = {}
+_CACHE_SLOTS_LOCK = threading.Lock()
 
 
 def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
-    """Cache ``df`` and evict the slot's previous occupant (async,
-    ignoring a stopped previous session), bounding the operator's
-    storage footprint to one live frame per slot."""
-    prev = _CACHE_SLOTS.get(slot)
-    if prev is not None:
+    """Cache ``df`` and evict the (session, slot) key's previous
+    occupant (async, ignoring a stopped previous session), bounding
+    the operator's storage footprint to one live frame per slot per
+    session."""
+    key = (id(df.sparkSession), slot)
+    cached = df.cache()
+    with _CACHE_SLOTS_LOCK:
+        prev = _CACHE_SLOTS.get(key)
+        _CACHE_SLOTS[key] = cached
+    if prev is not None and prev is not cached:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # previous occupant's session already stopped
-    _CACHE_SLOTS[slot] = df.cache()
-    return _CACHE_SLOTS[slot]
+    return cached
 
 
 def simhash_pairs(

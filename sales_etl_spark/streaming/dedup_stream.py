@@ -13,13 +13,14 @@ scan, and the index (a lake table: atomic commits, time travel)
 grows by one append commit. The index commit is EXACTLY-ONCE under
 foreachBatch replay: each batch's id is tested against the lake
 manifest before any work and stamped on the committed version
-(lake.commit_append_batch), so a crash-replay neither double-appends
-signatures (which would make every later probe re-pair against
-phantom rows) nor re-probes. The candidate-pair sink is append-only
-parquet, at-least-once only in the window between the pair write and
-the index commit; a downstream exact-dedup on (doc_a, doc_b) — or
-the lake upsert sink — restores exactly-once, the standard
-idempotent-consumer move.
+(lake.commit_append_batch, marker written atomically with the
+publish), so a crash-replay neither double-appends signatures (which
+would make every later probe re-pair against phantom rows) nor
+re-probes. The candidate-pair sink is one parquet partition directory
+per batch_id, OVERWRITTEN on replay — a crashed attempt's pairs are
+replaced with identical recomputed content, so the pair sink shares
+the index's exactly-once property instead of relying on a downstream
+(doc_a, doc_b) dedup.
 
 Reference parity: the reference dedups eagerly inside one pandas
 frame (etl/transform.py drop_duplicates); this is that contract under
@@ -50,20 +51,24 @@ def process_lsh_batch(
     bands: int = 8,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    query_id: str | None = None,
 ) -> int | None:
     """One micro-batch of the LSH ingest: sign → probe the persisted
-    index → append candidate pairs → exactly-once commit of the
-    batch's signatures (batch_id-stamped manifest). A replayed batch
-    (its id already on the index's latest manifest) is skipped BEFORE
-    the probe — its signatures are already committed, so re-probing
-    would pair the batch against its own index rows. Returns the
-    committed index version, or None for an empty or replayed batch.
-    Exposed as a plain function so replay semantics are directly
-    testable (tests/test_streaming.py)."""
+    index → overwrite the batch's candidate-pair partition →
+    exactly-once commit of the batch's signatures (batch_id-stamped
+    manifest, atomic with the publish). A replayed batch (its id equal
+    to this query's newest-first marker — foreign commits on the index
+    can't erase it) is skipped BEFORE the probe — its signatures are
+    already committed, so re-probing would pair the batch against its
+    own index rows; an id below the marker raises
+    lake.BatchIdRegression (checkpoint reset) instead of silently
+    skipping new data. Returns the committed index version, or None
+    for an empty or replayed batch. Exposed as a plain function so
+    replay semantics are directly testable (tests/test_streaming.py).
+    """
     if batch_df.isEmpty():
         return None
-    last = lake.latest_batch_id(index_path)
-    if last is not None and batch_id <= last:
+    if lake.is_replayed_batch(index_path, batch_id, query_id):
         return None  # foreachBatch replay: signatures already committed
     spark = batch_df.sparkSession
     if lake.versions(index_path):
@@ -84,8 +89,17 @@ def process_lsh_batch(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             min_est_jaccard=min_est_jaccard,
         )
-    pairs.write.mode("append").parquet(pairs_path)
-    return lake.commit_append_batch(new_rows, index_path, batch_id)
+    # pair sink: one partition directory per batch, OVERWRITTEN on
+    # replay — the pairs a crashed attempt left behind are replaced
+    # with identical content instead of duplicated, so the sink shares
+    # the index's exactly-once property (readers of the root see a
+    # batch_id partition column via parquet partition discovery).
+    pairs.write.mode("overwrite").parquet(
+        f"{pairs_path}/batch_id={batch_id}"
+    )
+    return lake.commit_append_batch(
+        new_rows, index_path, batch_id, query_id=query_id
+    )
 
 
 def stream_lsh_dedup(
@@ -99,20 +113,24 @@ def stream_lsh_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    query_id: str | None = None,
 ):
     """Wire a document stream into incremental LSH dedup. Returns the
     writeStream builder (caller picks trigger and starts). Each batch
-    runs :func:`process_lsh_batch`: probe index → append candidate
-    pairs to ``pairs_path`` → exactly-once commit of the batch's
-    signatures to ``index_path`` (one batch_id-stamped lake version
-    per non-empty batch, replays skipped)."""
+    runs :func:`process_lsh_batch`: probe index → overwrite the
+    batch's candidate-pair partition under ``pairs_path`` →
+    exactly-once commit of the batch's signatures to ``index_path``
+    (one batch_id-stamped lake version per non-empty batch, replays
+    skipped). Pass a stable ``query_id`` when the index table has
+    other writers (a compaction schedule, a second stream) so this
+    query's replay marker survives their commits."""
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         process_lsh_batch(
             batch_df, batch_id, index_path, pairs_path,
             id_col=id_col, text_col=text_col, num_hashes=num_hashes,
             bands=bands, shingle_n=shingle_n,
-            min_est_jaccard=min_est_jaccard,
+            min_est_jaccard=min_est_jaccard, query_id=query_id,
         )
 
     return (

@@ -19,13 +19,16 @@ re-decoded, and the index grows by one atomic lake commit per
 non-empty batch. The index commit is EXACTLY-ONCE under foreachBatch
 replay: each batch's id is tested against the lake manifest BEFORE
 any work (lake.latest_batch_id) and stamped on the committed version
-(lake.commit_append_batch), so a crash-replay neither re-probes nor
-double-appends band rows — double-appended bands would inflate bucket
-counts past ``cap`` and silently suppress pairs for every later
-batch, breaking the one-shot-convergence property. The pair sink is
-append-only parquet, at-least-once ONLY in the window between the
-pair write and the index commit, with the standard
-idempotent-consumer dedup on (media_a, media_b) downstream.
+(lake.commit_append_batch, marker written atomically with the
+publish), so a crash-replay neither re-probes nor double-appends band
+rows — double-appended bands would inflate bucket counts past ``cap``
+and silently suppress pairs for every later batch, breaking the
+one-shot-convergence property. The pair sink is one parquet partition
+directory per batch_id, OVERWRITTEN on replay — a crashed attempt's
+pairs are replaced with identical recomputed content (the grid
+signature is deterministic), so the pair sink shares the index's
+exactly-once property instead of relying on a downstream
+(media_a, media_b) dedup.
 
 Reference parity: the reference has no media tier at all (etl/ is
 tabular); this is the continuous-ingest shape of the round-9 batch
@@ -76,21 +79,25 @@ def process_media_batch(
     every_n: int = 2,
     cap: int = 64,
     max_hamming: int = 6,
+    query_id: str | None = None,
 ) -> int | None:
     """One micro-batch of the perceptual ingest: decode+sign → probe
-    the persisted index → append verified pairs → exactly-once commit
-    of the batch's band rows (batch_id-stamped manifest). A replayed
-    batch (its id already on the index's latest manifest) is skipped
-    BEFORE the probe — its bands are already committed, so re-probing
-    would pair the batch against its own index rows and re-appending
-    would inflate bucket counts past ``cap``. Returns the committed
-    index version, or None for an empty or replayed batch. Exposed as
-    a plain function so replay semantics are directly testable
-    (tests/test_streaming.py)."""
+    the persisted index → overwrite the batch's verified-pair
+    partition → exactly-once commit of the batch's band rows
+    (batch_id-stamped manifest, atomic with the publish). A replayed
+    batch (its id equal to this query's newest-first marker — foreign
+    commits on the index can't erase it) is skipped BEFORE the probe
+    — its bands are already committed, so re-probing would pair the
+    batch against its own index rows and re-appending would inflate
+    bucket counts past ``cap``; an id below the marker raises
+    lake.BatchIdRegression (checkpoint reset) instead of silently
+    skipping new data. Returns the committed index version, or None
+    for an empty or replayed batch. Exposed as a plain function so
+    replay semantics are directly testable (tests/test_streaming.py).
+    """
     if batch_df.isEmpty():
         return None
-    last = lake.latest_batch_id(index_path)
-    if last is not None and batch_id <= last:
+    if lake.is_replayed_batch(index_path, batch_id, query_id):
         return None  # foreachBatch replay: bands already committed
     spark = batch_df.sparkSession
     bands = _batch_bands(batch_df, every_n).cache()
@@ -101,13 +108,20 @@ def process_media_batch(
     pairs = probe_banded_index(
         index, bands, cap=cap, max_hamming=max_hamming
     )
-    pairs.write.mode("append").parquet(pairs_path)
+    # pair sink: one partition directory per batch, OVERWRITTEN on
+    # replay — a crashed attempt's pairs are replaced with identical
+    # content (deterministic signatures) instead of duplicated, so
+    # the sink shares the index's exactly-once property.
+    pairs.write.mode("overwrite").parquet(
+        f"{pairs_path}/batch_id={batch_id}"
+    )
     version = lake.commit_append_batch(
         bands.select(
             "media_id", "hash_lo", "hash_hi", "band_idx", "band_val"
         ),
         index_path,
         batch_id,
+        query_id=query_id,
     )
     bands.unpersist()
     return version
@@ -121,19 +135,24 @@ def stream_media_dedup(
     every_n: int = 2,
     cap: int = 64,
     max_hamming: int = 6,
+    query_id: str | None = None,
 ):
     """Wire a (media_id, payload) stream into incremental perceptual
     dedup. Returns the writeStream builder (caller picks trigger and
     starts). Each batch runs :func:`process_media_batch`: decode+sign
-    itself → probe the index (caps count index+batch) → append
-    verified pairs to ``pairs_path`` → exactly-once commit of the
-    batch's band rows to ``index_path`` (one batch_id-stamped lake
-    version per non-empty batch, replays skipped)."""
+    itself → probe the index (caps count index+batch) → overwrite the
+    batch's verified-pair partition under ``pairs_path`` →
+    exactly-once commit of the batch's band rows to ``index_path``
+    (one batch_id-stamped lake version per non-empty batch, replays
+    skipped). Pass a stable ``query_id`` when the index table has
+    other writers so this query's replay marker survives their
+    commits."""
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         process_media_batch(
             batch_df, batch_id, index_path, pairs_path,
             every_n=every_n, cap=cap, max_hamming=max_hamming,
+            query_id=query_id,
         )
 
     return (

@@ -8,6 +8,8 @@ import json
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from sales_etl_spark import lake  # noqa: E402
@@ -141,9 +143,12 @@ def test_commit_upsert_batch_exactly_once_under_replay(spark, tmp_path):
     )
     v1 = lake.commit_upsert_batch(b1, t, ["k"], ["ver"], batch_id=1)
     assert v1 == 1
-    # replay batch 1 (and a stale batch 0): both no-ops
+    # replay of the LAST batch (the one legitimate SS replay): no-op
     assert lake.commit_upsert_batch(b1, t, ["k"], ["ver"], batch_id=1) is None
-    assert lake.commit_upsert_batch(b0, t, ["k"], ["ver"], batch_id=0) is None
+    # an id STRICTLY BELOW the marker means a reset checkpoint — a
+    # silent skip would be data loss, so it raises (round-10 advice)
+    with pytest.raises(lake.BatchIdRegression):
+        lake.commit_upsert_batch(b0, t, ["k"], ["ver"], batch_id=0)
     assert lake.versions(t) == [0, 1]
     got = {
         (r.k, r.v, r.ver) for r in lake.read_table(spark, t).collect()
@@ -164,14 +169,139 @@ def test_commit_append_batch_exactly_once_under_replay(spark, tmp_path):
     assert lake.commit_append_batch(b0, t, batch_id=0) == 0
     assert lake.latest_batch_id(t) == 0
     assert lake.commit_append_batch(b1, t, batch_id=1) == 1
-    # replay batch 1 (and a stale batch 0): both no-ops
+    # replay of the LAST batch (the one legitimate SS replay): no-op
     assert lake.commit_append_batch(b1, t, batch_id=1) is None
-    assert lake.commit_append_batch(b0, t, batch_id=0) is None
+    # an id STRICTLY BELOW the marker means a reset checkpoint — a
+    # silent skip would be data loss, so it raises (round-10 advice)
+    with pytest.raises(lake.BatchIdRegression):
+        lake.commit_append_batch(b0, t, batch_id=0)
     assert lake.versions(t) == [0, 1]
     assert lake.read_table(spark, t).count() == 3
     # a later batch still appends normally
     assert lake.commit_append_batch(b0, t, batch_id=2) == 2
     assert lake.read_table(spark, t).count() == 5
+
+
+def test_batch_marker_survives_foreign_commits(spark, tmp_path):
+    """Round-10 advice, silent-wrong-data mode (a): a foreign commit
+    on the index table AFTER batch N (a compaction, a manual append)
+    must NOT erase the replay marker — the newest-first marker scan
+    finds it past the foreign manifest, so a later replay of batch N
+    is still skipped instead of double-appended."""
+    t = str(tmp_path / "idx")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, band long")
+    b1 = spark.createDataFrame([(3, 30)], "k long, band long")
+    assert lake.commit_append_batch(b0, t, batch_id=0, query_id="q") == 0
+    assert lake.commit_append_batch(b1, t, batch_id=1, query_id="q") == 1
+    # foreign commits: a compaction AND a manual unmarked append
+    lake.compact(spark, t, target_files=1)
+    lake.commit_write(
+        spark.createDataFrame([(9, 90)], "k long, band long"), t, "append"
+    )
+    assert lake.latest_batch_id(t, "q") == 1  # marker scanned past both
+    rows = lake.read_table(spark, t).count()
+    # replay of batch 1 after the foreign commits: still skipped
+    assert lake.commit_append_batch(b1, t, batch_id=1, query_id="q") is None
+    assert lake.read_table(spark, t).count() == rows
+    # and the stream continues normally
+    assert lake.commit_append_batch(b0, t, batch_id=2, query_id="q") is not None
+    assert lake.read_table(spark, t).count() == rows + 2
+
+
+def test_batch_markers_are_query_scoped(spark, tmp_path):
+    """Two streaming queries writing one table keep INDEPENDENT replay
+    markers (Delta's (appId, batchId) txn pattern): query B committing
+    batch 5 neither skips nor breaks query A's batch 2, and each
+    query's replay test sees only its own marker."""
+    t = str(tmp_path / "shared")
+    b = spark.createDataFrame([(1, 10)], "k long, band long")
+    assert lake.commit_append_batch(b, t, batch_id=0, query_id="A") == 0
+    assert lake.commit_append_batch(b, t, batch_id=5, query_id="B") == 1
+    # A's next batch is unaffected by B's higher id
+    assert lake.commit_append_batch(b, t, batch_id=1, query_id="A") == 2
+    assert lake.latest_batch_id(t, "A") == 1
+    assert lake.latest_batch_id(t, "B") == 5
+    assert lake.latest_batch_id(t, None) is None  # no unscoped marker
+    # replays resolve per query
+    assert lake.commit_append_batch(b, t, batch_id=1, query_id="A") is None
+    assert lake.commit_append_batch(b, t, batch_id=5, query_id="B") is None
+
+
+def test_batch_marker_stamped_atomically_in_manifest(spark, tmp_path):
+    """The batch_id / txn_app_id marker is part of the committed
+    manifest itself (extra_manifest inside the O_EXCL publish), not a
+    post-publish rewrite — so no crash window can leave a committed
+    version missing its marker. Verified by reading the manifest JSON
+    straight off disk."""
+    t = str(tmp_path / "idx")
+    b = spark.createDataFrame([(1, 10)], "k long, band long")
+    assert lake.commit_append_batch(b, t, batch_id=7, query_id="q7") == 0
+    m = json.loads((Path(t) / "_log" / "00000000.json").read_text())
+    assert m["batch_id"] == 7 and m["txn_app_id"] == "q7"
+    # upsert sibling: same atomic stamp
+    lake.commit_upsert_batch(
+        b, t, keys=["k"], order_by=["band"], batch_id=8, query_id="q7"
+    )
+    m1 = json.loads((Path(t) / "_log" / "00000001.json").read_text())
+    assert m1["batch_id"] == 8 and m1["txn_app_id"] == "q7"
+
+
+def test_extra_manifest_rejects_protocol_keys(spark, tmp_path):
+    """extra_manifest shadowing a protocol key (files, version, ...)
+    would corrupt the snapshot silently — rejected up front."""
+    t = str(tmp_path / "tbl")
+    b = spark.createDataFrame([(1, 10)], "k long, band long")
+    with pytest.raises(ValueError, match="protocol keys"):
+        lake.commit_write(b, t, "append", extra_manifest={"files": []})
+
+
+def test_concurrent_writers_one_winner_per_version(spark, tmp_path):
+    """TRUE concurrent appends (threads racing the O_EXCL link
+    protocol, not a monkeypatched interleave): every commit lands,
+    each version has exactly one manifest, no version gaps, no rows
+    lost, and fsck finds a fully-consistent table — the observed
+    behavior behind the optimistic-concurrency argument."""
+    import threading
+
+    t = str(tmp_path / "race")
+    n_writers, per_writer = 4, 3
+    # pre-stage each writer's parquet bytes so the racing section is
+    # the commit protocol itself, not Spark job scheduling
+    frames = {
+        (w, i): spark.createDataFrame(
+            [(w, i)], "writer long, seq long"
+        )
+        for w in range(n_writers)
+        for i in range(per_writer)
+    }
+    errs: list[Exception] = []
+    barrier = threading.Barrier(n_writers)
+
+    def _writer(w: int) -> None:
+        try:
+            barrier.wait()
+            for i in range(per_writer):
+                lake.commit_write(frames[(w, i)], t, "append")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_writer, args=(w,))
+        for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    total = n_writers * per_writer
+    assert lake.versions(t) == list(range(total))
+    report = lake.fsck(t)
+    assert report["ok"] and not report["version_gaps"]
+    got = sorted(
+        (r.writer, r.seq) for r in lake.read_table(spark, t).collect()
+    )
+    assert got == sorted(frames.keys())
 
 
 def test_stream_upsert_lake_converges_and_versions(spark, tmp_path):
@@ -364,7 +494,7 @@ def test_upsert_remerges_when_compaction_lands_mid_merge(spark, tmp_path, monkey
             lake.compact(spark, t, target_files=1)
         return real_commit(
             df, table_path, mode=mode, max_retries=max_retries,
-            expected_base=expected_base,
+            expected_base=expected_base, **kwargs,
         )
 
     monkeypatch.setattr(lake, "commit_write", racing_commit)

@@ -1298,3 +1298,46 @@ def test_planted_image_audio_variants_exact_hamming_k(spark):
             assert ham == 1 + mid % 6, f"doc {mid}: ham {ham}"
             seen.add(ham)
         assert seen == {1, 2, 3, 4, 5, 6}
+
+
+def test_recall_floors_gated_per_modality(spark):
+    """GATE on the banding recall values themselves (round-10 verdict
+    ask #2): the three planted recall evals are oracle-checked for
+    cross-engine agreement, but the oracle agrees with whatever the
+    banding does — a silent banding regression (fewer effective
+    bands, a cap mis-sizing, a band-split typo) would stay
+    oracle-green. This test pins the curve:
+
+    - hamming 1..3: recall_ppm == 1_000_000 EXACTLY — the pigeonhole
+      guarantee of the 4x16-bit band split (3 flips cannot touch all
+      4 bands), which holds absent cap losses on this planted corpus;
+    - hamming 4: recall_ppm >= 400_000 — the documented floor; the
+      planted flip pattern leaves one band untouched for about half
+      the h=4 population (measured 500_000-529_411 ppm across the
+      three modalities at sf0.001);
+    - hamming 1..6 populations all non-empty (the eval is measuring
+      something at every distance).
+
+    The evals are deterministic (planted corpus + deterministic
+    codecs), so these floors are stable, not flaky."""
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for key in (
+        "dedup_video_recall_eval",
+        "dedup_image_recall_eval",
+        "dedup_audio_recall_eval",
+    ):
+        rows = {
+            r.hamming: r for r in QUERY_REGISTRY[key].builder(spark, sf).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4, 5, 6}, f"{key}: distances {set(rows)}"
+        for h in (1, 2, 3):
+            assert rows[h].n_exact > 0, f"{key}: empty population at h={h}"
+            assert rows[h].recall_ppm == 1_000_000, (
+                f"{key}: banding guarantee broken at h={h}: "
+                f"{rows[h].recall_ppm} ppm"
+            )
+        assert rows[4].recall_ppm >= 400_000, (
+            f"{key}: h=4 floor broken: {rows[4].recall_ppm} ppm"
+        )

@@ -1488,13 +1488,14 @@ def test_media_batch_replay_skipped_preserves_convergence(spark, tmp_path):
     ) == 1
     rows_after_b1 = lake.read_table(spark, index_path).count()
     # crash between index commit and checkpoint commit → replay of
-    # batch 1 (and a stale batch 0): both skipped before any write
+    # batch 1: skipped before any write; a STALE batch 0 (only
+    # possible via a reset checkpoint) raises instead of silently
+    # skipping future data (round-10 advice)
     assert process_media_batch(
         batches[1], 1, index_path, pairs_path, **kw
     ) is None
-    assert process_media_batch(
-        batches[0], 0, index_path, pairs_path, **kw
-    ) is None
+    with pytest.raises(lake.BatchIdRegression):
+        process_media_batch(batches[0], 0, index_path, pairs_path, **kw)
     assert lake.versions(index_path) == [0, 1]
     assert lake.read_table(spark, index_path).count() == rows_after_b1
     assert process_media_batch(

@@ -70,12 +70,45 @@ KEY_OFFSET = 100_000_000
 
 SF10 = "/tmp/spark_graft_sf1.0synth"
 
+#: ROW-IDENTITY CONTRACT of each scaling table — the column set that
+#: identifies one logical row (TPC-H PKs; event_id for the event
+#: stream; doc_id/vec_id for the corpus tables). The synthetic twins
+#: MUST keep these disjoint across copies: an unshifted identity key
+#: duplicates "primary keys" across copies with otherwise-identical
+#: attributes, making every pick-one-per-key query legitimately
+#: ambiguous across engines — the event_id bug the r10 sf1.0 sweep
+#: caught (SCALE.md §30.10). tests/test_tools.py enforces, for every
+#: table here: (a) a new scaling table must declare its identity key
+#: (TABLES and PRIMARY_KEYS must stay in lockstep), (b) each doubled
+#: table shifts at least one identity-key column, and (c) empirically,
+#: the distinct-identity count of an n-copy twin is n × the base
+#: count (no cross-copy collisions). NOTE lineitem's 4-tuple is not
+#: unique even in the driver's base data — the contract is therefore
+#: copy-DISJOINTNESS, never absolute uniqueness.
+PRIMARY_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
 
-def build_sf10(spark) -> None:
-    """Materialize the synthetic sf1.0 twin: sf0.1 × 10 via NINE
-    key-shifted copies (offset k·KEY_OFFSET, join-consistent). The
-    sf0.2 anti-clone tricks generalize per copy k so no tier
-    degenerates into everything-pairs-with-its-clone:
+
+def synth_table(spark, src_dir: str, table: str, n_copies: int):
+    """The key-shifted ``n_copies``-way union of one scaling table
+    (fixed dims — ``TABLES[table] is None`` — return the source
+    unchanged): copy k shifts every ``TABLES[table]`` key by
+    k·KEY_OFFSET, join-consistently, plus the per-table anti-clone
+    transforms below. Exposed as the unit the twin-contract property
+    test (tests/test_tools.py) exercises directly — the builders
+    below are this function plus parquet writes.
+
+    The anti-clone tricks keep every tier non-degenerate:
 
     - documents: every word gets a per-copy suffix merged INTO the
       token (``wxk``, a single \\w+ token) — copies share NO
@@ -88,82 +121,92 @@ def build_sf10(spark) -> None:
     - embeddings: per-copy CYCLIC DIMENSION SHIFT by k — distinct
       unit-norm vectors whose pairwise cosines across copies are
       decorrelated (sign-flip also only yields 2 classes);
-    - fixed dims (region, nation) copied once, as TPC-H scaling does.
-
-    Idempotent via sentinel; ~2 GiB under /tmp."""
+    - customer: per-copy distinct names, digit positions preserved
+      for the linkage block key.
+    """
     from pyspark.sql import functions as F
 
+    keys = TABLES[table]
+    df = spark.read.parquet(f"{src_dir}/{table}.parquet")
+    if keys is None:
+        return df
+    parts = [df]
+    for k in range(1, n_copies):
+        copy = df
+        for key in keys:
+            copy = copy.withColumn(
+                key, F.col(key) + F.lit(k * KEY_OFFSET)
+            )
+        if table == "documents":
+            # merge the copy tag INTO each word (single \w+
+            # token): copies share NO vocabulary with the
+            # original or each other, so shingle df / word df
+            # distributions stay per-copy — the Heaps-law
+            # growth real crawls have. (A first attempt used
+            # "w~k", which \w+ tokenization splits into a
+            # standalone digit token between every word pair —
+            # collapsing every shingle's context to "k w k"
+            # and inflating shingle df from 25 to 3 889:
+            # a synthetic worst case, not a scale-up.)
+            copy = copy.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(f"x{k}")),
+                    ),
+                    " ",
+                ),
+            )
+        if table == "customer":
+            # a 10x customer base has 10x DISTINCT names; keep
+            # the digit positions (the linkage block key is
+            # substring(c_name, 1, 16)) so per-copy block
+            # sizes match sf0.1 instead of stacking 10
+            # identical names into every block
+            copy = copy.withColumn(
+                "c_name",
+                F.concat(
+                    F.lit(f"Custom{k:02d}#"),
+                    F.substring("c_name", 10, 64),
+                ),
+            )
+        if table == "embeddings":
+            vec_col = next(
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString().startswith("array")
+            )
+            copy = copy.withColumn(
+                vec_col,
+                F.concat(
+                    F.slice(
+                        F.col(vec_col),
+                        k + 1,
+                        F.size(F.col(vec_col)) - k,
+                    ),
+                    F.slice(F.col(vec_col), 1, k),
+                ),
+            )
+        parts.append(copy)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_sf10(spark) -> None:
+    """Materialize the synthetic sf1.0 twin: sf0.1 × 10 via NINE
+    key-shifted copies (offset k·KEY_OFFSET, join-consistent —
+    :func:`synth_table` with n_copies=10); fixed dims (region,
+    nation) copied once, as TPC-H scaling does. Idempotent via
+    sentinel; ~2 GiB under /tmp."""
     done = Path(SF10) / "_build_complete"
     if done.exists():
         return
     shutil.rmtree(SF10, ignore_errors=True)
     Path(SF10).mkdir(parents=True)
-    for table, keys in TABLES.items():
-        df = spark.read.parquet(f"{SF01}/{table}.parquet")
-        if keys is None:
-            out = df
-        else:
-            parts = [df]
-            for k in range(1, 10):
-                copy = df
-                for key in keys:
-                    copy = copy.withColumn(
-                        key, F.col(key) + F.lit(k * KEY_OFFSET)
-                    )
-                if table == "documents":
-                    # merge the copy tag INTO each word (single \w+
-                    # token): copies share NO vocabulary with the
-                    # original or each other, so shingle df / word df
-                    # distributions stay per-copy — the Heaps-law
-                    # growth real crawls have. (A first attempt used
-                    # "w~k", which \w+ tokenization splits into a
-                    # standalone digit token between every word pair —
-                    # collapsing every shingle's context to "k w k"
-                    # and inflating shingle df from 25 to 3 889:
-                    # a synthetic worst case, not a scale-up.)
-                    copy = copy.withColumn(
-                        "text",
-                        F.array_join(
-                            F.transform(
-                                F.split(F.col("text"), " "),
-                                lambda w: F.concat(w, F.lit(f"x{k}")),
-                            ),
-                            " ",
-                        ),
-                    )
-                if table == "customer":
-                    # a 10x customer base has 10x DISTINCT names; keep
-                    # the digit positions (the linkage block key is
-                    # substring(c_name, 1, 16)) so per-copy block
-                    # sizes match sf0.1 instead of stacking 10
-                    # identical names into every block
-                    copy = copy.withColumn(
-                        "c_name",
-                        F.concat(
-                            F.lit(f"Custom{k:02d}#"),
-                            F.substring("c_name", 10, 64),
-                        ),
-                    )
-                if table == "embeddings":
-                    vec_col = next(
-                        f.name for f in df.schema.fields
-                        if f.dataType.simpleString().startswith("array")
-                    )
-                    copy = copy.withColumn(
-                        vec_col,
-                        F.concat(
-                            F.slice(
-                                F.col(vec_col),
-                                k + 1,
-                                F.size(F.col(vec_col)) - k,
-                            ),
-                            F.slice(F.col(vec_col), 1, k),
-                        ),
-                    )
-                parts.append(copy)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+    for table in TABLES:
+        out = synth_table(spark, SF01, table, n_copies=10)
         # a handful of files per table: sf1.0 is big enough that one
         # unsplittable row group would serialize every scan
         out.repartition(8).write.mode("overwrite").parquet(
