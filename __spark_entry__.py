@@ -31,67 +31,64 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # driver row yet) go first, and every remaining slot goes to the
 # LEAST-RECENTLY-CHECKED keys (sorted by latest round across
 # CORRECTNESS_r*.json, alphabetical within a round stratum). Round
-# 10: positions 1-5 are the keys new or semantically REWRITTEN in
-# round 10 (perceptual_cluster_resolve, dedup_video_cluster_e2e,
-# dedup_video_recall_eval — the r9 row predates its planted-corpus
-# rewrite, so it needs a fresh row like a new key — plus the new
-# image/audio planted recall evals); the other 45 slots hold keys
-# whose latest row is r3 (41 keys) or r4 (the alphabetically-first
-# 4), refreshing the stalest strata.
+# 11: position 1 is the round's one new key (media_container_probe,
+# the MP4/MP3 metadata-only container probe); the other 49 slots
+# refresh the stalest strata — all 44 keys whose latest row is r4
+# plus the alphabetically-first 5 of the r5 stratum.
 # tests/test_docs_sync.py enforces presence structurally (every
 # registry key must hold a driver row in some CORRECTNESS_r*.json
 # OR sit inside the 50-slot window).
 _SWEEP_FIRST = [
-    "perceptual_cluster_resolve",
-    "dedup_video_cluster_e2e",
-    "dedup_video_recall_eval",
-    "dedup_image_recall_eval",
-    "dedup_audio_recall_eval",
-    "agg_stats",
-    "ann_quantized_topk",
-    "cast_date_coerce",
-    "corpus_report",
-    "decontam_corpus",
-    "dedup_corpus_survivors",
-    "dedup_incremental",
-    "dedup_keep_first",
-    "emb_label_centroids",
-    "emb_quantize_stats",
-    "events_cohort_retention",
-    "events_funnel",
-    "fillna_default",
-    "filter_required_nonnull",
-    "flagship_pricing_summary",
-    "flagship_shipping_priority",
-    "fn_customer_days",
-    "fn_email_valid",
-    "fn_period_date",
-    "fn_safe_div",
-    "join_asof_prior_purchase",
-    "join_events_enrich",
-    "join_range_interval",
-    "mix_token_budget",
-    "proj_month",
-    "proj_total_price",
-    "quality_classifier_score",
-    "sample_domain_cap",
-    "sample_split_assign",
-    "sample_stratified",
-    "text_boilerplate",
-    "text_chunk_tokens",
-    "text_dup_gram_chars",
-    "text_lm_score",
-    "text_ngram_topk",
-    "text_redact_pii",
-    "text_repetition",
-    "text_term_freq",
-    "text_tfidf_keywords",
-    "window_sessionize_ids",
-    "window_time_range",
-    "agg_abc_classification",
-    "agg_holt_backtest",
-    "agg_holt_forecast",
-    "agg_new_vs_returning",
+    "media_container_probe",
+    "agg_order_aging",
+    "agg_rfm_segments",
+    "agg_seasonal_decompose",
+    "agg_share_of_parent",
+    "agg_ship_lag_dist",
+    "agg_supplier_hhi",
+    "agg_weekday_seasonality",
+    "ann_hard_negatives",
+    "emb_dist_outliers",
+    "emb_pca_power",
+    "emb_silhouette",
+    "emb_truncate_fidelity",
+    "events_ab_cuped",
+    "events_attribution_last_touch",
+    "events_bot_score",
+    "events_click_attribution",
+    "events_cohort_ltv",
+    "events_inter_arrival",
+    "events_mad_anomaly",
+    "events_quantile_rollup",
+    "events_time_to_purchase",
+    "events_user_streaks",
+    "mart_backfill_partitions",
+    "mart_pipeline_e2e",
+    "mart_snapshot_diff",
+    "multimodal_audio",
+    "quality_chi2_drift",
+    "quality_column_profile",
+    "quality_freshness_sla",
+    "quality_k_anonymity",
+    "quality_key_skew",
+    "quality_l_diversity",
+    "quality_mutual_info",
+    "quality_psi_drift",
+    "quality_uniqueness_audit",
+    "sample_kcenter_coreset",
+    "scan_bloom_skip",
+    "scan_csv_quarantine",
+    "scan_xml",
+    "text_lang_consistency",
+    "text_pmi_collocations",
+    "text_readability",
+    "window_ma_cross",
+    "window_rank_movers",
+    "agg_percentile_cont",
+    "events_markov_stationary",
+    "flagship_above_avg_balance",
+    "flagship_brand_revenue",
+    "flagship_cust_order_dist",
 ]
 
 

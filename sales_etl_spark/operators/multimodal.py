@@ -1275,3 +1275,262 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
     ).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / MP3 container probes — metadata-only tier (round 11)
+# ---------------------------------------------------------------------------
+#
+# The two most common real-corpus containers the decode tier cannot
+# open (no libav in this environment) still need ROUTING: a 100 TB
+# ingest must read duration / geometry / audio parameters from
+# container headers alone, at tens of bytes per payload, before
+# deciding what to ship to a decode cluster. The fixtures below build
+# REAL container structure — valid ISO-BMFF box trees with mvhd/tkhd
+# atoms, valid MPEG-1 Layer III frame headers with correct
+# bitrate/samplerate indices and frame lengths — around explicitly
+# SYNTHETIC media payloads (the mdat bytes / frame bodies are filler,
+# honestly labeled; no codec bitstream is claimed). The parsers are
+# the production half: a true box walk and a true frame-header sync,
+# not a lookup of the generator's formulas.
+
+#: MPEG-1 Layer III bitrate table (kbps) indexed by the 4-bit header
+#: field, and the sample-rate table indexed by the 2-bit field.
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _mp4_box(kind: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + kind + payload
+
+
+def _mp4_tkhd(track_id: int, duration: int, w: int, h: int) -> bytes:
+    body = (
+        b"\x00\x00\x00\x00"            # version 0 + flags
+        + (0).to_bytes(4, "big")        # creation
+        + (0).to_bytes(4, "big")        # modification
+        + track_id.to_bytes(4, "big")
+        + (0).to_bytes(4, "big")        # reserved
+        + duration.to_bytes(4, "big")
+        + (0).to_bytes(8, "big")        # reserved
+        + (0).to_bytes(2, "big")        # layer
+        + (0).to_bytes(2, "big")        # alternate group
+        + ((0x0100 if w == 0 else 0)).to_bytes(2, "big")  # volume
+        + (0).to_bytes(2, "big")        # reserved
+        + b"\x00" * 36                  # matrix
+        + (w << 16).to_bytes(4, "big")  # width, 16.16 fixed
+        + (h << 16).to_bytes(4, "big")  # height, 16.16 fixed
+    )
+    return _mp4_box(b"tkhd", body)
+
+
+def documents_as_mp4_headers(docs: DataFrame) -> DataFrame:
+    """Deterministic MP4 (ISO-BMFF) fixture stream: one payload per
+    document with a REAL box tree — ftyp, moov(mvhd + video trak
+    [+ audio trak for odd doc_id]), mdat — whose header fields derive
+    from doc fields so an SQL oracle can predict every parsed value:
+    timescale 1000, duration 500 + (doc_id%97)·40 ms, video geometry
+    16·(1+doc_id%9) × 16·(1+n_chars%7). The mdat bytes are SYNTHETIC
+    FILLER (no codec bitstream — the decode tier for MP4 stays behind
+    its NotImplementedError guard); the box STRUCTURE is real, which
+    is all the metadata tier reads. parse_mp4_metadata is the
+    production half under test."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                duration = 500 + (doc_id % 97) * 40  # timescale=1000
+                w = 16 * (1 + doc_id % 9)
+                h = 16 * (1 + n_chars % 7)
+                mvhd = _mp4_box(
+                    b"mvhd",
+                    b"\x00\x00\x00\x00"
+                    + (0).to_bytes(4, "big")
+                    + (0).to_bytes(4, "big")
+                    + (1000).to_bytes(4, "big")      # timescale
+                    + duration.to_bytes(4, "big")
+                    + (0x00010000).to_bytes(4, "big")  # rate 1.0
+                    + (0x0100).to_bytes(2, "big")      # volume 1.0
+                    + b"\x00" * 10
+                    + b"\x00" * 36                     # matrix
+                    + b"\x00" * 24                     # predefined
+                    + (3).to_bytes(4, "big"),          # next track id
+                )
+                traks = [
+                    _mp4_box(b"trak", _mp4_tkhd(1, duration, w, h))
+                ]
+                if doc_id % 2 == 1:
+                    traks.append(
+                        _mp4_box(b"trak", _mp4_tkhd(2, duration, 0, 0))
+                    )
+                moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+                ftyp = _mp4_box(
+                    b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom"
+                )
+                mdat = _mp4_box(
+                    b"mdat",
+                    bytes((doc_id + i) % 251 for i in range(32 + n_chars % 64)),
+                )
+                rows.append((doc_id, bytearray(ftyp + moov + mdat)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(batches, schema="media_id long, payload binary")
+
+
+def documents_as_mp3_headers(docs: DataFrame) -> DataFrame:
+    """Deterministic MP3 fixture stream: one payload per document made
+    of REAL MPEG-1 Layer III frame headers (0xFFFB sync, correct
+    bitrate/samplerate index bits, correct ``144·bitrate/rate`` frame
+    lengths) with SYNTHETIC frame bodies (filler bytes — no Huffman
+    bitstream claimed). Parameters derive from doc fields: rate
+    {44100,48000,32000}[doc_id%3], bitrate {64,96,128,160,192}kbps
+    [n_chars%5], 4 + doc_id%13 frames. parse_mp3_metadata is the
+    production half under test."""
+    kbps_choices = (64, 96, 128, 160, 192)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                rate_idx = doc_id % 3
+                rate = _MP3_RATES[rate_idx]
+                kbps = kbps_choices[n_chars % 5]
+                br_idx = _MP3_BITRATES.index(kbps)
+                n_frames = 4 + doc_id % 13
+                frame_len = (144 * kbps * 1000) // rate
+                hdr = bytes(
+                    (
+                        0xFF,
+                        0xFB,  # MPEG-1, Layer III, no CRC
+                        (br_idx << 4) | (rate_idx << 2),
+                        0x00,
+                    )
+                )
+                frame = hdr + bytes(
+                    (doc_id + i) % 251 for i in range(frame_len - 4)
+                )
+                rows.append((doc_id, bytearray(frame * n_frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return _spread_fixture_input(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(batches, schema="media_id long, payload binary")
+
+
+def _mp4_children(data: bytes, start: int, end: int):
+    """Yield (kind, body_start, body_end) for the ISO-BMFF boxes in
+    data[start:end] — 32-bit sizes, 64-bit largesize (size==1), and
+    to-end-of-file (size==0) all handled."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        kind = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield kind, body, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(data: bytes) -> tuple[int, int, int] | None:
+    """(duration_ms, width, height) from an ISO-BMFF payload by a
+    true box walk — top level to ``moov``, moov's ``mvhd`` for
+    timescale+duration, first ``trak`` whose ``tkhd`` has nonzero
+    width for the video geometry (16.16 fixed point). None when no
+    moov/mvhd is found. Reads only header bytes — never the mdat."""
+    duration_ms = width = height = None
+    for kind, b, e in _mp4_children(data, 0, len(data)):
+        if kind != b"moov":
+            continue
+        for k2, b2, e2 in _mp4_children(data, b, e):
+            if k2 == b"mvhd" and e2 - b2 >= 20:
+                version = data[b2]
+                if version == 1:
+                    timescale = int.from_bytes(data[b2 + 20:b2 + 24], "big")
+                    duration = int.from_bytes(data[b2 + 24:b2 + 32], "big")
+                else:
+                    timescale = int.from_bytes(data[b2 + 12:b2 + 16], "big")
+                    duration = int.from_bytes(data[b2 + 16:b2 + 20], "big")
+                if timescale:
+                    duration_ms = (duration * 1000) // timescale
+            elif k2 == b"trak" and width is None:
+                for k3, b3, e3 in _mp4_children(data, b2, e2):
+                    if k3 != b"tkhd":
+                        continue
+                    version = data[b3]
+                    # body layout up to width: v0 = 4(ver/flags) +
+                    # 4+4(create/modify) + 4(track) + 4(rsvd) +
+                    # 4(duration) + 8(rsvd) + 2+2+2+2 + 36(matrix)
+                    # = 76; v1 widens the three times to 8 bytes = 88
+                    off = b3 + (88 if version == 1 else 76)
+                    if off + 8 > e3:
+                        continue
+                    w = int.from_bytes(data[off:off + 4], "big") >> 16
+                    h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                    if w > 0:
+                        width, height = w, h
+        break
+    if duration_ms is None:
+        return None
+    return duration_ms, width or 0, height or 0
+
+
+def parse_mp3_metadata(data: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, bitrate_kbps, duration_ms) from an MPEG-1 Layer
+    III stream by a true frame walk: sync on 0xFFE, decode the
+    bitrate/samplerate index bits of the first frame header, then
+    step frame-to-frame by each frame's computed length
+    (``144·bitrate/rate + padding``) counting frames — duration is
+    frames · 1152 samples at the stream rate, exact integer ms
+    (``frames·1152·1000 // rate``). None when no valid sync is
+    found."""
+    pos = 0
+    n = len(data)
+    # scan to the first valid frame sync (real files may lead with
+    # ID3 tags or junk)
+    first = None
+    while pos + 4 <= n:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 0x3
+            layer = (data[pos + 1] >> 1) & 0x3
+            br_idx = (data[pos + 2] >> 4) & 0xF
+            rate_idx = (data[pos + 2] >> 2) & 0x3
+            if version == 3 and layer == 1 and 0 < br_idx < 15 and rate_idx < 3:
+                first = (br_idx, rate_idx)
+                break
+        pos += 1
+    if first is None:
+        return None
+    br_idx, rate_idx = first
+    kbps = _MP3_BITRATES[br_idx]
+    rate = _MP3_RATES[rate_idx]
+    frames = 0
+    while pos + 4 <= n:
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+            break
+        br_i = (data[pos + 2] >> 4) & 0xF
+        rt_i = (data[pos + 2] >> 2) & 0x3
+        if not (0 < br_i < 15 and rt_i < 3):
+            break
+        padding = (data[pos + 2] >> 1) & 0x1
+        flen = (144 * _MP3_BITRATES[br_i] * 1000) // _MP3_RATES[rt_i] + padding
+        if flen < 4:
+            break
+        frames += 1
+        pos += flen
+    duration_ms = (frames * 1152 * 1000) // rate
+    return rate, kbps, duration_ms

@@ -581,13 +581,22 @@ _PR_ITERS = 3
 def _pagerank_sql() -> str:
     """Unrolled 3-iteration PageRank oracle (DuckDB `//` and Spark
     `div` are both floor division on the nonnegative bigints used
-    here, so the iterates agree bit-for-bit)."""
+    here, so the iterates agree bit-for-bit).
+
+    Every multiply-referenced or chained CTE is MATERIALIZED: without
+    the hint DuckDB inlines CTEs, so ``edges`` (and through it the
+    expensive lineitem⨝orders DISTINCT) is recomputed inside ``deg``
+    AND every iteration, and the iteration chain becomes one deep
+    pipelined plan — at the sf1.0 twin that plan exceeded 80 GB of
+    spill (SCALE.md §30.10's comparator wall). Materializing pins
+    each stage to one computation, the single-statement equivalent of
+    iterating through temp tables."""
     base = f"(15 * {_PR_SCALE} // (100 * m.n))"
     iters = ""
     prev = "r0"
     for k in range(1, _PR_ITERS + 1):
         iters += f""",
-    r{k} AS (
+    r{k} AS MATERIALIZED (
         SELECT e.dst AS node,
                {base} + SUM((r.r * 85) // (100 * d.d)) AS r
         FROM edges e
@@ -598,23 +607,23 @@ def _pagerank_sql() -> str:
     )"""
         prev = f"r{k}"
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT DISTINCT l_suppkey AS s, o_custkey AS c
         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT s * 2 AS src, c * 2 + 1 AS dst FROM pairs
         UNION ALL
         SELECT c * 2 + 1, s * 2 FROM pairs
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT src, CAST(COUNT(*) AS BIGINT) AS d
         FROM edges GROUP BY src
     ),
     meta AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
     ),
-    r0 AS (
+    r0 AS MATERIALIZED (
         SELECT d.src AS node, ({_PR_SCALE} // m.n) AS r
         FROM deg d CROSS JOIN meta m
     ){iters}

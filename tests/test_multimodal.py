@@ -1341,3 +1341,65 @@ def test_recall_floors_gated_per_modality(spark):
         assert rows[4].recall_ppm >= 400_000, (
             f"{key}: h=4 floor broken: {rows[4].recall_ppm} ppm"
         )
+
+
+def test_mp4_mp3_metadata_parsers_roundtrip_and_robustness(spark):
+    """The container-probe parsers are true byte walks: (a) every
+    fixture round-trips to the generator's closed form (the
+    media_container_probe oracle), (b) the MP4 walk survives a
+    64-bit largesize box and ignores audio-only tkhds, (c) the MP3
+    sync scan skips leading junk (an ID3v2-tag stand-in) and a
+    truncated tail frame ends the walk cleanly."""
+    from sales_etl_spark.operators.multimodal import (
+        documents_as_mp3_headers,
+        documents_as_mp4_headers,
+        parse_mp3_metadata,
+        parse_mp4_metadata,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter("doc_id < 60")
+    )
+    nc = {r.doc_id: r.n_chars for r in docs.collect()}
+    mp4 = {r.media_id: bytes(r.payload)
+           for r in documents_as_mp4_headers(docs).collect()}
+    for mid, payload in mp4.items():
+        assert parse_mp4_metadata(payload) == (
+            500 + (mid % 97) * 40,
+            16 * (1 + mid % 9),
+            16 * (1 + nc[mid] % 7),
+        )
+    mp3 = {r.media_id: bytes(r.payload)
+           for r in documents_as_mp3_headers(docs).collect()}
+    for mid, payload in mp3.items():
+        rate = (44100, 48000, 32000)[mid % 3]
+        kbps = (64, 96, 128, 160, 192)[nc[mid] % 5]
+        frames = 4 + mid % 13
+        assert parse_mp3_metadata(payload) == (
+            rate, kbps, (frames * 1152 * 1000) // rate
+        )
+
+    # (b) 64-bit largesize wrapper around a real payload's moov
+    sample = mp4[1]
+    # sample = ftyp + moov + mdat; rewrap the leading ftyp with a
+    # largesize header (size==1 + 8-byte size), parser must keep
+    # walking past it to moov
+    import struct
+
+    ftyp_size = struct.unpack(">I", sample[:4])[0]
+    ftyp_body = sample[8:ftyp_size]
+    rest = sample[ftyp_size:]
+    wrapped = (
+        struct.pack(">I", 1) + b"ftyp"
+        + struct.pack(">Q", 16 + len(ftyp_body)) + ftyp_body + rest
+    )
+    assert parse_mp4_metadata(wrapped) == parse_mp4_metadata(sample)
+
+    # (c) junk prefix + truncated tail on a real MP3 payload
+    sample3 = mp3[2]
+    junky = b"ID3\x04\x00junkjunk" + sample3 + sample3[:3]
+    assert parse_mp3_metadata(junky) == parse_mp3_metadata(sample3)
+    assert parse_mp3_metadata(b"\x00\x01\x02") is None
+    assert parse_mp4_metadata(b"\x00\x01\x02") is None

@@ -389,6 +389,10 @@ _PYTHON_OK = {
     "dedup_video_incremental",
     # header-only dimension parse across all three fixture formats
     "media_header_dimensions",
+    # header-only MP4 box walk + MP3 frame-header walk (fixtures with
+    # real container structure, synthetic payloads); one slim
+    # metadata row out per payload, union is native
+    "media_container_probe",
     # the multimodal quality gate chains both decode kernels into one
     # lineage; join + gate + rollup stay native
     "media_pipeline_e2e",

@@ -77,3 +77,87 @@ def test_synth_copies_keep_identity_keys_disjoint(spark):
             f"{n_copies}-copy twin, expected {want} — cross-copy "
             "identity collision (an unshifted key?)"
         )
+
+
+def test_engine_digest_cross_engine_exact_on_double_battery(spark, tmp_path):
+    """tools/engine_digest's float canonicalization — the exact
+    IEEE-754 (sign, mantissa, exponent) decomposition — must agree
+    BIT-FOR-BIT between Spark and DuckDB, including the cases that
+    break every formatting-based approach: Java 17's Double.toString
+    is not always shortest-round-trip, and Java's %.17e pads the
+    shortest repr where C rounds the true binary expansion. Battery:
+    edge cases (±0, subnormals, DBL_MAX, NaN, ±Inf) + 20k random
+    bit patterns, one digest per engine over the same parquet."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from tools.engine_digest import duck_digest, spark_digest
+
+    random.seed(11)
+    vals = [
+        0.1, -0.0, 0.0, 1e300, 123456789.123, 1e-310, 4.9e-324,
+        2.0 ** -1022, 1.5 * 2.0 ** -1030, 1234.5, 1e21, 0.35,
+        2.5e-10, 1.7976931348623157e308, 5e-324, float("nan"),
+        float("inf"), float("-inf"), None,
+    ]
+    for _ in range(20000):
+        b = random.getrandbits(64)
+        x = struct.unpack("<d", struct.pack("<Q", b))[0]
+        if not (math.isnan(x) or math.isinf(x)):
+            vals.append(x)
+    p = str(tmp_path / "battery.parquet")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    ).coalesce(1).write.parquet(p)
+
+    sd = spark_digest(spark.read.parquet(p))
+    con = duckdb.connect()
+    od = duck_digest(con, f"SELECT i, x FROM '{p}/*.parquet'")
+    assert sd == od and sd[0] == len(vals)
+
+
+def test_engine_digest_all_kinds_and_order_insensitivity(spark, tmp_path):
+    """One column per canonical kind (int, bool, string, double,
+    date, timestamp, binary) + nulls in every column: Spark and
+    DuckDB digests agree, the digest ignores row order, and any
+    single-value change flips it."""
+    import duckdb
+
+    from tools.engine_digest import duck_digest, spark_digest
+
+    p = str(tmp_path / "kinds.parquet")
+    spark.sql(
+        """
+        SELECT id AS i,
+               CASE WHEN id = 3 THEN NULL ELSE id * 7 END AS n,
+               id % 2 = 0 AS b,
+               CASE WHEN id = 4 THEN NULL
+                    ELSE concat('s', CAST(id AS STRING)) END AS s,
+               CASE WHEN id = 5 THEN NULL
+                    ELSE CAST(id AS DOUBLE) / 3.0 END AS d,
+               DATE '2024-01-01' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS dt,
+               TIMESTAMP_NTZ '2024-01-02 03:04:05.123456' AS ts,
+               CAST(concat('b', CAST(id AS STRING)) AS BINARY) AS bb
+        FROM range(50)
+        """
+    ).coalesce(1).write.parquet(p)
+    sd = spark_digest(spark.read.parquet(p))
+    con = duckdb.connect()
+    src = f"'{p}/*.parquet'"
+    od = duck_digest(con, f"SELECT * FROM {src}")
+    assert sd == od
+    # row order must not matter
+    od_rev = duck_digest(
+        con, f"SELECT * FROM {src} ORDER BY i DESC"
+    )
+    assert od_rev == od
+    # a one-value change must flip the digest
+    od_mut = duck_digest(
+        con,
+        f"SELECT i, CASE WHEN i = 7 THEN n + 1 ELSE n END AS n, "
+        f"b, s, d, dt, ts, bb FROM {src}",
+    )
+    assert od_mut != od

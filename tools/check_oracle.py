@@ -8,6 +8,14 @@ values, so "close" is not good enough; any query reported as
 tolerance-only needs its arithmetic made order-independent (decimal
 sums, deterministic folds).
 
+ORACLE_DIGEST=1 switches to the ENGINE-SIDE comparator
+(tools/engine_digest.py): each engine computes the canonical
+order-insensitive value-hash itself and returns ONE row — no pandas
+fetch, no sort — so row-grain marts (1.5-6 M rows at sf1.0) verify in
+scan time instead of minutes of driver-side fetch+sort. Queries whose
+output schema the digest can't canonicalize (arrays/structs) fall
+back to the pandas comparator automatically.
+
 Usage:
     python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -133,6 +141,70 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
     return out
 
 
+def _digest_compare(
+    spark, con, name, qd, sf_dir, failures, warnings
+) -> bool:
+    """Engine-side digest comparison for one query. Returns True when
+    the comparison was fully handled here (pass or fail recorded),
+    False when the schema is not digestable and the caller should run
+    the pandas comparator instead."""
+    from tools.engine_digest import (
+        duck_digest,
+        duck_schema_kinds,
+        spark_digest,
+        spark_schema_kinds,
+    )
+
+    try:
+        df = qd.builder(spark, sf_dir)
+        s_kinds = spark_schema_kinds(df)
+    except Exception as e:
+        failures.append((name, f"spark error: {e}"))
+        print(f"FAIL  {name}: spark error: {e}")
+        return True
+    try:
+        bad_types = oracle_dtype_offenders(con, qd.oracle)
+        if bad_types:
+            failures.append((name, f"oracle dtype: {bad_types}"))
+            print(
+                f"FAIL  {name}: oracle output dtype would diverge at "
+                f"the driver hash (CAST to BIGINT/DOUBLE): {bad_types}"
+            )
+            return True
+        o_kinds = duck_schema_kinds(con, qd.oracle)
+    except Exception as e:
+        failures.append((name, f"oracle error: {e}"))
+        print(f"FAIL  {name}: oracle error: {e}")
+        return True
+    if s_kinds is None or o_kinds is None:
+        return False  # array/struct output: pandas comparator
+    if [c for c, _ in s_kinds] != [c for c, _ in o_kinds]:
+        failures.append(
+            (name, f"schema: {[c for c, _ in s_kinds]} vs "
+             f"{[c for c, _ in o_kinds]}")
+        )
+        print(f"FAIL  {name}: schema mismatch {s_kinds} vs {o_kinds}")
+        return True
+    if s_kinds != o_kinds:
+        # same names, different canonical kinds (e.g. int vs double):
+        # the digest cannot adjudicate value equality across kinds —
+        # the pandas comparator can
+        return False
+    try:
+        sd = spark_digest(df)
+        od = duck_digest(con, qd.oracle)
+    except Exception as e:
+        failures.append((name, f"digest error: {e}"))
+        print(f"FAIL  {name}: digest error: {e}")
+        return True
+    if sd == od:
+        print(f"PASS  {name}: {sd[0]} rows digest-exact (engine-side)")
+    else:
+        failures.append((name, f"digest: spark={sd} oracle={od}"))
+        print(f"FAIL  {name}: digest mismatch spark={sd} oracle={od}")
+    return True
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -164,6 +236,7 @@ def main() -> int:
             shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
         )
     con = duckdb_conn(sf_dir)
+    digest_mode = bool(os.environ.get("ORACLE_DIGEST"))
 
     failures = []
     warnings = []
@@ -185,6 +258,13 @@ def main() -> int:
         # queries, each passing in a fresh session. Verification
         # harness: correctness isolation beats cache reuse here.
         spark.catalog.clearCache()
+        if digest_mode and qd.oracle is not None:
+            done = _digest_compare(
+                spark, con, name, qd, sf_dir, failures, warnings
+            )
+            if done:
+                continue
+            # fall through: schema not digestable — pandas comparator
         try:
             sdf = qd.builder(spark, sf_dir).toPandas()
         except Exception as e:
