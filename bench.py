@@ -412,91 +412,116 @@ def main() -> None:
               "part", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    calibration = calibrate(spark)
+    def measure() -> dict:
+        """One complete measured window: pre-probe → headline timings
+        → mart re-pass → pandas comparison → post-probe → validity
+        label. Extracted so a contended window can be re-measured
+        (the r10 lesson: BENCH_r10.json closed window-invalid and
+        gated nothing — a round should end with a VALID driver-side
+        record, so the guard now drives an in-process retry instead
+        of only labeling the corpse)."""
+        calibration = calibrate(spark)
 
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+        timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
 
-    def time_one(name: str, run, n_runs: int = RUNS) -> None:
-        run()  # untimed warm-up: per-query codegen JIT compiles here
-        runs: list[float] = []
-        for _ in range(n_runs):
+        def time_one(name: str, run, n_runs: int = RUNS) -> None:
+            run()  # untimed warm-up: per-query codegen JIT compiles here
+            runs: list[float] = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                run()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            timings[name] = round(runs[0], 3)
+            medians[name] = round(runs[len(runs) // 2], 3)
+            spark.catalog.clearCache()  # operator caches stay local
+
+        for name in HEADLINE:
+            builder = QUERY_REGISTRY[name].builder
+
+            def run(builder=builder):
+                df = builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+
+            time_one(name, run, MART_RUNS if name in MART_QUERIES else RUNS)
+
+        # Shared-scan fan-out of the three marts (reported separately;
+        # NOT part of the headline total so cross-round totals stay
+        # comparable).
+        bench_pipeline_marts(spark, sf_dir)  # untimed warm-up
+        pipeline_runs: list[float] = []
+        for _ in range(RUNS):
             t0 = time.perf_counter()
-            run()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[len(runs) // 2], 3)
-        spark.catalog.clearCache()  # operator-internal caches stay local
+            bench_pipeline_marts(spark, sf_dir)
+            pipeline_runs.append(time.perf_counter() - t0)
+        pipeline_runs.sort()
 
-    for name in HEADLINE:
-        builder = QUERY_REGISTRY[name].builder
+        # Second mart pass: the ratio verdict shouldn't hinge on the
+        # load state of one ~3-second window, so the pandas-compared
+        # marts get a second timing block ~a minute later and the min
+        # merges both.
+        for name in MART_QUERIES:
+            builder = QUERY_REGISTRY[name].builder
+            first_min, first_med = timings[name], medians[name]
 
-        def run(builder=builder):
-            df = builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            def run(builder=builder):
+                builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
-        time_one(name, run, MART_RUNS if name in MART_QUERIES else RUNS)
+            time_one(name, run, MART_RUNS)
+            timings[name] = min(timings[name], first_min)
+            medians[name] = min(medians[name], first_med)
 
-    # Shared-scan fan-out of the three marts (reported separately; NOT
-    # part of the headline total so cross-round totals stay comparable).
-    bench_pipeline_marts(spark, sf_dir)  # untimed warm-up
-    pipeline_runs: list[float] = []
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        bench_pipeline_marts(spark, sf_dir)
-        pipeline_runs.append(time.perf_counter() - t0)
-    pipeline_runs.sort()
+        pandas_t = pandas_marts(sf_dir, MART_RUNS)
+        ratios = {
+            q: round(timings[q] / pandas_t[q], 2)
+            if pandas_t.get(q) else None
+            for q in MART_QUERIES
+        }
 
-    # Second mart pass: the ratio verdict shouldn't hinge on the load
-    # state of one ~3-second window, so the pandas-compared marts get a
-    # second timing block ~a minute later and the min merges both.
-    for name in MART_QUERIES:
-        builder = QUERY_REGISTRY[name].builder
-        first_min, first_med = timings[name], medians[name]
-
-        def run(builder=builder):
-            builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-
-        time_one(name, run, MART_RUNS)
-        timings[name] = min(timings[name], first_min)
-        medians[name] = min(medians[name], first_med)
-
-    pandas_t = pandas_marts(sf_dir, MART_RUNS)
-    ratios = {
-        q: round(timings[q] / pandas_t[q], 2) if pandas_t.get(q) else None
-        for q in MART_QUERIES
-    }
-
-    calibration_post = calibrate(spark, attempts=1)
-    valid, valid_reason = window_validity(calibration, calibration_post)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "pipeline_marts_sec": round(pipeline_runs[0], 3),
-                "pipeline_marts_median": round(
-                    pipeline_runs[len(pipeline_runs) // 2], 3
-                ),
-                "pandas_same_run": pandas_t,
-                "ratio_vs_pandas": ratios,
-                "calibration": calibration,
-                "calibration_post": calibration_post,
-                "window_valid": valid,
-                "window_valid_reason": valid_reason,
-                "runs": RUNS,
-                "sf": sf,
-            }
+        calibration_post = calibrate(spark, attempts=1)
+        valid, valid_reason = window_validity(
+            calibration, calibration_post
         )
-    )
+        return {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "queries_median": medians,
+            "pipeline_marts_sec": round(pipeline_runs[0], 3),
+            "pipeline_marts_median": round(
+                pipeline_runs[len(pipeline_runs) // 2], 3
+            ),
+            "pandas_same_run": pandas_t,
+            "ratio_vs_pandas": ratios,
+            "calibration": calibration,
+            "calibration_post": calibration_post,
+            "window_valid": valid,
+            "window_valid_reason": valid_reason,
+            "runs": RUNS,
+            "sf": sf,
+        }
+
+    # Contended-window retry (r10 verdict ask #4): when the two-sided
+    # calibration guard invalidates the window, wait out the burst
+    # (bench-box contention arrives in bursts — SCALE.md §29.7) and
+    # re-measure, up to BENCH_WINDOW_RETRIES extra attempts. The
+    # printed record is the first VALID window, or the LAST window
+    # (still labeled invalid) when every attempt was contended —
+    # never a silent mix of attempts.
+    max_attempts = 1 + int(os.environ.get("BENCH_WINDOW_RETRIES", "1"))
+    for attempt in range(1, max_attempts + 1):
+        result = measure()
+        result["attempt"] = attempt
+        result["max_attempts"] = max_attempts
+        if result["window_valid"] or attempt == max_attempts:
+            break
+        time.sleep(int(os.environ.get("BENCH_SETTLE_SEC", "45")))
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -992,6 +992,12 @@ def latest_batch_id(
     manifest walked; for a table written chiefly by its own stream the
     marker is on the latest manifest and the walk is O(1).
 
+    CAVEAT: :func:`vacuum` can drop old manifests — a retention
+    window shorter than the gap between a query's batches could
+    discard its only marker (then a replay would re-append). Size
+    retention above the streaming trigger interval, as Delta does for
+    its txn actions.
+
     The replay test every idempotent foreachBatch sink runs BEFORE
     doing any work (see :func:`commit_append_batch`)."""
     for v in reversed(versions(table_path)):

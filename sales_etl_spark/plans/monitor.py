@@ -5612,8 +5612,13 @@ def agg_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS INTEGER) AS dow,
            CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(SUM(f) AS DOUBLE) / 1000000.0 / COUNT(*) / 100.0
-               AS seasonal_idx
+           -- SUM(BIGINT) is HUGEINT, and DuckDB's int128->double
+           -- conversion is NOT correctly rounded (measured 1 ULP off
+           -- at |sum| ~ 1.9e16, sf1.0 digest sweep r11) while
+           -- int64->double matches IEEE; route through BIGINT (the
+           -- sum provably fits) so both engines round identically.
+           CAST(CAST(SUM(f) AS BIGINT) AS DOUBLE)
+               / 1000000.0 / COUNT(*) / 100.0 AS seasonal_idx
     FROM det GROUP BY dow
     """,
 )

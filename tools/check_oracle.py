@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -40,6 +41,17 @@ TABLES = (
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Sharded big-SF sweeps (sf1.0 twin, 4 parallel shards) need fair
+    # resource splits: DuckDB defaults to ALL cores and unbounded
+    # memory per connection, so 4 shards thrash 128 threads and race
+    # toward one box-wide OOM. Opt-in knobs; single-process runs keep
+    # the defaults.
+    threads = os.environ.get("ORACLE_DUCK_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    memlim = os.environ.get("ORACLE_DUCK_MEM")
+    if memlim:
+        con.execute(f"SET memory_limit='{memlim}'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         # driver testdata is a single file; Spark-written tables (the
