@@ -161,3 +161,55 @@ def test_engine_digest_all_kinds_and_order_insensitivity(spark, tmp_path):
         f"b, s, d, dt, ts, bb FROM {src}",
     )
     assert od_mut != od
+
+
+def test_engine_digest_array_columns_cross_engine(spark, tmp_path):
+    """Array columns canonicalize engine-side too (the round-11
+    extension that retires the last pandas fallbacks): per-element
+    canon with order PRESERVED, chr(3) joiner, length prefix. Checks
+    double arrays (same IEEE decomposition as scalars, incl. a NULL
+    element), int and string arrays, empty-vs-[''] disambiguation,
+    NULL arrays, element-order sensitivity, and row-order
+    insensitivity — one digest per engine over the same parquet."""
+    import duckdb
+
+    from tools.engine_digest import duck_digest, spark_digest
+
+    p = str(tmp_path / "arr.parquet")
+    spark.sql(
+        """
+        SELECT id AS i,
+               CASE WHEN id = 3 THEN NULL
+                    WHEN id = 4 THEN array(CAST(NULL AS DOUBLE), 0.1)
+                    ELSE array(CAST(id AS DOUBLE) / 3.0, 1e300,
+                               4.9e-324) END AS xs,
+               CASE WHEN id = 5 THEN array()
+                    WHEN id = 6 THEN array('')
+                    ELSE array(concat('s', CAST(id AS STRING)), 'k')
+                    END AS ss,
+               array(id, id * 7, CAST(NULL AS BIGINT)) AS ns
+        FROM range(40)
+        """
+    ).coalesce(1).write.parquet(p)
+    sd = spark_digest(spark.read.parquet(p))
+    assert sd is not None, "array schema must be digestable now"
+    con = duckdb.connect()
+    src = f"'{p}/*.parquet'"
+    od = duck_digest(con, f"SELECT * FROM {src}")
+    assert sd == od
+    # row order must not matter...
+    assert duck_digest(con, f"SELECT * FROM {src} ORDER BY i DESC") == od
+    # ...but ELEMENT order must (arrays are sequences, not sets)
+    od_rev = duck_digest(
+        con,
+        f"SELECT i, xs, ss, list_reverse(ns) AS ns FROM {src}",
+    )
+    assert od_rev != od
+    # [] vs [''] must differ: flipping id=5's empty list to ['']
+    # collides with id=6's row only if the length prefix is broken
+    od_mut = duck_digest(
+        con,
+        f"SELECT i, xs, CASE WHEN i = 5 THEN [''] ELSE ss END AS ss, "
+        f"ns FROM {src}",
+    )
+    assert od_mut != od

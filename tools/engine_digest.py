@@ -42,7 +42,12 @@ BIT-IDENTICALLY for equal values:
 
 Column order is fixed by sorting column names (the driver's canon),
 null is a chr(2)-prefixed sentinel no real value starts with, and
-columns join on chr(1).
+columns join on chr(1). Arrays of any scalar kind canonicalize
+recursively — per-element canon (order PRESERVED; arrays are
+sequences), chr(3) element joiner, length prefix so ``[]`` and
+``['']`` differ — via Spark ``transform``/``array_join`` and DuckDB
+``list_transform``/``array_to_string``; only struct/map/decimal
+outputs still fall back to the pandas comparator.
 
 At 100 TB this is also the RIGHT comparator shape: the digest is one
 distributed aggregation pass (partial sums per partition, one final
@@ -99,20 +104,32 @@ _DUCK_KINDS = {
 
 
 def spark_kind(simple_type: str) -> str | None:
+    if simple_type.startswith("array<") and simple_type.endswith(">"):
+        inner = spark_kind(simple_type[6:-1])
+        return f"arr:{inner}" if inner else None
     return _SPARK_KINDS.get(simple_type)
 
 
 def duck_kind(duck_type: str) -> str | None:
-    return _DUCK_KINDS.get(duck_type.upper())
+    t = duck_type.upper().strip()
+    # list ('DOUBLE[]') and fixed-size array ('DOUBLE[3]') types
+    if t.endswith("]"):
+        base, _, suffix = t.rpartition("[")
+        if base and (suffix == "]" or suffix[:-1].isdigit()):
+            inner = duck_kind(base)
+            return f"arr:{inner}" if inner else None
+    return _DUCK_KINDS.get(t)
 
 
-def _canon_col(col: str, kind: str, engine: str) -> str:
-    """Canonical-string SQL expression for one column (pre-coalesce).
-    ``engine`` picks the per-engine date/time format functions and the
-    identifier quote (backticks in Spark SQL — double quotes there are
-    STRING LITERALS); every other kind shares one engine-agnostic
-    template."""
-    c = f"`{col}`" if engine == "spark" else f'"{col}"'
+def _canon_expr(c: str, kind: str, engine: str) -> str:
+    """Canonical-string SQL for an arbitrary expression ``c`` of
+    canonical kind ``kind`` (pre-coalesce). ``engine`` picks the
+    per-engine date/time format functions; every other scalar kind
+    shares one engine-agnostic template. ``arr:<kind>`` recurses:
+    elements keep their ORDER (arrays are sequences, not sets), each
+    element is canonicalized and null-coalesced like a column, joined
+    on chr(3), and the whole string is length-prefixed so ``[]`` and
+    ``['']`` stay distinct."""
     if kind == "int":
         return f"CAST(CAST({c} AS BIGINT) AS STRING)"
     if kind == "bool":
@@ -131,7 +148,34 @@ def _canon_col(col: str, kind: str, engine: str) -> str:
         if engine == "spark":
             return f"date_format({c}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
         return f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+    if kind.startswith("arr:"):
+        elem = _canon_expr("x", kind[4:], engine)
+        elem = f"coalesce({elem}, concat(chr(2), 'N'))"
+        if engine == "spark":
+            joined = f"array_join(transform({c}, x -> {elem}), chr(3))"
+            n = f"size({c})"
+        else:
+            joined = (
+                f"array_to_string(list_transform({c}, x -> {elem}),"
+                " chr(3))"
+            )
+            n = f"len({c})"
+        # Spark size(NULL)=-1 under ANSI-off legacy; guard via CASE so
+        # a NULL array yields NULL (caught by the row-level coalesce)
+        # in BOTH engines.
+        return (
+            f"CASE WHEN {c} IS NULL THEN NULL ELSE"
+            f" concat(CAST({n} AS STRING), ':', {joined}) END"
+        )
     raise ValueError(f"unhashable kind: {kind}")
+
+
+def _canon_col(col: str, kind: str, engine: str) -> str:
+    """Canonical-string SQL expression for one column (pre-coalesce);
+    identifier quoting is per-engine (backticks in Spark SQL — double
+    quotes there are STRING LITERALS)."""
+    c = f"`{col}`" if engine == "spark" else f'"{col}"'
+    return _canon_expr(c, kind, engine)
 
 
 def row_canon_sql(cols_kinds: list[tuple[str, str]], engine: str) -> str:
@@ -171,8 +215,8 @@ def digest_sql(
 
 def spark_digest(df) -> tuple[int, str, str] | None:
     """(n_rows, h1, h2) of a Spark DataFrame, or None when a column
-    type has no canonical form (array/struct/map/decimal outputs —
-    the caller falls back to the pandas comparator)."""
+    type has no canonical form (struct/map/decimal outputs — the
+    caller falls back to the pandas comparator)."""
     cols_kinds = []
     for f in df.schema.fields:
         kind = spark_kind(f.dataType.simpleString())
