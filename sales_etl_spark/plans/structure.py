@@ -1921,11 +1921,21 @@ _BR_PERIOD_SQL = """
             COALESCE(r1, 0) - COALESCE(r0, 0) AS dr
         FROM j
     )
+    -- micro sums reach ~1e16 at sf1.0 — past 2^53, where DuckDB's
+    -- HUGEINT->DOUBLE cast is not correctly rounded (SCALE.md §31.2:
+    -- SUM(BIGINT) widens to HUGEINT). Route through BIGINT (the sums
+    -- provably fit) so the int64->double path matches Spark's
+    -- correctly-rounded long->double bit-for-bit. Caught by the r11
+    -- sf1.0 digest sweep: price_effect off by 1 ULP, sf0.1 green.
     SELECT CAST(SUM(dr) AS DOUBLE) AS delta_revenue,
-           CAST(SUM(vol_micro) AS DOUBLE) / 1000000.0 AS volume_effect,
-           CAST(SUM(price_micro) AS DOUBLE) / 1000000.0 AS price_effect,
-           CAST(SUM(new_micro) AS DOUBLE) / 1000000.0 AS new_effect,
-           -CAST(SUM(lost_micro) AS DOUBLE) / 1000000.0 AS lost_effect,
+           CAST(CAST(SUM(vol_micro) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS volume_effect,
+           CAST(CAST(SUM(price_micro) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS price_effect,
+           CAST(CAST(SUM(new_micro) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS new_effect,
+           -CAST(CAST(SUM(lost_micro) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS lost_effect,
            CAST(SUM(is_common) AS BIGINT) AS n_common,
            CAST(SUM(is_new) AS BIGINT) AS n_new,
            CAST(SUM(is_lost) AS BIGINT) AS n_lost
