@@ -879,7 +879,13 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t0"))
         .select(
             "user_id", "t0",
-            F.date_trunc("week", F.col("t0")).alias("cohort_week"),
+            # DATE, not midnight-timestamp: a week bucket is a date by
+            # grain, DuckDB's date_trunc('week') already returns DATE,
+            # and matching kinds lets the engine-side digest cover
+            # this key instead of falling back to the pandas
+            # comparator (SCALE.md §31.3).
+            F.date_trunc("week", F.col("t0")).cast("date")
+            .alias("cohort_week"),
         )
     )
     return (
@@ -1134,7 +1140,10 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute all-time uniques incrementally."""
     st = _star(spark, sf_dir)
     ev = st.events.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        # DATE grain (not midnight timestamp) — mirrors DuckDB's
+        # date_trunc('day') DATE kind so the engine-side digest covers
+        # this key (SCALE.md §31.3).
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     )
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily_new = first_seen.groupBy(
