@@ -213,3 +213,37 @@ def test_engine_digest_array_columns_cross_engine(spark, tmp_path):
         f"ns FROM {src}",
     )
     assert od_mut != od
+
+
+def test_engine_digest_covers_every_oracle_backed_key(spark):
+    """Structural fence: every oracle-backed registry key must be
+    engine-digestable with AGREEING canonical kinds on both sides —
+    otherwise a future key silently falls back to the pandas
+    comparator and loses the scan-cost verification path at 10x scale
+    (SCALE.md §31.3 closed the fallback set to zero; this keeps it
+    closed). Schema-only: Spark plans are built but never executed,
+    DuckDB sees one DESCRIBE per oracle."""
+    import duckdb
+
+    from sales_etl_spark.plans import QUERY_REGISTRY
+    from tools.check_oracle import TABLES
+    from tools.engine_digest import duck_schema_kinds, spark_schema_kinds
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    undigestable = []
+    for name, qd in sorted(QUERY_REGISTRY.items()):
+        if qd.oracle is None:
+            continue
+        sk = spark_schema_kinds(qd.builder(spark, sf_dir))
+        dk = duck_schema_kinds(con, qd.oracle)
+        if sk is None or dk is None or sk != dk:
+            undigestable.append((name, sk, dk))
+    assert not undigestable, (
+        "keys lost engine-digest coverage (spark kinds vs duck kinds): "
+        f"{undigestable}"
+    )
