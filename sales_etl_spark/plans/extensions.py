@@ -2908,7 +2908,16 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-gram operator here documents)."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
-    sg = (
+    # r11 optimization-round plan (guide §2.3/§2.4): ONE exchange —
+    # groupBy(gram) with collect_set(source) performs the (source,
+    # gram) distinct AND builds the posting list in the same shuffle,
+    # where the old plan evaluated the scan+tokenize+distinct THREE
+    # times (totals + self-join sides a AND b) and moved the gram
+    # stream through four exchanges. Posting lists are bounded by
+    # |sources| (≤ dozens — the data model), so in-bucket pair
+    # generation is a map-side array fold; per-source totals fall out
+    # of the exploded postings at gram-vocabulary grain.
+    post = (
         st.documents.select("source", toks.alias("__toks"))
         .select(
             "source",
@@ -2916,18 +2925,29 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(dedup._hashed_gram_array(_DECONTAM_N))
             ).alias("g"),
         )
-        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("__srcs"))
+        .cache()  # two consumers: per-source totals + pair counts
     )
-    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sg.alias("a")
-    b = sg.alias("b")
+    tot = (
+        post.select(F.explode("__srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        a.join(b, "g")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+        post.filter(F.size("__srcs") >= 2)
+        .select(
+            "__srcs", F.posexplode("__srcs").alias("__i", "source_a")
         )
+        .select(
+            "source_a",
+            F.explode(
+                F.slice(
+                    "__srcs", F.col("__i") + F.lit(2), F.size("__srcs")
+                )
+            ).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ta = tot.select(

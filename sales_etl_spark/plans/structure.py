@@ -130,29 +130,54 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _star(spark, sf_dir)
     # normalize+tokenize+chunk is the CPU; spread the narrow
-    # (doc_id, text) frame when it arrives as one local row group
-    w = spread_narrow_input(st.documents.select("doc_id", "text")).select(
-        "doc_id", TX.tokens(TX.normalize_text("text")).alias("t")
-    )
+    # (doc_id, text) frame when it arrives as one local row group.
+    # r11 optimization-round plan (guide §2.3/§2.4): the chunk ARRAY
+    # is built once and CACHED (the old plan re-ran normalize+tokenize
+    # +chunk three times — dup pass, join back, totals); per-doc chunk
+    # totals are map-side size(array), deleting a full chunk-stream
+    # groupBy(doc_id) exchange; the corpus-wide duplicate decision
+    # keeps the scale-safe constant-memory aggregate shape but tests
+    # nd==1 as min(doc_id)==max(doc_id) — a plain partial-aggregable
+    # min/max instead of countDistinct's expand+double-aggregate (no
+    # per-group set, ~half the aggregate work). A posting-list
+    # collect_list variant was considered and rejected: a corpus-wide
+    # boilerplate chunk would materialize an unbounded occurrence
+    # list in one reducer, a 100 TB scale-killer the join-back shape
+    # does not have. Survivor rows come from joining the SINGLE-DOC
+    # chunk set (already filtered, smaller than the old full dup
+    # table) back onto the cached chunk stream.
     nch = F.ceil(F.size("t") / F.lit(float(_CHUNK_W))).cast("int")
-    ch = (
-        w.filter(F.size("t") > 0)
+    carr = (
+        spread_narrow_input(st.documents.select("doc_id", "text"))
+        .select(
+            "doc_id", TX.tokens(TX.normalize_text("text")).alias("t")
+        )
         .select(
             "doc_id",
-            F.posexplode(
+            F.when(
+                F.size("t") > 0,
                 F.transform(
                     F.sequence(F.lit(0), nch - 1),
                     lambda i: F.array_join(
                         F.slice("t", i * _CHUNK_W + 1, _CHUNK_W), " "
                     ),
-                )
-            ).alias("pos", "chunk"),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("__chunks"),
         )
+        .cache()  # two consumers: postings + map-side totals
     )
-    dup = ch.groupBy("chunk").agg(
-        F.countDistinct("doc_id").alias("nd")
+    ch = carr.select(
+        "doc_id", F.posexplode("__chunks").alias("pos", "chunk")
     )
-    kept = ch.join(dup, "chunk").filter(F.col("nd") == 1)
+    single_doc = (
+        ch.groupBy("chunk")
+        .agg(F.min("doc_id").alias("__dmin"), F.max("doc_id").alias("__dmax"))
+        .filter(F.col("__dmin") == F.col("__dmax"))
+        .select("chunk")
+    )
+    kept = ch.join(single_doc, "chunk")
     k = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -163,7 +188,9 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__clean"),
         F.count(F.lit(1)).alias("__n_kept"),
     )
-    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_chunks"))
+    tot = carr.select(
+        "doc_id", F.size("__chunks").cast("long").alias("__n_chunks")
+    )
     return (
         st.documents.select("doc_id")
         .join(tot, "doc_id", "left")
@@ -593,72 +620,169 @@ _BM25_PARTIAL_SQL = """
 def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms):
     """Shared BM25 pipeline: (doc_id, bm25_micro) for every document
     matching ≥1 query term. ``query_terms`` is either a literal tuple
-    of terms or a 1-column DataFrame of distinct terms (broadcast)."""
+    of terms or a 1-column DataFrame of distinct terms (broadcast).
+
+    Optimization-round shape (r11, guide §2.3/§2.4): document length
+    is ``size(tokens)`` — a map-side projection — never an explode +
+    full-token-stream groupBy (that exchange moved every token in the
+    corpus to compute one long per doc). For LITERAL query terms the
+    whole score is one corpus scan with zero row-grain exchanges:
+    per-term tf is an array fold over the materialized token array,
+    (n_docs, Σdl, df_t…) collapse into ONE broadcast 1-row aggregate,
+    and each per-(doc, term) partial applies the IDENTICAL IEEE
+    sequence as before (idf floored to micro-longs first; a tf=0 term
+    contributes floor(idf·0 + 0.5) = 0, exactly the rows the old
+    per-(doc, term) frame never materialized), so the per-doc long
+    sum is unchanged bit-for-bit. Rows: docs matching ≥1 term, as
+    before. For a DataFrame term set the explode+groupBy tf path
+    stays (per-doc term columns need literals), but it now joins the
+    map-side dl frame instead of a shuffled token-stream aggregate."""
     from sales_etl_spark.operators.skew import spread_narrow_input
 
     st = _star(spark, sf_dir)
-    # normalize+tokenize+explode is the corpus-scan CPU shared by the
+    # normalize+tokenize is the corpus-scan CPU shared by the
     # BM25/RRF/nDCG tier; spread the narrow (doc_id, text) frame when
-    # it arrives as one local row group
-    toks = spread_narrow_input(
-        st.documents.select("doc_id", "text")
-    ).select(
-        "doc_id",
-        F.explode(TX.tokens(TX.normalize_text("text"))).alias("term"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    nstats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    if isinstance(query_terms, DataFrame):
-        qtoks = toks.join(F.broadcast(query_terms), "term")
-    else:
-        qtoks = toks.filter(F.col("term").isin(*query_terms))
-    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df.crossJoin(F.broadcast(nstats)).select(
-        "term",
-        F.floor(
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-            * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("idf_micro"),
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    partial = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(nstats))
+    # it arrives as one local row group. Tokens materialize ONCE as an
+    # array column; dl is its size (empty docs drop, matching the old
+    # explode semantics).
+    base = (
+        spread_narrow_input(st.documents.select("doc_id", "text"))
         .select(
             "doc_id",
+            TX.tokens(TX.normalize_text("text")).alias("__toks"),
+        )
+        .filter(F.size("__toks") > 0)
+    )
+    if isinstance(query_terms, DataFrame):
+        dl = base.select("doc_id", F.size("__toks").alias("dl"))
+        nstats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        toks = base.select(
+            "doc_id", F.explode("__toks").alias("term")
+        )
+        qtoks = toks.join(F.broadcast(query_terms), "term")
+        tf = qtoks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = df.crossJoin(F.broadcast(nstats)).select(
+            "term",
             F.floor(
-                F.col("idf_micro")
-                * (
-                    (F.col("tf") * F.lit(2.2))
-                    / (
-                        F.col("tf")
-                        + F.lit(1.2)
-                        * (
-                            F.lit(0.25)
-                            + F.lit(0.75)
-                            * (F.col("dl").cast("double") / avgdl)
-                        )
-                    )
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
                 )
+                * F.lit(1_000_000.0)
                 + F.lit(0.5)
             )
             .cast("long")
-            .alias("partial_micro"),
+            .alias("idf_micro"),
         )
+        avgdl = (
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+        )
+        partial = (
+            tf.join(dl, "doc_id")
+            .join(F.broadcast(idf), "term")
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "doc_id",
+                F.floor(
+                    F.col("idf_micro")
+                    * (
+                        (F.col("tf") * F.lit(2.2))
+                        / (
+                            F.col("tf")
+                            + F.lit(1.2)
+                            * (
+                                F.lit(0.25)
+                                + F.lit(0.75)
+                                * (F.col("dl").cast("double") / avgdl)
+                            )
+                        )
+                    )
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("partial_micro"),
+            )
+        )
+        return partial.groupBy("doc_id").agg(
+            F.sum("partial_micro").alias("bm25_micro")
+        )
+    # Literal term tuple: fully map-side scoring.
+    terms = list(dict.fromkeys(query_terms))
+
+    def term_tf(t: str) -> F.Column:
+        # NB: the HOF lambda must take exactly ONE positional arg —
+        # PySpark treats a second parameter as the array index.
+        return F.size(F.filter("__toks", lambda x: x == F.lit(t)))
+
+    # Pass 1 needs only dl and term PRESENCE (df) — array_contains
+    # (early-exit scan) instead of a full occurrence count.
+    stats_src = base.select(
+        F.size("__toks").alias("dl"),
+        *[
+            F.array_contains("__toks", F.lit(t)).alias(f"__in_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    return partial.groupBy("doc_id").agg(
-        F.sum("partial_micro").alias("bm25_micro")
+    stats = stats_src.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.col(f"__in_{i}"), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def idf_micro(i: int) -> F.Column:
+        return F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"__df_{i}") + F.lit(0.5))
+                / (F.col(f"__df_{i}") + F.lit(0.5))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    def partial_micro(i: int) -> F.Column:
+        tf = term_tf(terms[i]).cast("long")
+        return F.floor(
+            idf_micro(i)
+            * (
+                (tf * F.lit(2.2))
+                / (
+                    tf
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (F.size("__toks").cast("long").cast("double") / avgdl)
+                    )
+                )
+            )
+            + F.lit(0.5)
+        ).cast("long")
+
+    score = partial_micro(0)
+    for i in range(1, len(terms)):
+        score = score + partial_micro(i)
+    matched = F.greatest(
+        *[
+            F.array_contains("__toks", F.lit(t)) for t in terms
+        ]
+    ) if len(terms) > 1 else F.array_contains("__toks", F.lit(terms[0]))
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(matched)
+        .select("doc_id", score.alias("bm25_micro"))
     )
 
 
@@ -2628,14 +2752,19 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=-(F.col("bm25_micro") / F.lit(100_000)).cast("long"),
         out="rnk",
     ).filter(F.col("rnk") <= 20)
+    # rel = number of DISTINCT query terms present — a map-side sum of
+    # array_contains over the materialized token array (r11: replaces
+    # explode → filter → groupBy countDistinct, deleting the matched-
+    # token exchange; row set unchanged: docs with ≥1 matched term).
+    toks_arr = TX.tokens(TX.normalize_text("text"))
+    rel_expr = sum(
+        F.array_contains(F.col("__toks"), F.lit(t)).cast("int")
+        for t in _BM25_QUERY
+    )
     rel = (
-        st.documents.select(
-            "doc_id",
-            F.explode(TX.tokens(TX.normalize_text("text"))).alias("term"),
-        )
-        .filter(F.col("term").isin(*_BM25_QUERY))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").cast("int").alias("rel"))
+        st.documents.select("doc_id", toks_arr.alias("__toks"))
+        .select("doc_id", rel_expr.alias("rel"))
+        .filter(F.col("rel") > 0)
         .cache()  # two consumers: top-20 gains + the grade counts
     )
     g_micro = F.floor(
