@@ -55,7 +55,13 @@ def snapshot_diff(
     n = new.select(
         *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
     ).withColumn("__in_new", F.lit(True))
-    j = o.join(n, keys, "full_outer")
+    # r11: SHUFFLE_HASH on the new side — a snapshot diff's join keys
+    # are unique per side, so the per-partition build is bounded by
+    # the post-shuffle partition size (AQE advisory), and skipping the
+    # two sort passes of the default sort-merge measured 0.65 → 0.46 s
+    # min at sf0.1 (same-process A/B). Bucketed snapshots still take
+    # the no-exchange path; the hint only biases the operator choice.
+    j = o.join(n.hint("SHUFFLE_HASH"), keys, "full_outer")
 
     changed: Column = F.lit(False)
     for c in compare_cols:

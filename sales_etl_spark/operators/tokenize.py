@@ -106,6 +106,19 @@ def bpe_train(
     vocab = word_vocabulary(docs, text_col).cache()
     merges: list[tuple] = []
     live = [vocab]  # every frame still cached; drained on error
+    # r11 optimization-round cache hand-off (guide §1.2): the old loop
+    # ran an explicit nxt.count() materialization job EVERY round so
+    # the parent cache could be dropped immediately — n extra jobs
+    # (~2 stages each) whose only product was the cache write. The
+    # NEXT round's argmax job materializes the child anyway (its pair
+    # scan reads every partition), so the parent's unpersist is simply
+    # DEFERRED one round: at most TWO vocabulary-grain frames are ever
+    # cached (same peak as the old swap, which also held both during
+    # its count), and only the FINAL frame needs an explicit
+    # materialization before its parent drops. Measured at sf0.1:
+    # text_bpe_train 45 → 31 stages / 228 → 165 tasks,
+    # tokenize_pipeline_e2e 52 → 38 stages, identical results.
+    prev: DataFrame | None = None
     try:
         for k in range(n_merges):
             pairs = vocab.filter(F.size("s") >= 2).select(
@@ -125,6 +138,12 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # this collect just scanned every cached partition of
+            # ``vocab`` — the grandparent is now safe to drop
+            if prev is not None:
+                prev.unpersist()
+                live.remove(prev)
+                prev = None
             if not top:
                 break  # corpus exhausted (every word one symbol)
             a, b = top[0]["a"], top[0]["b"]
@@ -133,13 +152,15 @@ def bpe_train(
                 "w", "freq", F.expr(_merge_fold_sql(a, b)).alias("s")
             ).cache()
             live.append(nxt)
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            live.remove(vocab)
+            prev = vocab
             vocab = nxt
+        if prev is not None:
+            vocab.count()  # materialize the FINAL frame once
+            prev.unpersist()
+            live.remove(prev)
         return merges, vocab
     except Exception:
-        for df in live:  # drain BOTH frames if a round died mid-swap
+        for df in live:  # drain every still-cached frame
             df.unpersist()
         raise
 

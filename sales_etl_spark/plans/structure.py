@@ -274,16 +274,37 @@ def graph_triangle_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-20 is TakeOrderedAndProject with the unique node id as
     tiebreak."""
     st = _star(spark, sf_dir)
-    op = st.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    pairs = (
-        op.alias("a")
-        .join(
-            op.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+    # r11 optimization-round shape (guide §2.4): ONE groupBy(order)
+    # with collect_set(part) replaces distinct + self-join — the
+    # collect_set IS the per-order distinct, and in-bucket pair
+    # generation (posexplode + tail-slice explode over the sorted
+    # ≤7-part basket) replaces the join, deleting a full exchange of
+    # the (order, part) stream. Bucket size is bounded by the DATA
+    # MODEL (≤7 lines/order), so the collected set can never grow
+    # with corpus scale. Measured at sf0.1: shuffle write
+    # 18.5 → 16.8 MB, 10 → 9 stages, 54 → 50 tasks, bit-exact — the
+    # residual shuffle is the (pa, pb) support count, which is the
+    # algorithm's fundamental exchange (near-unique pair keys defeat
+    # map-side partial aggregation by construction).
+    baskets = (
+        st.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         )
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("__ps"))
+        .filter(F.size("__ps") >= 2)
+    )
+    pairs = (
+        baskets.select(
+            "__ps", F.posexplode("__ps").alias("__i", "pa")
+        )
+        .select(
+            "pa",
+            F.explode(
+                F.slice("__ps", F.col("__i") + F.lit(2), F.size("__ps"))
+            ).alias("pb"),
+        )
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     e = pairs.filter(F.col("c") >= _EDGE_SUPPORT).select("pa", "pb")
@@ -294,9 +315,12 @@ def graph_triangle_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = (
         e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.pb") == F.col("e2.pa"))
         .join(
-            e.alias("e3"),
+            e.alias("e2").hint("SHUFFLE_HASH"),
+            F.col("e1.pb") == F.col("e2.pa"),
+        )
+        .join(
+            e.alias("e3").hint("SHUFFLE_HASH"),
             (F.col("e3.pa") == F.col("e1.pa"))
             & (F.col("e3.pb") == F.col("e2.pb")),
         )
