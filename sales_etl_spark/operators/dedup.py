@@ -793,11 +793,57 @@ _CACHE_SLOTS: dict[tuple[int, str], DataFrame] = {}
 _CACHE_SLOTS_LOCK = threading.Lock()
 
 
+def _rearm_slot_caches(spark) -> None:
+    """Re-register any of this session's slot frames whose CacheManager
+    entry was dropped by a caller's ``spark.catalog.clearCache()``.
+
+    Registered as a plan-memo re-arm hook (plans/registry.py): a
+    memoized query plan embeds the slot frame by object, so when the
+    memo skips the builder body nothing would otherwise re-``cache()``
+    the frame, and the plan silently executes its raw lineage —
+    measured ~50x slower for the perceptual pair queries because the
+    interpreted higher-order-function hash projection is inlined by
+    filter pushdown into per-row join predicates (BENCH_r11 attempt-2:
+    dedup_video_pairs 179 s uncached vs 2.4 s cached). Re-registration
+    is lazy (no job runs until the plan executes) and bounded by the
+    slot registry's one-frame-per-operator contract."""
+    sid = id(spark)
+    with _CACHE_SLOTS_LOCK:
+        frames = [df for (s, _), df in _CACHE_SLOTS.items() if s == sid]
+    for df in frames:
+        try:
+            if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
+                df.cache()
+        except Exception:
+            pass  # session already stopped
+
+
+try:  # registry import is cycle-safe: plans.registry imports nothing from operators
+    from sales_etl_spark.plans.registry import register_plan_cache_rearm
+
+    register_plan_cache_rearm(_rearm_slot_caches)
+except Exception:  # pragma: no cover — standalone operator use
+    pass
+
+
 def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
     """Cache ``df`` and evict the (session, slot) key's previous
     occupant (async, ignoring a stopped previous session), bounding
     the operator's storage footprint to one live frame per slot per
-    session."""
+    session.
+
+    The eviction must NOT fire when the previous occupant is
+    semantically the same plan: ``DataFrame.unpersist`` removes cache
+    entries by CANONICALIZED PLAN, not by object identity, so
+    unpersisting a same-plan predecessor would evict the entry the
+    ``cache()`` call above just (re-)registered. A repeat caller —
+    e.g. a bench harness timing the same query back to back — would
+    then silently run every consumer against the UNCACHED lineage:
+    the banded frame's hash projection is an interpreted
+    higher-order-function expression that filter pushdown inlines
+    into per-row join predicates, measured 50x slower uncached
+    (dedup_video_pairs 2.4 s cached vs ~130 s, r12). Same-plan
+    repeats therefore keep the live entry and skip the unpersist."""
     key = (id(df.sparkSession), slot)
     cached = df.cache()
     with _CACHE_SLOTS_LOCK:
@@ -805,7 +851,8 @@ def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
         _CACHE_SLOTS[key] = cached
     if prev is not None and prev is not cached:
         try:
-            prev.unpersist(blocking=False)
+            if not prev.sameSemantics(cached):
+                prev.unpersist(blocking=False)
         except Exception:
             pass  # previous occupant's session already stopped
     return cached

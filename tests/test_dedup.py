@@ -279,6 +279,54 @@ def test_banded_cache_footprint_bounded_without_clearcache(spark):
     spark.catalog.clearCache()
 
 
+def test_banded_cache_rearms_after_clearcache_on_memo_hit(spark):
+    """Regression (r12): the plan memo in plans/registry.py skips the
+    builder body on a repeat call, so after a caller's clearCache()
+    nothing re-registered the banded frame's internal cache and the
+    memoized plan silently executed its raw lineage — the interpreted
+    HOF hash projection then re-evaluates inside pushed join
+    predicates per row (BENCH_r11 attempt-2: dedup_video_pairs 179 s
+    uncached vs 2.4 s cached). The memo-hit re-arm hook must restore
+    the registration: after build -> clearCache -> memo hit, the slot
+    frame must be cache-REGISTERED again (lazy — no job runs here)."""
+    from sales_etl_spark.operators.dedup import _CACHE_SLOTS
+    from sales_etl_spark.plans import QUERY_REGISTRY
+
+    builder = QUERY_REGISTRY["dedup_video_pairs"].builder
+    builder(spark, SF_DIR)  # first call builds + registers the cache
+    spark.catalog.clearCache()  # drops the registration
+    builder(spark, SF_DIR)  # memo hit — must re-arm
+    frame = _CACHE_SLOTS[(id(spark), "banded_hamming")]
+    lvl = frame.storageLevel
+    assert lvl.useMemory or lvl.useDisk, (
+        "banded frame lost its cache registration across "
+        "clearCache() + plan-memo hit"
+    )
+    spark.catalog.clearCache()
+
+
+def test_slot_cache_same_plan_repeat_keeps_registration(spark):
+    """Regression (r12): DataFrame.unpersist removes CacheManager
+    entries by CANONICALIZED PLAN, so _slot_cache evicting a same-plan
+    predecessor would evict the entry its own cache() call just
+    re-registered; same-semantics repeats must keep the live entry."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_spark.operators.dedup import _slot_cache
+
+    def build():
+        return spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+
+    a = _slot_cache(build(), "test_same_plan_slot")
+    b = _slot_cache(build(), "test_same_plan_slot")
+    lvl = b.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    b.unpersist(blocking=False)
+    spark.catalog.clearCache()
+
+
 def test_incremental_exact_dedup_planted(spark):
     from sales_etl_spark.operators.dedup import incremental_exact_dedup
 
