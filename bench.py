@@ -420,6 +420,16 @@ def main() -> None:
         gated nothing — a round should end with a VALID driver-side
         record, so the guard now drives an in-process retry instead
         of only labeling the corpse)."""
+        # Each attempt measures from a fresh plan memo: a retried
+        # window would otherwise reuse plans whose operator-internal
+        # cache() registrations the previous attempt's clearCache()
+        # dropped — builders never re-run on a memo hit, so those
+        # plans execute their raw lineage and time a DIFFERENT shape
+        # than attempt 1 (BENCH_r11 attempt 2: dedup_video_pairs
+        # 179 s uncached vs 2.4 s cached, r12 root-cause).
+        from sales_etl_spark.plans.registry import clear_plan_cache
+
+        clear_plan_cache()
         calibration = calibrate(spark)
 
         timings: dict[str, float] = {}

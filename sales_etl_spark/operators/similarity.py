@@ -602,6 +602,14 @@ def pq_topk(
     distances round to 1e-6 with code-id tiebreaks; centroid updates
     quantize elements to integer nano-units and means to micro-unit
     doubles; ADC terms round to 1e-6 and sum as exact micro longs."""
+    # r12 (guide §2.5): the local embeddings table is one parquet row
+    # group, so the interpreted-HOF argmin scan — the whole scoring
+    # cost — ran on one core; spread the narrow (id, vector) frame
+    # first (conditional no-op at scale). The driver collects below
+    # read through the same spread frame (one small exchange).
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    corpus = spread_narrow_input(corpus)
     q, q_subs, sub_d = _pq_query_state(
         corpus, query_id, m_subs, id_col, vec_col
     )
@@ -775,6 +783,9 @@ def ivfpq_topk(
     centroid-id tiebreaks (driver Python and the SQL oracle fold the
     identical IEEE sequence); everything downstream inherits the PQ
     recipe. Returns (id, list_id, dist_est)."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    corpus = spread_narrow_input(corpus)  # r12: see pq_topk
     q, q_subs, sub_d = _pq_query_state(
         corpus, query_id, m_subs, id_col, vec_col
     )

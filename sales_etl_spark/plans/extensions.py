@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from sales_etl_spark.functions import text as TX
 from sales_etl_spark.functions import vectors
 from sales_etl_spark.functions.vectors import cosine_rounded
+from sales_etl_spark.operators.skew import spread_narrow_input
 from sales_etl_spark.operators import (
     decontam,
     dedup,
@@ -123,9 +124,12 @@ def _star(spark: SparkSession, sf_dir: str):
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring feature set per document: char/word/BPE-token
     counts, mean word length, punctuation + stopword ratios — all
-    codegen'd regex/array expressions, zero UDFs."""
+    codegen'd regex/array expressions, zero UDFs. r12: the narrow
+    (doc_id, text) frame spreads before the regex battery (guide §2.5
+    — one local row group serialized 6 regex passes onto one core;
+    no-op at scale)."""
     st = _star(spark, sf_dir)
-    return st.documents.select(
+    return spread_narrow_input(st.documents).select(
         "doc_id",
         TX.char_count("text").alias("n_chars_calc"),
         TX.word_count("text").alias("n_words"),
@@ -282,7 +286,9 @@ def text_dup_gram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown-safe exclusion; same WHERE in the oracle)."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
-    base = st.documents.select("doc_id", toks.alias("__toks"))
+    base = spread_narrow_input(
+        st.documents.select("doc_id", "text")
+    ).select("doc_id", toks.alias("__toks"))
     k = F.size("__toks")
     idx = F.sequence(F.lit(1), F.greatest(k - F.lit(2), F.lit(1)))
     gram = F.transform(
@@ -408,7 +414,9 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, doubling scan CPU."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
-    base = st.documents.select("doc_id", toks.alias("__toks"))
+    base = spread_narrow_input(
+        st.documents.select("doc_id", "text")
+    ).select("doc_id", toks.alias("__toks"))
     k = F.size("__toks")
     starts = F.when(
         k > 0,
@@ -597,7 +605,13 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A production model broadcasts learned bucket weights; the
     plumbing — hash, lookup, mean, threshold — is identical.) Pure
     map-side codegen fold over the token array: no shuffle, no UDF,
-    no explode — the classifier costs one projection at 100 TB."""
+    no explode — the classifier costs one projection at 100 TB.
+
+    r12 (guide §2.5 input skew): the local documents table is ONE
+    parquet row group, so the per-token md5 fold — the whole cost of
+    the query — ran on one core of 32; spread_narrow_input
+    repartitions the narrow (doc_id, text) frame before the fold
+    (conditional: a no-op at 100 TB where storage provides splits)."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
     w_int = lambda t: (  # noqa: E731
@@ -608,7 +622,9 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         - F.lit(4294967296)
     )
-    base = st.documents.select("doc_id", toks.alias("__toks"))
+    base = spread_narrow_input(
+        st.documents.select("doc_id", "text")
+    ).select("doc_id", toks.alias("__toks"))
     k = F.size("__toks")
     sum_int = F.aggregate(
         F.transform(F.col("__toks"), w_int),
@@ -705,7 +721,9 @@ def quality_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 dp."""
     st = _star(spark, sf_dir)
     toks = TX.tokens(F.lower(F.col("text")))
-    base = st.documents.select("doc_id", toks.alias("__toks"))
+    base = spread_narrow_input(
+        st.documents.select("doc_id", "text")
+    ).select("doc_id", toks.alias("__toks"))
     k = F.size("__toks")
     w_int = lambda t: (  # noqa: E731
         F.lit(2)
@@ -1486,7 +1504,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1), so the per-doc sum is an order-free long; the output is
     two raw double divisions of exact integers, also identical."""
     st = _star(spark, sf_dir)
-    toks_stream = st.documents.select(
+    # r12: spread the narrow text frame before the tokenize+explode —
+    # the stream is consumed twice (TF pass + scoring join), and both
+    # scans otherwise run the regex on one core (guide §2.5; no-op at
+    # scale).
+    toks_stream = spread_narrow_input(
+        st.documents.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"),
     )

@@ -79,6 +79,16 @@ def register_plan_cache_rearm(hook: Callable[[SparkSession], None]) -> None:
     _PLAN_CACHE_REARM_HOOKS.append(hook)
 
 
+def clear_plan_cache() -> None:
+    """Drop every memoized plan so the next builder call re-runs the
+    builder body. Harnesses that interleave ``clearCache()`` with
+    repeated measurement passes call this at the top of each pass:
+    builders re-register their operator-internal ``cache()`` frames
+    (the ~35 inline two-consumer caches the re-arm hooks don't cover),
+    so a retried pass measures the same plan shape as the first."""
+    _PLAN_CACHE.clear()
+
+
 def query(name: str, oracle: str | None = None) -> Callable:
     """Register a named query. ``oracle`` is the DuckDB SQL twin run on
     the same parquet tables (views: region nation customer supplier

@@ -641,10 +641,42 @@ _BM25_PARTIAL_SQL = """
 """
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms):
+def _bm25_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenized corpus shared by the BM25/RRF/nDCG tier:
+    (doc_id, __toks) with empty docs dropped, CACHED — so the regexp
+    normalize+tokenize (the text tier's dominant CPU) runs ONE corpus
+    pass per query instead of once per consumer leg (r12, guide §2.3:
+    the literal-term BM25 needs a stats pass AND a scoring pass, and
+    nDCG adds a relevance pass — previously three full tokenize
+    scans). The narrow (doc_id, text) frame is spread before the
+    tokenize when storage under-partitions it (one local row group).
+    At 100 TB the trade is deliberate: the cached token frame spills
+    to disk gracefully (MEMORY_AND_DISK) and replaces two further
+    full-corpus regexp passes — the same cache-the-derived-array call
+    dedup_paragraphs' chunk frame made in r11. Lifecycle matches the
+    sibling inline caches: per-query transient, dropped by the
+    harness's clearCache between queries."""
+    from sales_etl_spark.operators.skew import spread_narrow_input
+
+    st = _star(spark, sf_dir)
+    return (
+        spread_narrow_input(st.documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            TX.tokens(TX.normalize_text("text")).alias("__toks"),
+        )
+        .filter(F.size("__toks") > 0)
+        .cache()
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms, base=None):
     """Shared BM25 pipeline: (doc_id, bm25_micro) for every document
     matching ≥1 query term. ``query_terms`` is either a literal tuple
     of terms or a 1-column DataFrame of distinct terms (broadcast).
+    ``base`` optionally injects a prebuilt :func:`_bm25_base` frame so
+    a composite query (nDCG) shares one cached tokenize pass across
+    its legs.
 
     Optimization-round shape (r11, guide §2.3/§2.4): document length
     is ``size(tokens)`` — a map-side projection — never an explode +
@@ -661,22 +693,8 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms):
     before. For a DataFrame term set the explode+groupBy tf path
     stays (per-doc term columns need literals), but it now joins the
     map-side dl frame instead of a shuffled token-stream aggregate."""
-    from sales_etl_spark.operators.skew import spread_narrow_input
-
-    st = _star(spark, sf_dir)
-    # normalize+tokenize is the corpus-scan CPU shared by the
-    # BM25/RRF/nDCG tier; spread the narrow (doc_id, text) frame when
-    # it arrives as one local row group. Tokens materialize ONCE as an
-    # array column; dl is its size (empty docs drop, matching the old
-    # explode semantics).
-    base = (
-        spread_narrow_input(st.documents.select("doc_id", "text"))
-        .select(
-            "doc_id",
-            TX.tokens(TX.normalize_text("text")).alias("__toks"),
-        )
-        .filter(F.size("__toks") > 0)
-    )
+    if base is None:
+        base = _bm25_base(spark, sf_dir)
     if isinstance(query_terms, DataFrame):
         dl = base.select("doc_id", F.size("__toks").alias("dl"))
         nstats = dl.agg(
@@ -2768,8 +2786,8 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on a literal 20-row rank frame. Every frame past the
     two corpus scans is ≤20 rows; nDCG is one division of two exact
     longs."""
-    st = _star(spark, sf_dir)
-    scores = _bm25_scores(spark, sf_dir, _BM25_QUERY)
+    base = _bm25_base(spark, sf_dir)
+    scores = _bm25_scores(spark, sf_dir, _BM25_QUERY, base=base)
     ranked = global_row_number(
         scores,
         order_by=[F.desc("bm25_micro"), F.asc("doc_id")],
@@ -2779,17 +2797,20 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rel = number of DISTINCT query terms present — a map-side sum of
     # array_contains over the materialized token array (r11: replaces
     # explode → filter → groupBy countDistinct, deleting the matched-
-    # token exchange; row set unchanged: docs with ≥1 matched term).
-    toks_arr = TX.tokens(TX.normalize_text("text"))
+    # token exchange; row set unchanged: docs with ≥1 matched term —
+    # the size(__toks)>0 filter the shared base adds drops no rel>0
+    # doc, a matched doc has ≥1 token). r12: the token array comes
+    # from the SAME cached _bm25_base frame the ranking leg reads, so
+    # the relevance leg no longer re-tokenizes the corpus (was the
+    # query's third full regexp pass); deriving rel from the cached
+    # arrays is a map-side array_contains fold, cheap enough that the
+    # separate rel cache is gone too.
     rel_expr = sum(
         F.array_contains(F.col("__toks"), F.lit(t)).cast("int")
         for t in _BM25_QUERY
     )
-    rel = (
-        st.documents.select("doc_id", toks_arr.alias("__toks"))
-        .select("doc_id", rel_expr.alias("rel"))
-        .filter(F.col("rel") > 0)
-        .cache()  # two consumers: top-20 gains + the grade counts
+    rel = base.select("doc_id", rel_expr.alias("rel")).filter(
+        F.col("rel") > 0
     )
     g_micro = F.floor(
         F.expr("CAST(shiftleft(1L, rel) - 1 AS DOUBLE)")
